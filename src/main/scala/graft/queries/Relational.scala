@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classic relational surface: aggregation, joins, windows, set ops,
+  * distinct, top-k, rollup — the operator families the reference's
+  * summary query (SURVEY.md §2.3 A1, §2.4 O1) belongs to, widened to
+  * the full surface a Spark-native engine must offer (SURVEY.md §7.2
+  * step 4).
+  *
+  * Hash-match discipline (SURVEY.md §7.4): every query ends in a total
+  * deterministic ORDER BY (ties broken by key columns); every
+  * floating-point aggregate is rounded to a fixed scale so that
+  * last-ulp differences from summation order cannot flip the compare.
+  *
+  * Scale notes (100 TB posture):
+  *  - groupBy aggregations run partial (map-side) + final automatically;
+  *    no driver-side collection anywhere.
+  *  - dimension tables (nation, region, supplier) get an explicit
+  *    broadcast hint; fact-fact joins (lineitem⋈orders) stay shuffle
+  *    hash / sort-merge on their keys and benefit from AQE.
+  *  - top-k uses orderBy+limit which Spark executes as TakeOrdered
+  *    (per-partition heap + driver merge of k rows), not a global sort.
+  */
+object Relational {
+
+  /** Rounded double aggregate — 4dp is coarse enough to absorb
+    * summation-order ulp noise, fine enough to be meaningful. */
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** q01 — reference A1+O1 shape at TPC-H Q1 scope: scan-filter →
+    * hash aggregate (8 aggregates) → sort. The filter prunes on the
+    * parquet min/max stats of l_shipdate. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02 — multi-way join (TPC-H Q5 shape): lineitem⋈orders shuffle
+    * join; customer⋈nation⋈region broadcast (dims). Revenue per nation. */
+  def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1997)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q03 — top-k: TakeOrdered(10), no global sort. Tiebreak on key. */
+  def q03TopOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q04 — window function: top-3 orders per customer by price.
+    * Single shuffle on o_custkey; row_number with deterministic
+    * tiebreak. */
+  def q04TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q05 — distinct (shuffle-dedup on the pair). */
+  def q05DistinctSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** q06 — set op: customers active in 1997 but not in 1998 (EXCEPT =
+    * distinct anti semantics in both Spark and ANSI SQL). */
+  def q06ExceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    a.except(b).orderBy(col("o_custkey"))
+  }
+
+  /** q07 — rollup with explicit null ordering (grand-total + per-flag
+    * subtotals). */
+  def q07RollupQuantity(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q08 — left semi join (EXISTS): customers with ≥1 open order. */
+  def q08SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q09 — left anti join (NOT EXISTS): customers with no 1998 orders. */
+  def q09AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1998)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q10 — date/time bucketing: monthly order volume. The month is
+    * emitted as a 'yyyy-MM' string so the oracle compare is not
+    * sensitive to date-vs-timestamp physical types. */
+  def q10MonthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("total"))
+      .orderBy(col("month"))
+
+  /** q18 — value-counts diagnostic (reference F10): brand histogram. */
+  def q18BrandCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+}

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers every parquet table in
+<sfDir> as a DuckDB view, runs each oracle, and compares against the
+Spark result parquet written by graft.Verify — columns sorted by name,
+values compared exactly (with a float near-miss report to distinguish
+rounding bugs from real mismatches).
+
+Driver-side tooling only; the Scala library never depends on this.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
+        if a is None or b is None or len(a) != len(b):
+            return False
+        return all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark result written")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.read_parquet(res_dir))
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        bad = []
+        for i in range(len(got)):
+            for c in got.columns:
+                a, b = got.iloc[i][c], want.iloc[i][c]
+                if hasattr(a, "item") and not isinstance(a, (list, tuple)):
+                    try:
+                        a = a.item()
+                    except (ValueError, AttributeError):
+                        pass
+                if hasattr(b, "item") and not isinstance(b, (list, tuple)):
+                    try:
+                        b = b.item()
+                    except (ValueError, AttributeError):
+                        pass
+                if not cell_eq(a, b):
+                    near = ""
+                    if isinstance(a, float) and isinstance(b, float) and math.isfinite(a) and math.isfinite(b):
+                        near = f" (diff={abs(a - b):.3e})"
+                    bad.append(f"  row {i} col {c}: spark={a!r} oracle={b!r}{near}")
+                    if len(bad) >= 5:
+                        break
+            if len(bad) >= 5:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(got)} rows,")
+            print("\n".join(bad))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

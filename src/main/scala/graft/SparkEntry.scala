@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{EtlQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,13 @@ object SparkEntry {
     "q08_semi_join"        -> Relational.q08SemiJoin,
     "q09_anti_join"        -> Relational.q09AntiJoin,
     "q10_monthly_orders"   -> Relational.q10MonthlyOrders,
+    "q11_currency_convert" -> EtlQueries.q11CurrencyConvert,
+    "q12_ascii_scrub"      -> EtlQueries.q12AsciiScrub,
+    "q13_split_priority"   -> EtlQueries.q13SplitPriority,
+    "q14_dict_normalize"   -> EtlQueries.q14DictNormalize,
+    "q15_fillna"           -> EtlQueries.q15FillNa,
+    "q16_year_clamp"       -> EtlQueries.q16YearClamp,
+    "q17_validation"       -> EtlQueries.q17ValidationReport,
     "q18_value_counts"     -> Relational.q18BrandCounts,
   )
 
@@ -101,6 +108,74 @@ object SparkEntry {
          FROM orders
          GROUP BY 1
          ORDER BY month""",
+    "q11_currency_convert" ->
+      """SELECT o_orderkey, o_orderpriority,
+         round(o_totalprice * (CASE o_orderpriority
+           WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 1.06
+           WHEN '3-MEDIUM' THEN 0.13 WHEN '4-NOT SPECIFIED' THEN 1.17
+           ELSE NULL END), 4) AS price_eur
+         FROM orders
+         ORDER BY o_orderkey""",
+    "q12_ascii_scrub" ->
+      """SELECT p_partkey,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                'Â£ ' || p_name || ' Â» ' || p_brand || '  ,  Ã©nd',
+                '£', 'GBP', 'g'),
+                'Â»', '|', 'g'),
+                '[^\x00-\x7F]', ' ', 'g'),
+                ' +', ' ', 'g'),
+                ' ,', ',', 'g'),
+                ' "', '"', 'g'),
+                '" ', '"', 'g')) AS scrubbed
+         FROM part
+         ORDER BY p_partkey""",
+    "q13_split_priority" ->
+      """SELECT o_orderkey,
+         CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_code,
+         substr(o_orderpriority, strpos(o_orderpriority, '-') + 1) AS prio_label
+         FROM orders
+         ORDER BY o_orderkey""",
+    "q14_dict_normalize" ->
+      """SELECT CASE lower(trim(n_name))
+           WHEN 'nation_0' THEN 'united states'
+           WHEN 'nation_1' THEN 'germany'
+           WHEN 'nation_7' THEN 'france'
+           WHEN 'nan' THEN 'None'
+           ELSE lower(trim(n_name)) END AS country,
+         count(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1
+         ORDER BY country""",
+    "q15_fillna" ->
+      """SELECT c_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 'None' ELSE c_mktsegment END AS segment,
+         CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS acctbal
+         FROM customer
+         ORDER BY c_custkey""",
+    "q16_year_clamp" ->
+      """WITH yr AS (SELECT year(l_shipdate) AS y FROM lineitem),
+            m AS (SELECT min(y) AS mn FROM yr WHERE y <> 1995)
+         SELECT CASE WHEN y BETWEEN (SELECT mn FROM m) AND 2000 THEN y
+                     ELSE (SELECT mn FROM m) - 10 END AS yr_clamped,
+                count(*) AS cnt
+         FROM yr GROUP BY 1 ORDER BY yr_clamped""",
+    "q17_validation" ->
+      """SELECT * FROM (
+           SELECT 'l_qty_range' AS rule, count(*) FILTER (WHERE NOT (l_quantity BETWEEN 0 AND 100)) AS violations FROM lineitem
+           UNION ALL
+           SELECT 'l_disc_range', count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 1)) FROM lineitem
+           UNION ALL
+           SELECT 'l_flag_domain', count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate_null', count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+           UNION ALL
+           SELECT 'c_acctbal_nonneg', count(*) FILTER (WHERE c_acctbal < 0) FROM customer
+           UNION ALL
+           SELECT 'c_segment_null', count(*) FILTER (WHERE c_mktsegment IS NULL) FROM customer
+           UNION ALL
+           SELECT 'o_status_domain', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) FROM orders)
+         ORDER BY rule""",
     "q18_value_counts" ->
       """SELECT p_brand, count(*) AS cnt FROM part
          GROUP BY p_brand ORDER BY p_brand""",

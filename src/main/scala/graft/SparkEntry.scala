@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{EtlQueries, Relational}
+import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +37,19 @@ object SparkEntry {
     "q16_year_clamp"       -> EtlQueries.q16YearClamp,
     "q17_validation"       -> EtlQueries.q17ValidationReport,
     "q18_value_counts"     -> Relational.q18BrandCounts,
+    "q19_token_count"      -> TextOps.q19TokenCount,
+    "q20_quality_score"    -> TextOps.q20QualityScore,
+    "q21_lang_id"          -> TextOps.q21LangId,
+    "q22_exact_dedup"      -> Dedup.q22ExactDedup,
+    "q23_jaccard_pairs"    -> Dedup.q23JaccardTopPairs,
+    "q24_minhash_lsh"      -> Dedup.q24MinHashLsh,
+    "q25_simhash"          -> Dedup.q25SimHash,
+    "q26_ann_topk"         -> Similarity.q26AnnTopK,
+    "q28_embedding_stats"  -> Similarity.q28EmbeddingStats,
+    "q29_tumbling_window"  -> EventOps.q29TumblingWindow,
+    "q30_sessionize"       -> EventOps.q30Sessionize,
+    "q31_json_extract"     -> EventOps.q31JsonExtract,
+    "q32_multimodal_meta"  -> Multimodal.q32BinaryMeta,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -179,5 +193,104 @@ object SparkEntry {
     "q18_value_counts" ->
       """SELECT p_brand, count(*) AS cnt FROM part
          GROUP BY p_brand ORDER BY p_brand""",
+    "q19_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q20_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+                 / len(toks), 6) AS stop_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS unique_ratio,
+           round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS avg_token_len
+         FROM t ORDER BY doc_id""",
+    "q21_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('le','la','et','de'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('el','los','y','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+                WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_es, s_de) THEN 'fr'
+                WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_de) THEN 'es'
+                WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es) THEN 'de'
+                ELSE 'unknown' END AS lang_guess,
+           s_en, s_fr, s_es, s_de
+         FROM sc ORDER BY doc_id""",
+    "q22_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q23_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac_exact
+           FROM d a JOIN d b
+           ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(jac_exact, 6) AS jaccard FROM p
+         ORDER BY jac_exact DESC, doc_a, doc_b LIMIT 20""",
+    "q26_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+         sims AS (SELECT q_id, c.vec_id AS n_id,
+           list_sum(list_transform(list_zip(q_emb, c.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q_nrm * c.nrm) AS sim_exact
+           FROM q JOIN e c ON c.vec_id <> q_id),
+         r AS (SELECT q_id, n_id, sim_exact,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, n_id) AS rn
+           FROM sims)
+         SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
+         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q28_embedding_stats" ->
+      """WITH e AS (SELECT label,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+           embedding[1]::DOUBLE AS d0
+           FROM embeddings)
+         SELECT label, count(*) AS cnt, round(avg(nrm), 6) AS avg_norm,
+                round(avg(d0), 6) AS avg_dim0
+         FROM e GROUP BY label ORDER BY label""",
+    "q29_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q30_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end,
+           round(sum(value), 4) AS total_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q31_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q32_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+         sha256(text) AS fingerprint,
+         64 + n_chars % 1856 AS fake_width,
+         64 + (n_chars * 7) % 1016 AS fake_height
+         FROM documents ORDER BY doc_id""",
   )
 }

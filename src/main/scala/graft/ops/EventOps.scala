@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream operators over the `events` table, batch form (the
+  * Structured Streaming twins live in graft.streaming): tumbling
+  * windows via window(), gap-based sessionization via lag + running
+  * sum, JSON property extraction via from_json.
+  */
+object EventOps {
+
+  /** q29 — tumbling 1-hour windows per event type, via the window()
+    * operator (same construct Structured Streaming uses with a
+    * watermark). The window start is emitted as a formatted string so
+    * the compare is type-stable. */
+  def q29TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+              col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q30 — gap-based sessionization (30-minute inactivity): lag to
+    * flag session starts, running sum to number sessions, then one
+    * aggregate per session. Two shuffles total (both on user_id). */
+  def q30Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"), 1L)
+      .otherwise(0L)
+    Tables.events(s, dir)
+      .withColumn("session_id", sum(newSession).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_start"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_end"),
+           round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q31 — JSON property extraction: parse the props column with an
+    * explicit schema (from_json → typed struct; no driver-side
+    * parsing), aggregate the extracted key per event type. */
+  def q31JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(avg(col("k")), 6).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

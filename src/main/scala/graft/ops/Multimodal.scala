@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) payloads are
+  * opaque `binary` columns with typed metadata alongside. The Spark
+  * side — schema, partition-parallel batch processing, deterministic
+  * metadata derivation — is real; the actual codec is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries),
+  * clearly marked below.
+  */
+object Multimodal {
+
+  /** q32 — binary-column metadata extraction: payload bytes (here the
+    * document text re-encoded, standing in for media bytes), byte
+    * length, sha-256 content fingerprint, and fake decoded dimensions
+    * derived deterministically from the metadata — all expressible in
+    * the oracle. */
+  def q32BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              octet_length(col("text")).cast("long").as("n_bytes"),
+              sha2(col("text"), 256).as("fingerprint"),
+              (lit(64) + col("n_chars") % 1856).cast("long").as("fake_width"),
+              (lit(64) + (col("n_chars") * 7) % 1016).cast("long").as("fake_height"))
+      .orderBy(col("doc_id"))
+
+  /** Output schema of the decode stage. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** Partition-parallel "decode" over binary payloads: the real
+    * engine shape (mapPartitions over an iterator of rows, batch-
+    * friendly, no driver collect).
+    *
+    * ===== STUB =====
+    * A real deployment would decode image/audio bytes here (e.g. via
+    * a JNI codec); this container has no media libraries, so the
+    * decode is a deterministic fake derived from the payload bytes.
+    * The Spark plumbing (schema, signature, partitioning) is real and
+    * tested.
+    */
+  def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val session = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // deterministic fake decode: dims + luma from byte stats
+          val n = bytes.length
+          val w = 64 + (n % 1856)
+          val h = 64 + ((n * 7) % 1016)
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+          val luma = if (n == 0) 0.0 else sum.toDouble / n / 255.0
+          Row(id, n.toLong, w, h, luma)
+        }
+      }
+    session.createDataFrame(rdd, decodedSchema)
+  }
+}

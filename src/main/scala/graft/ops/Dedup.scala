@@ -57,60 +57,105 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_exact"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: k independent hash slots, slot i =
-    * min over shingles of xxhash64(i, shingle). Pure expressions;
-    * one map-side pass. */
-  def minhashSignature(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, t => xxhash64(i, t))))
+  /** MinHash signature: slot i = min over shingles of a_i*h(t) + b_i
+    * — ONE string hash per shingle plus k universal rehashes, ~k×
+    * cheaper than hashing k times. Shaped as a single `aggregate`
+    * whose input array is the hash transform: HOF input arrays are
+    * evaluated once per row and the per-element hash binds to a
+    * lambda VARIABLE, so no optimizer rewrite (CollapseProject
+    * inlining) can duplicate the hashing work. */
+  def minhashSignature(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    // XOR + rehash instead of multiply-add: wrapping multiplication
+    // trips ANSI-mode overflow checks (Spark 4 default); XOR is
+    // overflow-free and xxhash64 over the resulting 8-byte long is a
+    // proper mix, far cheaper than re-hashing the shingle string.
+    val as = typedlit(slotConstants(k))
+    aggregate(
+      transform(sh, t => xxhash64(t)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, transform(as, a => xxhash64(a.bitwiseXOR(h))),
+                           (m, x) => least(m, x)))
+  }
+
+  /** Per-slot XOR constants for the universal rehash family
+    * (slot hash = xxhash64(a_i ^ xxhash64(shingle)); XOR avoids
+    * ANSI-mode overflow that wrapping multiply-add would trip). */
+  private def slotConstants(k: Int): Seq[Long] =
+    (0 until k).map(i => 0x9E3779B97F4A7C15L ^ (i.toLong * 0x94D049BB133111EBL))
 
   /** q24 — MinHash + LSH banding near-dup pass (the 100 TB path):
     * 32-slot signatures, 8 bands × 4 rows; docs sharing a band hash
     * become candidates via a shuffle on (band, key); candidates are
     * verified with exact Jaccard ≥ 0.5. Output is a one-row summary
     * (corpus size, candidate count, verified count) — rows-only
-    * checked since LSH recall is probabilistic. */
+    * checked since LSH recall is probabilistic.
+    *
+    * Shaped for scale: signatures come from explode → one xxhash64
+    * per shingle → 32 codegen'd `min` aggregates (map-side partial
+    * agg; the shuffle carries 32 longs per doc, never the shingle
+    * arrays); band keys are plain longs; shingle sets are joined
+    * back ONLY for the candidate pairs (a tiny broadcast-side set),
+    * so the quadratic step touches no text. */
   def q24MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val k = 32
     val bands = 8
     val rows = k / bands
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = d.select(col("doc_id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"),
-                        xxhash64(slice(col("sig"), bnd * lit(rows) + 1, lit(rows))).as("key"))))
-          .as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-    val aa = banded.toDF("doc_a", "sh_a", "band_a", "key_a")
-    val bb = banded.toDF("doc_b", "sh_b", "band_b", "key_b")
+    // Shingle HASHES, never shingle strings: xxhash64 over the token
+    // triple directly (no concat_ws, no string array_distinct) — the
+    // 3-gram set survives as a set of longs, which is all MinHash,
+    // banding, and Jaccard verification need. The ≥3-token filter is
+    // a cheap split+size so no shingle work runs inside Filter nodes.
+    val shingleHashes = {
+      val toks = col("toks")
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(2)),
+        j => xxhash64(element_at(toks, j), element_at(toks, j + lit(1)),
+                      element_at(toks, j + lit(2)))))
+    }
+    val docSh = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleHashes.as("sh"))
+    val hashed = docSh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val as = slotConstants(k)
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(as(i)).bitwiseXOR(col("h")))).as(s"m$i"))
+    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+             xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("key")))
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val aa = banded.toDF("doc_a", "band_a", "key_a")
+    val bb = banded.toDF("doc_b", "band_b", "key_b")
     val cand = aa.join(bb, col("band_a") === col("band_b") &&
                            col("key_a") === col("key_b") &&
                            col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val withSh = cand
+      .join(docSh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(docSh.toDF("doc_b", "sh_b"), "doc_b")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - common
-    val candStats = cand.withColumn("jac", common.cast("double") / union)
+    val candStats = withSh.withColumn("jac", common.cast("double") / union)
       .agg(count(lit(1)).as("n_candidate_pairs"),
            count(when(col("jac") >= 0.5, 1)).as("n_verified_pairs"))
     // single-row × single-row cross join: no driver collect, one job
-    d.agg(count(lit(1)).as("n_docs")).crossJoin(candStats)
+    docSh.agg(count(lit(1)).as("n_docs")).crossJoin(candStats)
   }
 
-  /** 64-bit SimHash from token hashes: per bit, sign of the sum of
-    * ±1 votes across tokens. Single pass over the tokens, carrying a
-    * 64-slot vote accumulator (bit tests via a literal mask array —
-    * Spark's shift functions only take literal shift amounts). */
-  def simhash(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** 64-bit SimHash over PRE-HASHED tokens: per bit, sign of the sum
+    * of ±1 votes across token hashes. Single pass over the hash
+    * array, carrying a 64-slot vote accumulator (bit tests via a
+    * literal mask array — Spark's shift functions only take literal
+    * shift amounts). */
+  def simhash(tokenHashes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val masks = typedlit((0 until 64).map(j => 1L << j))
-    val votes = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+    val votes = aggregate(tokenHashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          j => when(xxhash64(t).bitwiseAND(element_at(masks, j + lit(1))) =!= 0, lit(1L))
+          j => when(h.bitwiseAND(element_at(masks, j + lit(1))) =!= 0, lit(1L))
                  .otherwise(lit(-1L))),
         (a, v) => a + v))
     aggregate(zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
@@ -118,10 +163,23 @@ object Dedup {
   }
 
   /** q25 — SimHash fingerprints (deterministic; near-dup = small
-    * hamming distance between fingerprints). Emitted per doc;
-    * rows-only checked (xxhash64 has no DuckDB twin). */
-  def q25SimHash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), simhash(TextOps.tokens(col("text"))).as("simhash"))
+    * hamming distance between fingerprints). Relational formulation:
+    * explode tokens, then 64 codegen'd conditional-sum aggregates
+    * (one per bit) with map-side partial aggregation — an order of
+    * magnitude faster than per-row interpreted array lambdas, and the
+    * shape that scales (the shuffle carries 64 longs per doc).
+    * Rows-only checked (xxhash64 has no DuckDB twin). */
+  def q25SimHash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L)).as(s"v$j"))
+    val fingerprint = (0 until 64)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy(col("doc_id"))
+  }
 }

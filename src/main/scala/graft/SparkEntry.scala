@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, Relational}
+import graft.queries.{BoatQueries, EtlQueries, Relational}
 import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,6 +50,8 @@ object SparkEntry {
     "q30_sessionize"       -> EventOps.q30Sessionize,
     "q31_json_extract"     -> EventOps.q31JsonExtract,
     "q32_multimodal_meta"  -> Multimodal.q32BinaryMeta,
+    "q33_boat_clean"       -> BoatQueries.q33BoatClean,
+    "q34_boat_summary"     -> BoatQueries.q34BoatSummary,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -292,5 +294,129 @@ object SparkEntry {
          64 + n_chars % 1856 AS fake_width,
          64 + (n_chars * 7) % 1016 AS fake_height
          FROM documents ORDER BY doc_id""",
+    "q33_boat_clean" ->
+      """WITH raw AS (
+           SELECT * FROM read_csv('/root/repo/src/test/resources/boat_mini.csv',
+                                  header=true, all_varchar=true)
+         ), sc AS (
+           SELECT
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace("Price",
+                  '£','GBP','g'),'Â»','|','g'),'[^\x00-\x7F]',' ','g'),
+                  ' +',' ','g'),' ,',',','g'),' "','"','g'),'" ','"','g')) AS price_raw,
+             "Boat Type" AS boat_type,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace("Manufacturer",
+                  '£','GBP','g'),'Â»','|','g'),'[^\x00-\x7F]',' ','g'),
+                  ' +',' ','g'),' ,',',','g'),' "','"','g'),'" ','"','g')) AS manufacturer0,
+             "Type" AS type0,
+             CAST("Year Built" AS BIGINT) AS yb,
+             CAST("Length" AS DOUBLE) AS length0,
+             CAST("Width" AS DOUBLE) AS width0,
+             "Material" AS material0,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace("Location",
+                  '£','GBP','g'),'Â»','|','g'),'[^\x00-\x7F]',' ','g'),
+                  ' +',' ','g'),' ,',',','g'),' "','"','g'),'" ','"','g')) AS location0,
+             CAST("Number of views last 7 days" AS BIGINT) AS views
+           FROM raw
+         ), mny AS (
+           SELECT min(yb) AS mn FROM sc WHERE yb IS NOT NULL AND yb <> 0
+         ), t1 AS (
+           SELECT
+             split_part(price_raw, ' ', 1) AS currency,
+             CAST(substr(price_raw, strpos(price_raw, ' ') + 1) AS BIGINT) AS price,
+             boat_type,
+             coalesce(manufacturer0, 'None') AS manufacturer,
+             coalesce(type0, 'None') AS tfull,
+             CASE WHEN yb BETWEEN (SELECT mn FROM mny) AND 2026 THEN yb
+                  ELSE (SELECT mn FROM mny) - 10 END AS year_built,
+             coalesce(length0, 0.0) AS length,
+             coalesce(width0, 0.0) AS width,
+             coalesce(material0, 'None') AS material,
+             CASE WHEN location0 IS NULL THEN NULL
+                  WHEN strpos(location0, '|') > 0
+                  THEN rtrim(substr(location0, 1, strpos(location0, '|') - 1))
+                  ELSE rtrim(location0) END AS country_raw,
+             CASE WHEN location0 IS NOT NULL AND strpos(location0, '|') > 0
+                  THEN rtrim(substr(location0, strpos(location0, '|') + 1))
+                  ELSE NULL END AS city0,
+             views
+           FROM sc
+         ), t2 AS (
+           SELECT *,
+             CASE WHEN country_raw IS NULL THEN 'nan'
+                  ELSE lower(trim(country_raw)) END AS ckey
+           FROM t1
+         )
+         SELECT
+           price, boat_type, manufacturer,
+           CASE WHEN strpos(tfull, ',') > 0
+                THEN substr(tfull, 1, strpos(tfull, ',') - 1) ELSE tfull END AS type,
+           CASE WHEN strpos(tfull, ',') > 0
+                     AND length(substr(tfull, strpos(tfull, ',') + 1)) > 0
+                THEN substr(tfull, strpos(tfull, ',') + 1) ELSE 'None' END AS power,
+           year_built, length, width, material,
+           coalesce(city0, 'None') AS city,
+           CASE ckey
+             WHEN 'switzerland' THEN 'Switzerland' WHEN 'germany' THEN 'Germany'
+             WHEN 'denmark' THEN 'Denmark' WHEN 'united states' THEN 'United States'
+             WHEN 'united kingdom' THEN 'United Kingdom' WHEN 'sweden' THEN 'Sweden'
+             WHEN 'italy' THEN 'Italy' WHEN 'italien' THEN 'Italy'
+             WHEN 'france' THEN 'France' WHEN 'spain' THEN 'Spain'
+             WHEN 'mallorca' THEN 'Spain' WHEN 'lake constance' THEN 'Germany'
+             WHEN 'netherlands' THEN 'Netherlands' WHEN 'nan' THEN 'None'
+             ELSE ckey END AS country,
+           currency,
+           round(price * (CASE currency WHEN 'EUR' THEN 1.0 WHEN 'CHF' THEN 1.06
+                          WHEN 'DKK' THEN 0.13 WHEN 'GBP' THEN 1.17
+                          ELSE NULL END), 4) AS price_eur,
+           views
+         FROM t2
+         ORDER BY price""",
+    "q34_boat_summary" ->
+      """WITH raw AS (
+           SELECT * FROM read_csv('/root/repo/src/test/resources/boat_mini.csv',
+                                  header=true, all_varchar=true)
+         ), sc AS (
+           SELECT
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace("Price",
+                  '£','GBP','g'),'Â»','|','g'),'[^\x00-\x7F]',' ','g'),
+                  ' +',' ','g'),' ,',',','g'),' "','"','g'),'" ','"','g')) AS price_raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace("Location",
+                  '£','GBP','g'),'Â»','|','g'),'[^\x00-\x7F]',' ','g'),
+                  ' +',' ','g'),' ,',',','g'),' "','"','g'),'" ','"','g')) AS location0
+           FROM raw
+         ), t1 AS (
+           SELECT
+             CAST(substr(price_raw, strpos(price_raw, ' ') + 1) AS BIGINT) *
+               (CASE split_part(price_raw, ' ', 1)
+                  WHEN 'EUR' THEN 1.0 WHEN 'CHF' THEN 1.06
+                  WHEN 'DKK' THEN 0.13 WHEN 'GBP' THEN 1.17
+                  ELSE NULL END) AS price_eur,
+             CASE WHEN location0 IS NULL THEN 'nan'
+                  WHEN strpos(location0, '|') > 0
+                  THEN lower(trim(rtrim(substr(location0, 1, strpos(location0, '|') - 1))))
+                  ELSE lower(trim(rtrim(location0))) END AS ckey
+           FROM sc
+         ), t2 AS (
+           SELECT price_eur,
+             CASE ckey
+               WHEN 'switzerland' THEN 'Switzerland' WHEN 'germany' THEN 'Germany'
+               WHEN 'denmark' THEN 'Denmark' WHEN 'united states' THEN 'United States'
+               WHEN 'united kingdom' THEN 'United Kingdom' WHEN 'sweden' THEN 'Sweden'
+               WHEN 'italy' THEN 'Italy' WHEN 'italien' THEN 'Italy'
+               WHEN 'france' THEN 'France' WHEN 'spain' THEN 'Spain'
+               WHEN 'mallorca' THEN 'Spain' WHEN 'lake constance' THEN 'Germany'
+               WHEN 'netherlands' THEN 'Netherlands' WHEN 'nan' THEN 'None'
+               ELSE ckey END AS country
+           FROM t1
+         )
+         SELECT country, round(avg(price_eur), 4) AS avg_price,
+                count(*) AS "count"
+         FROM t2 GROUP BY country
+         ORDER BY avg(price_eur) DESC NULLS LAST, country""",
   )
 }

@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("sessionize: 30-min gap starts a new session") {
+    val tmp = java.nio.file.Files.createTempDirectory("ev").toString
+    Seq(
+      (1L, 7L, ts("10:00"), "click", 1.0, """{"k": 1}"""),
+      (2L, 7L, ts("10:10"), "view", 2.0, """{"k": 2}"""),
+      (3L, 7L, ts("10:41"), "click", 3.0, """{"k": 3}"""), // 31 min gap -> new session
+      (4L, 8L, ts("10:05"), "view", 4.0, """{"k": 4}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)")) // nanos, as the harness stores
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q30Sessionize(spark, tmp)
+      .select("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("tumbling window counts add up") {
+    val rows = EventOps.q29TumblingWindow(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == 1000) // every event in exactly one bucket
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-grams, distinct, short docs empty") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b")),           // too short -> empty
+      (3L, Seq("x", "y", "z", "x", "y", "z", "x")) // dup shingles collapse
+    ).toDF("id", "toks")
+    val sh = df.select($"id", TextOps.shingles($"toks").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq())
+    assert(sh(3L).length == sh(3L).distinct.length)
+    assert(sh(3L).contains("x y z"))
+  }
+
+  test("quality score ratios are consistent") {
+    val r = TextOps.q20QualityScore(spark, sf0001)
+      .filter($"n_tokens" > 0).limit(50).collect()
+    r.foreach { row =>
+      val (n, uniq) = (row.getLong(1), row.getLong(2))
+      assert(uniq <= n)
+      assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1) // stop_ratio
+      assert(row.getDouble(4) > 0 && row.getDouble(4) <= 1)  // unique_ratio
+    }
+  }
+
+  test("lang id prefers the language with most marker hits") {
+    val scored = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "le chat et la vache de paris"),
+      (3L, "qqq www eee")
+    ).toDF("doc_id", "text")
+    // replicate the operator's scoring on a literal frame via the
+    // same code path: write to a temp view shape q21 expects
+    val tmp = java.nio.file.Files.createTempDirectory("docs").toString
+    scored.withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q21LangId(spark, tmp)
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "unknown")
+  }
+}

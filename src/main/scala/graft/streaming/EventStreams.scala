@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** A typed event, as the streaming operators see it. */
+case class EventRow(event_id: Long, user_id: Long, ts: Timestamp,
+                    event_type: String, value: Double)
+
+/** Open-session accumulator carried in GroupState. */
+case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Double)
+
+/** A closed session. */
+case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
+                      n_events: Long, total_value: Double)
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.ops.EventOps): the SAME logical shapes — tumbling window
+  * aggregation and gap-based sessionization — expressed as an
+  * unbounded `readStream → transform → writeStream` pipeline with
+  * watermarks for late data and bounded state.
+  *
+  * Scale design: both operators shuffle once on their grouping key
+  * and keep per-key state bounded (windows expire at the watermark;
+  * sessions time out at last-event + gap), so state size tracks the
+  * ACTIVE key set, not history — the property that matters when the
+  * stream runs for months on a 1000-executor cluster.
+  */
+object EventStreams {
+
+  /** Schema for streaming file sources (streams never infer). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet/json drops. */
+  def readEventStream(spark: SparkSession, dir: String,
+                      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Tumbling 1-hour windows per event type with a 1-hour watermark:
+    * append-mode compatible (a window only emits once the watermark
+    * passes its end — deterministic, late events within the watermark
+    * included). */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with custom state:
+    * flatMapGroupsWithState keyed by user, EventTimeTimeout. A
+    * session closes when a later event arrives past the gap (emitted
+    * immediately) or when the watermark passes last-event + gap
+    * (emitted on timeout). State per user is ONE open session. */
+  def sessionize(events: Dataset[EventRow],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, s.start, s.last, s.n, s.total)
+
+    def fn(uid: Long, rows: Iterator[EventRow],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(close(uid, s))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        for (e <- sorted) cur match {
+          case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+            cur = Some(s.copy(last = e.ts, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += close(uid, s)
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // never set a timeout at/below the current watermark
+          state.setTimeoutTimestamp(
+            math.max(s.last.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the streaming operators through MemoryStream micro-batches,
+  * advancing the watermark with sentinel events and asserting what
+  * each batch finalizes. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+  private def ev(id: Long, uid: Long, t: String, typ: String = "click",
+                 v: Double = 1.0) = EventRow(id, uid, ts(t), typ, v)
+
+  test("tumbling window finalizes once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(in.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, "10:05"), ev(2, 1, "10:45", v = 2.0), ev(3, 2, "10:50"))
+      q.processAllAvailable()
+      // watermark still at 09:50 — nothing final yet
+      assert(spark.table("tumble").count() == 0)
+      // sentinel at 12:30 pushes the watermark to 11:30 > [10,11) end
+      in.addData(ev(9, 9, "12:30"))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select("hour", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set((ts("10:00"), "click", 3L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: in-batch gap closes immediately, timeout closes the tail") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7: two events 10 min apart, then a 31-min gap
+      in.addData(ev(1, 7, "10:00"), ev(2, 7, "10:10", v = 2.0), ev(3, 7, "10:41"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions").as[SessionOut].collect()
+      // first session emitted by the gap; second still open
+      assert(afterBatch1.toSet ==
+        Set(SessionOut(7L, ts("10:00"), ts("10:10"), 2L, 3.0)))
+      // watermark sentinel: 13:00 - 1h wm = 12:00 > 10:41 + 30min
+      in.addData(ev(9, 9, "13:00"))
+      q.processAllAvailable()
+      in.addData(ev(10, 9, "15:00")) // push watermark past user 9's session too
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(7L, ts("10:41"), ts("10:41"), 1L, 1.0)))
+      assert(all.contains(SessionOut(9L, ts("13:00"), ts("13:00"), 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming and batch tumbling agree on finalized windows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(in.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumble2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val events = Seq(
+        ev(1, 1, "08:10"), ev(2, 1, "08:20", v = 3.0), ev(3, 2, "09:15"),
+        ev(4, 3, "09:59", v = 0.5))
+      in.addData(events: _*)
+      in.addData(ev(99, 9, "23:00")) // finalize everything
+      q.processAllAvailable()
+      val streamed = spark.table("tumble2")
+        .select("hour", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1.before(ts("23:00"))).toSet
+      val batch = (events :+ ev(99, 9, "23:00")).toDF()
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count("*").as("n_events"),
+             org.apache.spark.sql.functions.sum($"value").as("total_value"))
+        .select($"window.start", $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1.before(ts("23:00"))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

@@ -18,10 +18,12 @@ import graft.Tables
 object Similarity {
 
   /** Sequential-sum dot product of two float-array columns in double
-    * precision. */
+    * precision — the custom codegen'd expression (graft.functions
+    * .DotF32); arithmetic identical to the HOF formulation and the
+    * DuckDB oracle chain, ~10× cheaper (primitive loop, no
+    * allocation). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotF32(a, b)
 
   /** L2 norm in double precision. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -44,6 +46,75 @@ object Similarity {
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("n_id"), round(col("sim_exact"), 6).as("sim"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q27 — IVF-style ANN (the scale path): coarse-quantize every
+    * vector to its nearest of C=16 centroids (seeded deterministically
+    * from the first 16 vectors — production would k-means, the
+    * operator shape is identical), then search only the query's
+    * nprobe=4 best cells. Exact and deterministic given the seeds, so
+    * fully oracle-checkable, unlike sampling-based ANN.
+    *
+    * Scale shape: assignment is a broadcast cross-join against the
+    * tiny centroid set reduced by a map-side partial max_by agg (the
+    * shuffle carries (vec_id, cell, emb) once, not C times); probing
+    * joins the small (query × cell) set broadcast against the
+    * cell-assigned corpus, so the quadratic scoring touches only
+    * nprobe/C of the data. */
+  def q27IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 16
+    val nprobe = 4
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cent = broadcast(e.filter(col("vec_id") < C).toDF("c_id", "c_emb", "c_nrm"))
+    val simToC = dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+    // argmax cell per vector: map-side partial agg, tiny shuffle
+    val asg = e.crossJoin(cent)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
+              simToC.as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"),
+           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    // nprobe best cells per query vector
+    val wprobe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
+    val probes = broadcast(
+      e.filter(col("vec_id") < 8).toDF("q_id", "q_emb", "q_nrm")
+        .crossJoin(cent)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"),
+                (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("csim"))
+        .withColumn("pr", row_number().over(wprobe))
+        .filter(col("pr") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("cell")))
+    val sim = dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
+    val wtop = Window.partitionBy(col("q_id")).orderBy(col("sim_exact").desc, col("n_id"))
+    probes.join(asg, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim_exact"))
+      .withColumn("rn", row_number().over(wtop))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), round(col("sim_exact"), 6).as("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q35 — embedding-cosine near-dup detection: pairs above a cosine
+    * threshold, blocked by label (the grouping key bounds the
+    * quadratic pair space the way LSH cells would at scale). The
+    * synthetic corpus has no true dups, so the threshold sits below
+    * the max observed similarity to exercise the pair path. */
+  def q35EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), col("embedding"),
+              l2norm(col("embedding")).as("nrm"))
+    val a = e.toDF("label", "id_a", "emb_a", "nrm_a")
+    val b = e.toDF("label_b", "id_b", "emb_b", "nrm_b")
+    val sim = dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"), sim.as("sim_exact"))
+      .filter(col("sim_exact") >= 0.45)
+      .select(col("label"), col("id_a"), col("id_b"),
+              round(col("sim_exact"), 6).as("sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
   /** q28 — embedding column statistics per label: count, mean norm,

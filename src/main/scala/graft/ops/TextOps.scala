@@ -52,6 +52,25 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q36 — document fingerprinting via a polynomial rolling hash over
+    * the character stream (base 31, mod 1e9+7): the classic
+    * content-defined fingerprint, computed as a single sequential
+    * `aggregate` over the char codes — one map-side pass, no shuffle
+    * before the final sort, and modular so it can never overflow
+    * ANSI-mode longs. Cross-checkable exactly (unlike xxhash64, both
+    * engines can run the same arithmetic). */
+  def q36RollingHash(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val fp = aggregate(
+      transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % M)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fp.as("fingerprint"),
+              length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "fr" -> Seq("le", "la", "et", "de"),

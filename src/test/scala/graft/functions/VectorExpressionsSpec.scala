@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DotF32: interpreted eval == codegen == the HOF reference
+  * formulation; SQL registration path works. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (2L, Seq(0.5f, -1.5f), Seq(2.0f, 2.0f)),
+    (3L, Seq.empty[Float], Seq.empty[Float])
+  ).toDF("id", "a", "b")
+
+  test("dot_f32 equals the HOF reference formulation") {
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+                        lit(0.0), (acc, x) => acc + x)
+    val rows = df.select($"id", VectorFunctions.dotF32($"a", $"b").as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) == 4.0 + 10.0 + 18.0)
+    assert(byId(2L) == 1.0 - 3.0)
+    assert(byId(3L) == 0.0)
+  }
+
+  test("null inputs propagate") {
+    val withNull = Seq((Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = withNull.select(VectorFunctions.dotF32($"a", $"b")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("registered SQL function and extensions builder") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vex")
+    val r = spark.sql("SELECT id, dot_f32(a, b) AS d FROM vex ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) == 32.0)
+    // the extensions class wires the same builder without throwing
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -71,6 +71,77 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature sketch as ONE codegen'd pass: slot i of the
+  * signature is min over shingle hashes h of
+  * XXH64(a_i ^ h, seed=42) — the identical hash family the
+  * relational formulation (`min(xxhash64(lit(a_i).bitwiseXOR(h)))`)
+  * computes, so results are bit-equal, but evaluated as a k×n
+  * primitive loop per row: no explode, no aggregation, no shuffle.
+  * At 100 TB this turns MinHash signatures into a pure map-side
+  * operation whose output is k longs per document.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "minhash_sig needs k > 0")
+
+  /** Per-slot XOR constants (same family as graft.ops.Dedup). */
+  private lazy val slotAs: Array[Long] =
+    (0 until k).map(i => 0x9E3779B97F4A7C15L ^ (i.toLong * 0x94D049BB133111EBL)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val x = XXH64.hashLong(slotAs(i) ^ h, 42L)
+        if (x < acc(i)) acc(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val asRef = ctx.addReferenceObj("minhashAs", slotAs, "long[]")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $in.numElements();
+         |long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $in.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $x = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($asRef[$i] ^ $h, 42L);
+         |    if ($x < $acc[$i]) $acc[$i] = $x;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -81,6 +152,10 @@ object VectorFunctions {
 
   def l2normF32(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF32(a, a))
+
+  /** k-slot MinHash signature over an array<long> of element hashes. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

@@ -57,31 +57,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_exact"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: slot i = min over shingles of a_i*h(t) + b_i
-    * — ONE string hash per shingle plus k universal rehashes, ~k×
-    * cheaper than hashing k times. Shaped as a single `aggregate`
-    * whose input array is the hash transform: HOF input arrays are
-    * evaluated once per row and the per-element hash binds to a
-    * lambda VARIABLE, so no optimizer rewrite (CollapseProject
-    * inlining) can duplicate the hashing work. */
-  def minhashSignature(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
-    // XOR + rehash instead of multiply-add: wrapping multiplication
-    // trips ANSI-mode overflow checks (Spark 4 default); XOR is
-    // overflow-free and xxhash64 over the resulting 8-byte long is a
-    // proper mix, far cheaper than re-hashing the shingle string.
-    val as = typedlit(slotConstants(k))
-    aggregate(
-      transform(sh, t => xxhash64(t)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, transform(as, a => xxhash64(a.bitwiseXOR(h))),
-                           (m, x) => least(m, x)))
-  }
-
-  /** Per-slot XOR constants for the universal rehash family
-    * (slot hash = xxhash64(a_i ^ xxhash64(shingle)); XOR avoids
-    * ANSI-mode overflow that wrapping multiply-add would trip). */
-  private def slotConstants(k: Int): Seq[Long] =
-    (0 until k).map(i => 0x9E3779B97F4A7C15L ^ (i.toLong * 0x94D049BB133111EBL))
+  /** MinHash signature over string shingles: hash each shingle once,
+    * then the codegen'd MinHashSig expression (graft.functions)
+    * computes all k slots in one primitive loop — slot i = min of
+    * XXH64(a_i ^ xxhash64(shingle)). XOR + rehash instead of
+    * multiply-add because wrapping multiplication trips ANSI-mode
+    * overflow checks (Spark 4 default). */
+  def minhashSignature(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.minhashSig(transform(sh, t => xxhash64(t)), k)
 
   /** q24 — MinHash + LSH banding near-dup pass (the 100 TB path):
     * 32-slot signatures, 8 bands × 4 rows; docs sharing a band hash
@@ -90,21 +73,20 @@ object Dedup {
     * (corpus size, candidate count, verified count) — rows-only
     * checked since LSH recall is probabilistic.
     *
-    * Shaped for scale: signatures come from explode → one xxhash64
-    * per shingle → 32 codegen'd `min` aggregates (map-side partial
-    * agg; the shuffle carries 32 longs per doc, never the shingle
-    * arrays); band keys are plain longs; shingle sets are joined
-    * back ONLY for the candidate pairs (a tiny broadcast-side set),
-    * so the quadratic step touches no text. */
+    * Shaped for scale: shingle HASHES, never shingle strings
+    * (xxhash64 over the token triple — the 3-gram set survives as a
+    * set of longs); signatures via the codegen'd MinHashSig
+    * expression, a pure MAP-SIDE pass (no explode, no aggregation —
+    * the only shuffle before candidate verification is the band-key
+    * join, carrying 3 longs per row); shingle sets joined back ONLY
+    * for the candidate pairs, so the quadratic step touches no
+    * text. */
   def q24MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val k = 32
     val bands = 8
     val rows = k / bands
-    // Shingle HASHES, never shingle strings: xxhash64 over the token
-    // triple directly (no concat_ws, no string array_distinct) — the
-    // 3-gram set survives as a set of longs, which is all MinHash,
-    // banding, and Jaccard verification need. The ≥3-token filter is
-    // a cheap split+size so no shingle work runs inside Filter nodes.
+    // The ≥3-token filter is a cheap split+size so no shingle work
+    // runs inside Filter nodes.
     val shingleHashes = {
       val toks = col("toks")
       array_distinct(transform(
@@ -116,14 +98,12 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingleHashes.as("sh"))
-    val hashed = docSh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val as = slotConstants(k)
-    val minAggs = (0 until k).map(i =>
-      min(xxhash64(lit(as(i)).bitwiseXOR(col("h")))).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sigs = docSh.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSig(col("sh"), k).as("sig"))
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-             xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("key")))
+             xxhash64((b * rows until (b + 1) * rows)
+               .map(i => element_at(col("sig"), i + 1)): _*).as("key")))
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val aa = banded.toDF("doc_a", "band_a", "key_a")

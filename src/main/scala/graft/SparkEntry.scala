@@ -55,6 +55,9 @@ object SparkEntry {
     "q34_boat_summary"     -> BoatQueries.q34BoatSummary,
     "q35_embedding_neardup" -> Similarity.q35EmbeddingNearDup,
     "q36_rolling_hash"     -> TextOps.q36RollingHash,
+    "q37_session_window"   -> EventOps.q37SessionWindow,
+    "q38_cube"             -> Relational.q38Cube,
+    "q39_supplier_revenue" -> Relational.q39SupplierRevenue,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -309,6 +312,37 @@ object SparkEntry {
            ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
          length(text)::BIGINT AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q37_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, t_start""",
+    "q38_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q39_supplier_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(DISTINCT s_suppkey) AS n_suppliers
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE year(o_orderdate) = 1997
+         GROUP BY n_name
+         ORDER BY n_name""",
     "q28_embedding_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,

@@ -43,6 +43,21 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q37 — the same gap-based sessions as q30 via Spark's BUILT-IN
+    * session_window operator (one Aggregate with session merging —
+    * also the construct a streaming watermarked variant would use).
+    * Emits session start (== min ts) per user with event count and
+    * value total; the oracle replays the lag/running-sum definition,
+    * proving the two formulations agree. */
+  def q37SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_start"),
+              col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("t_start"))
+
   /** q31 — JSON property extraction: parse the props column with an
     * explicit schema (from_json → typed struct; no driver-side
     * parsing), aggregate the extracted key per event type. */

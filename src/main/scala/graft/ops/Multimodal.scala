@@ -47,6 +47,28 @@ object Multimodal {
     * The Spark plumbing (schema, signature, partitioning) is real and
     * tested.
     */
+  /** Frame sampling over "video" payloads: every `stride`-th fixed-
+    * size block of the binary becomes one frame row (doc_id, frame_no,
+    * frame bytes). Pure column expressions — slice/transform on
+    * binary — so it stays distributed and codegen-friendly; the
+    * per-frame decode would chain [[decodeImages]] behind it.
+    *
+    * ===== STUB ===== Real frame extraction needs a container/codec
+    * parser; the fixed-block slicing stands in for it. The operator
+    * SHAPE (one input row → N frame rows, schema, ordering) is real. */
+  def sampleFrames(df: DataFrame, payloadCol: String, idCol: String,
+                   frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val payload = col(payloadCol).cast("binary")
+    val nFrames = floor(octet_length(payload) / (frameBytes.toLong * stride)).cast("int")
+    val frames = when(nFrames >= 1,
+        transform(sequence(lit(1), nFrames),
+          i => payload.substr((i - lit(1)) * lit(frameBytes * stride) + lit(1),
+                              lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+              posexplode(frames).as(Seq("frame_no", "frame")))
+  }
+
   def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val session = df.sparkSession
     val rdd = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

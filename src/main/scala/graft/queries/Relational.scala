@@ -144,4 +144,31 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("p_brand"))
+
+  /** q38 — CUBE: quantity/count over every combination of returnflag
+    * × linestatus (all four grouping sets in one pass — Spark expands
+    * to a single Expand + aggregate, no re-scan per set). */
+  def q38Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** q39 — supplier-side star join: revenue by supplier nation for
+    * 1997, broadcast dims (supplier is small relative to lineitem at
+    * every scale; nation always broadcasts). */
+  def q39SupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1997)
+    val sup = broadcast(Tables.supplier(s, dir))
+    val n = broadcast(Tables.nation(s, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+           countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
 }

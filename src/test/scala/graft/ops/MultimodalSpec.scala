@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: the decode/frame-sample STUBS are
+  * deterministic fakes, but the Spark-side shapes — schema, partition
+  * parallelism, one-row-to-N-frames explode — are real and asserted
+  * here. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "x" * 4096),   // 4 frames at 256B x stride 4
+    (2L, "y" * 1000),   // 0 full strides -> 0 frames
+    (3L, "")            // empty payload
+  ).toDF("doc_id", "payload")
+    .withColumn("payload", $"payload".cast("binary"))
+
+  test("decodeImages: deterministic fake decode, correct schema") {
+    val out = Multimodal.decodeImages(docs, "payload", "doc_id")
+    assert(out.schema == Multimodal.decodedSchema)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(rows(1L)._1 == 4096L)
+    assert(rows(1L)._2 == 64 + (4096 % 1856))
+    assert(rows(3L) == ((0L, 64, 64, 0.0)))
+    // deterministic: second run identical
+    val again = Multimodal.decodeImages(docs, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again.keySet == rows.keySet)
+  }
+
+  test("sampleFrames: one row per sampled frame, empty payloads drop") {
+    val frames = Multimodal.sampleFrames(docs, "payload", "doc_id",
+      frameBytes = 256, stride = 4)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 4L))
+    val lens = frames.select(octet_length($"frame")).collect().map(_.getInt(0))
+    assert(lens.forall(_ == 256))
+    // frame_no is 0-based consecutive
+    val nos = frames.filter($"doc_id" === 1L).select("frame_no")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(nos == Seq(0, 1, 2, 3))
+  }
+}

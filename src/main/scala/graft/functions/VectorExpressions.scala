@@ -142,6 +142,72 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash fingerprint in ONE codegen'd pass over pre-hashed
+  * tokens: bit j of the result is set iff the sum over tokens of
+  * ±1 votes (+1 when bit j of the token hash is set) is
+  * non-negative. Equivalent to the relational explode + 64
+  * conditional-sum aggregates formulation, but with no explode and no
+  * shuffle — a pure map-side fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $in.numElements();
+         |long[] $votes = new long[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $in.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) != 0L) $votes[$b] += 1; else $votes[$b] -= 1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] >= 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -156,6 +222,10 @@ object VectorFunctions {
   /** k-slot MinHash signature over an array<long> of element hashes. */
   def minhashSig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+
+  /** 64-bit SimHash fingerprint over an array<long> of token hashes. */
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

@@ -28,13 +28,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .orderBy(col("fp"))
 
-  /** Docs with distinct 3-gram shingle sets and a blocking key. */
+  /** Docs with distinct 3-gram shingle-HASH sets and a blocking key
+    * (long arrays through the join, never strings — set sizes and
+    * intersections agree with the string form up to 64-bit
+    * collisions, which the oracle comparison would surface). */
   private def blockedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), col("source"),
               floor(col("n_chars") / 64).as("bucket"),
-              TextOps.shingles(col("toks")).as("sh"))
+              TextOps.shingleHashes(col("toks")).as("sh"))
 
   /** q23 — top-20 most similar doc pairs by exact shingle Jaccard,
     * within (source, length-bucket) blocks. The ORDER uses the exact
@@ -87,17 +90,10 @@ object Dedup {
     val rows = k / bands
     // The ≥3-token filter is a cheap split+size so no shingle work
     // runs inside Filter nodes.
-    val shingleHashes = {
-      val toks = col("toks")
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(2)),
-        j => xxhash64(element_at(toks, j), element_at(toks, j + lit(1)),
-                      element_at(toks, j + lit(2)))))
-    }
     val docSh = Tables.documents(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleHashes.as("sh"))
+      .select(col("doc_id"), TextOps.shingleHashes(col("toks")).as("sh"))
     val sigs = docSh.select(col("doc_id"),
       graft.functions.VectorFunctions.minhashSig(col("sh"), k).as("sig"))
     val bandCols = (0 until bands).map(b =>
@@ -126,40 +122,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over PRE-HASHED tokens: per bit, sign of the sum
-    * of ±1 votes across token hashes. Single pass over the hash
-    * array, carrying a 64-slot vote accumulator (bit tests via a
-    * literal mask array — Spark's shift functions only take literal
-    * shift amounts). */
-  def simhash(tokenHashes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val masks = typedlit((0 until 64).map(j => 1L << j))
-    val votes = aggregate(tokenHashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(h.bitwiseAND(element_at(masks, j + lit(1))) =!= 0, lit(1L))
-                 .otherwise(lit(-1L))),
-        (a, v) => a + v))
-    aggregate(zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
-              lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * of ±1 votes across token hashes — the codegen'd SimHash64
+    * expression (graft.functions), one primitive pass per row. */
+  def simhash(tokenHashes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.simhash64(tokenHashes)
 
   /** q25 — SimHash fingerprints (deterministic; near-dup = small
-    * hamming distance between fingerprints). Relational formulation:
-    * explode tokens, then 64 codegen'd conditional-sum aggregates
-    * (one per bit) with map-side partial aggregation — an order of
-    * magnitude faster than per-row interpreted array lambdas, and the
-    * shape that scales (the shuffle carries 64 longs per doc).
+    * hamming distance between fingerprints). Hash each token once,
+    * then the fingerprint is a single map-side expression — no
+    * explode, no shuffle before the final sort.
     * Rows-only checked (xxhash64 has no DuckDB twin). */
-  def q25SimHash(s: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L)).as(s"v$j"))
-    val fingerprint = (0 until 64)
-      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fingerprint.as("simhash"))
+  def q25SimHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              simhash(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+                .as("simhash"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -24,6 +24,18 @@ object TextOps {
         j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Shingle HASHES — the n-gram set as a set of longs (xxhash64 over
+    * the token tuple, no string construction): what every dedup
+    * consumer actually needs. Set cardinalities and intersections
+    * agree with [[shingles]] up to 64-bit hash collisions, while the
+    * exchanges and intersections run on fixed-width longs. */
+  def shingleHashes(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        j => xxhash64((0 until n).map(off => element_at(toks, j + lit(off))): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** q19 — token counting (whitespace tokenizer). */

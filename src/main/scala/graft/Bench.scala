@@ -20,11 +20,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/Spark warmup outside the timed region (codegen, parquet
-    // footer reads, first-shuffle setup) so timings reflect the
-    // queries, not session bring-up.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // JVM/Spark warmup outside the timed region (codegen compilation,
+    // parquet footer reads, first-shuffle setup) so timings reflect
+    // steady-state execution, not session bring-up. Every query warms
+    // once; failures surface in the timed loop.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -55,7 +55,8 @@ object BoatPipeline {
     * sink (S4) + single-file CSV summary sink (S5). Returns the
     * summary for display (S6) without re-executing it. */
   def run(spark: SparkSession, inPath: String, outDir: String,
-          currentYear: Int = java.time.Year.now.getValue): DataFrame = {
+          currentYear: Int = java.time.Year.now.getValue,
+          show: Boolean = false): DataFrame = {
     val raw = Parse.load(spark, inPath)
     Validate.requireColumns(raw, Parse.rawSchema.fieldNames.toSeq)
     val cleaned = clean(raw, currentYear)
@@ -64,6 +65,7 @@ object BoatPipeline {
     val s = summary(cleaned).cache()
     s.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$outDir/data_summary.csv")
+    if (show) s.show(false) // S6 console sink; reuses the cached result
     s
   }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink layout behaviors that matter at scale: partition
+  * pruning on partitioned parquet, shuffle-free joins on bucketed
+  * tables, schema'd JSON reads. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json-lines round trip with explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("json").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").json(s"$tmp/data")
+    val back = Sources.readJsonLines(spark, s"$tmp/data", schema)
+    assert(back.schema == schema)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("partitioned write prunes partitions at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    val orders = Tables.orders(spark, sf0001)
+      .withColumn("yr", year($"o_orderdate"))
+    Sources.writePartitioned(orders, s"$tmp/orders", Seq("yr"))
+    val pruned = spark.read.parquet(s"$tmp/orders").filter($"yr" === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the scan reports a pruned partition filter, and the result is right
+    assert(plan.contains("PartitionFilters") && plan.contains("yr"))
+    val expected = orders.filter($"yr" === 1997).count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sources.writeBucketed(
+        Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 4)
+      Sources.writeBucketed(
+        Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", 4)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf0001).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

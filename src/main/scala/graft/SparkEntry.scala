@@ -58,6 +58,8 @@ object SparkEntry {
     "q37_session_window"   -> EventOps.q37SessionWindow,
     "q38_cube"             -> Relational.q38Cube,
     "q39_supplier_revenue" -> Relational.q39SupplierRevenue,
+    "q40_subword_count"    -> TextOps.q40SubwordCount,
+    "q41_approx_distinct"  -> Relational.q41ApproxDistinct,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -343,6 +345,13 @@ object SparkEntry {
          WHERE year(o_orderdate) = 1997
          GROUP BY n_name
          ORDER BY n_name""",
+    "q40_subword_count" ->
+      """SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_subword,
+         round(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS subword_ratio
+         FROM documents ORDER BY doc_id""",
     "q28_embedding_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,

@@ -83,6 +83,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q40 — BPE-ish subword token counting: alongside the whitespace
+    * count, tokens from a regex that mimics byte-pair-encoded unit
+    * shapes (runs of ≤4 letters, digit runs, single punctuation) —
+    * the cheap proxy for "how many LLM tokens is this document"
+    * used to budget training corpora. regexp_extract_all is
+    * codegen'd; one map-side pass. */
+  def q40SubwordCount(s: SparkSession, dir: String): DataFrame = {
+    val units = regexp_extract_all(lower(col("text")), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+              size(units).cast("long").as("n_subword"),
+              round(size(units).cast("double") /
+                    size(tokens(col("text"))), 6).as("subword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "fr" -> Seq("le", "la", "et", "de"),

@@ -155,6 +155,20 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
 
+  /** q41 — HLL sketch distinct counting: approx_count_distinct per
+    * segment next to the exact count. THE cardinality operator at
+    * 100 TB (fixed-size sketch, map-side mergeable, no shuffle of
+    * distinct values). Rows-only checked — HLL estimates have no
+    * DuckDB twin; the ScalaTest spec bounds the relative error
+    * against the exact count instead. */
+  def q41ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+           countDistinct(col("o_custkey")).as("exact_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   /** q39 — supplier-side star join: revenue by supplier nation for
     * 1997, broadcast dims (supplier is small relative to lineitem at
     * every scale; nation always broadcasts). */

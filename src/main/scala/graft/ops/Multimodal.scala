@@ -47,6 +47,19 @@ object Multimodal {
     * The Spark plumbing (schema, signature, partitioning) is real and
     * tested.
     */
+  /** Resize planning over decoded image metadata: target dimensions
+    * preserving aspect ratio with a max-edge bound — pure column
+    * arithmetic over the (width, height) metadata the decode stage
+    * emitted; the byte-level resample would run inside the decode
+    * stub's partition pass. */
+  def resizeMeta(df: DataFrame, maxEdge: Int): DataFrame = {
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
+    val scale = least(lit(1.0), lit(maxEdge) / greatest(w, h))
+    df.withColumn("target_width", floor(w * scale).cast("int"))
+      .withColumn("target_height", floor(h * scale).cast("int"))
+  }
+
   /** Frame sampling over "video" payloads: every `stride`-th fixed-
     * size block of the binary becomes one frame row (doc_id, frame_no,
     * frame bytes). Pure column expressions — slice/transform on

@@ -24,6 +24,27 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** Dead-letter pattern: parse with PERMISSIVE + corrupt-record
+    * capture, returning (good rows, quarantined raw lines). The
+    * reference aborts the whole job on bad data (V3); at 100 TB the
+    * engine must instead quarantine and continue — bad records land
+    * in a side output with their raw text for replay. */
+  def readJsonLinesWithQuarantine(spark: SparkSession, path: String,
+                                  schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record queries must not re-trigger parsing per Spark docs
+    val good = raw.filter(raw("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(raw("_corrupt_record").isNotNull)
+      .select(raw("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   /** Hive-style partitioned parquet sink: directory per partition
     * value, so filters on the partition columns prune entire
     * directories at planning time (zero I/O for pruned partitions —

@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
     assert(again.keySet == rows.keySet)
   }
 
+  test("resizeMeta: aspect preserved, never upscales") {
+    val meta = Seq((3840, 2160), (640, 480), (100, 2000)).toDF("width", "height")
+    val out = Multimodal.resizeMeta(meta, maxEdge = 1024)
+      .select("width", "height", "target_width", "target_height")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.contains((3840, 2160, 1024, 576)))
+    assert(out.contains((640, 480, 640, 480)))   // under the bound: untouched
+    assert(out.contains((100, 2000, 51, 1024)))
+  }
+
   test("sampleFrames: one row per sampled frame, empty payloads drop") {
     val frames = Multimodal.sampleFrames(docs, "payload", "doc_id",
       frameBytes = 256, stride = 4)

@@ -21,6 +21,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("quarantine read separates malformed rows without failing") {
+    val tmp = java.nio.file.Files.createTempDirectory("quar").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": broken not json""",
+      """{"id": 2, "name": "fine"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/in.json"),
+      lines.mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = Sources.readJsonLinesWithQuarantine(spark, s"$tmp/in.json", schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val badRows = bad.collect().map(_.getString(0))
+    assert(badRows.length == 1 && badRows.head.contains("broken"))
+  }
+
   test("partitioned write prunes partitions at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     val orders = Tables.orders(spark, sf0001)

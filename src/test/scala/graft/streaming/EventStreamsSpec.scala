@@ -62,6 +62,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet drops flow end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    def drop(events: (Long, Long, String, Double)*): Unit =
+      events.map { case (id, uid, t, v) => (id, uid, ts(t), "click", v, """{"k":1}""") }
+        .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+    drop((1L, 1L, "10:05", 1.0), (2L, 1L, "10:40", 2.0))
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, dir), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("filetumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filetumble").count() == 0) // watermark not past window yet
+      drop((9L, 9L, "12:30", 0.0)) // sentinel advances the watermark
+      q.processAllAvailable()
+      val rows = spark.table("filetumble")
+        .select("hour", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSet == Set((ts("10:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming and batch tumbling agree on finalized windows") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

@@ -35,17 +35,32 @@ object Parse {
 
   /** Read raw text lines, drop blanks (S1), scrub each LINE before
     * parsing (S2 — order matters: the reference applies only_ascii to
-    * raw lines, so the quote-space collapse rules act pre-parse), drop
-    * the header, parse with an explicit schema (S3; quoted fields may
-    * contain commas). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+    * raw physical lines, so the quote-space collapse rules act
+    * pre-parse AND quoted fields may span lines), then re-parse the
+    * scrubbed text as CSV with an explicit schema (S3: quoted fields
+    * contain commas and, in the real data, embedded newlines).
+    *
+    * The scrub→reparse hop materializes through a temp text file —
+    * the engine's version of the reference's tempfile round-trip
+    * (/root/reference/src/pipeline_pyspark.py:196-199), with the
+    * scrub running distributed. The single-partition write keeps
+    * multi-line records contiguous for the multiLine parse; for
+    * known single-line-record corpora at scale, skip straight to
+    * per-line parsing (no round-trip, fully splittable). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val scrubbed = spark.read.text(path)
       .filter(trim(col("value")) =!= "")
-      .select(Scrub.asciiScrub(col("value")).as("line"))
-      .filter(col("line") =!= lit(header))
-      .select(from_csv(col("line"), rawSchema,
-        Map("quote" -> "\"", "escape" -> "\"")).as("r"))
-      .select(col("r.*"))
+      .select(Scrub.asciiScrub(col("value")).as("value"))
+      .filter(col("value") =!= lit(header))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrub").toString
+    scrubbed.coalesce(1).write.mode("overwrite").text(s"$tmp/clean")
+    spark.read.schema(rawSchema)
+      .option("header", "false")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(s"$tmp/clean")
+  }
 
   /** F3 — partition "<CUR> <int>" on the first space. */
   def splitPrice(df: DataFrame): DataFrame =

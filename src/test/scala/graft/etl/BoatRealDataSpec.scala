@@ -1,0 +1,44 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** THE parity proof: the full Spark-first pipeline over the
+  * reference's real 9,888-row CSV must reproduce the reference's own
+  * committed summary (output/data_summary.csv) — every country group,
+  * exact counts, averages to double precision (tolerance only for
+  * partial-sum reassociation). Skipped gracefully if the reference
+  * checkout is absent. */
+class BoatRealDataSpec extends SparkSpec {
+
+  private val realCsv = "/root/reference/data/boat_data.csv"
+  private val golden = "/root/reference/output/data_summary.csv"
+
+  test("pipeline reproduces the reference's committed 51-row summary") {
+    assume(new java.io.File(realCsv).exists && new java.io.File(golden).exists)
+
+    val cleaned = BoatPipeline.clean(Parse.load(spark, realCsv))
+    assert(cleaned.count() == 9888)
+
+    val got = BoatPipeline.summary(cleaned).collect().map { r =>
+      r.getString(0) -> (Option.when(!r.isNullAt(1))(r.getDouble(1)), r.getLong(2))
+    }.toMap
+
+    val exp = spark.read.option("header", "true").csv(golden).collect().map { r =>
+      r.getString(0) -> (Option(r.getString(1)).filter(_.nonEmpty).map(_.toDouble),
+                         r.getString(2).toLong)
+    }.toMap
+
+    assert(got.keySet == exp.keySet,
+      s"country sets differ: only-engine=${got.keySet -- exp.keySet} only-golden=${exp.keySet -- got.keySet}")
+    exp.foreach { case (country, (eAvg, eCnt)) =>
+      val (gAvg, gCnt) = got(country)
+      assert(gCnt == eCnt, s"$country count: got $gCnt want $eCnt")
+      (gAvg, eAvg) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g - e) <= math.abs(e) * 1e-9,
+            s"$country avg: got $g want $e")
+        case (g, e) => assert(g == e, s"$country avg nullability: got $g want $e")
+      }
+    }
+  }
+}

@@ -41,4 +41,23 @@ class BoatRealDataSpec extends SparkSpec {
       }
     }
   }
+
+  test("cleaned frame matches the reference's committed parquet row for row") {
+    val refParquet = "/root/reference/output/data.parquet/data.parquet"
+    assume(new java.io.File(realCsv).exists && new java.io.File(refParquet).exists)
+    import org.apache.spark.sql.functions._
+
+    // pandas stores missing price_eur as NaN; the engine uses null
+    val ref = spark.read.parquet(refParquet)
+      .withColumn("price_eur",
+        when(isnan(col("price_eur")), lit(null)).otherwise(col("price_eur")))
+    val mine = BoatPipeline.clean(Parse.load(spark, realCsv))
+      .select(ref.columns.map(col): _*)
+
+    assert(mine.count() == 9888 && ref.count() == 9888)
+    val onlyMine = mine.exceptAll(ref).count()
+    val onlyRef = ref.exceptAll(mine).count()
+    assert(onlyMine == 0 && onlyRef == 0,
+      s"row-level diff: engine-only=$onlyMine reference-only=$onlyRef")
+  }
 }

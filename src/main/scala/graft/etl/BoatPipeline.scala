@@ -24,18 +24,27 @@ object BoatPipeline {
 
   /** Full column-transform stage over the parsed raw frame
     * (F1, F3-F9; /root/reference/src/pipeline_pyspark.py:205-310).
-    * Output schema = SURVEY.md §1.3 (14 columns). */
+    * Output schema = SURVEY.md §1.3 (14 columns).
+    *
+    * `normalizeCountries = false` selects the Databricks-variant
+    * semantics (the notebook leaves the dictionary replace commented
+    * out, /root/reference/databricks/boat_etl_databricks.py:193-194):
+    * countries stay stripped-lowercase. */
   def clean(raw: DataFrame,
-            currentYear: Int = java.time.Year.now.getValue): DataFrame = {
+            currentYear: Int = java.time.Year.now.getValue,
+            normalizeCountries: Boolean = true): DataFrame = {
     val m = minPlausibleYear(raw)
     val priced = Parse.splitPrice(raw)
       .withColumn("price_eur", Normalize.priceEur(col("Price"), col("Currency")))
       .withColumn("Year Built", Normalize.clampYear(col("Year Built"), m, currentYear))
+    val countryExpr =
+      if (normalizeCountries) Normalize.normalizeCountry(col("Country"))
+      else Normalize.lowercaseCountry(col("Country"))
     // temp name: "country" vs "Country" collide under Spark's
     // case-insensitive resolution (withColumn would replace, drop
     // would then remove both)
     val located = Parse.splitLocation(priced)
-      .withColumn("country_norm", Normalize.normalizeCountry(col("Country")))
+      .withColumn("country_norm", countryExpr)
       .drop("Country")
       .withColumnRenamed("country_norm", "country")
     val typed = Parse.splitType(

@@ -95,6 +95,13 @@ object Normalize {
     coalesce(element_at(typedlit(countryMap), key), key)
   }
 
+  /** The Databricks-variant country treatment: stripped-lowercase
+    * only, no dictionary (null still becomes "None" via the
+    * stringify rule, /root/reference/databricks/boat_etl_databricks
+    * .py:189-204). */
+  def lowercaseCountry(c: Column): Column =
+    when(c.isNull, lit("None")).otherwise(lower(trim(c)))
+
   /** F8 — data-dependent year clamp, phase 2 (pure expression).
     * Phase 1 (the scan-reduce for `minYear`) lives in
     * [[BoatPipeline.minPlausibleYear]]. Keep y iff

@@ -59,6 +59,18 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was
+    * already seen, with the seen-set state BOUNDED by the watermark
+    * (fingerprints older than the watermark are evicted — at 100 TB
+    * an unbounded dedup state is the thing that kills long-running
+    * streams). Duplicates arriving within the watermark horizon are
+    * dropped exactly; older re-arrivals are the documented
+    * at-least-once tradeoff. */
+  def dedupStream(events: DataFrame, fingerprintCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCols)
+
   /** Gap-based sessionization with custom state:
     * flatMapGroupsWithState keyed by user, EventTimeTimeout. A
     * session closes when a later event arrives past the gap (emitted

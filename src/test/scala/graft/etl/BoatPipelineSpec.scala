@@ -91,6 +91,15 @@ class BoatPipelineSpec extends SparkSpec {
     assert(s.last.getString(0) == "United States")
   }
 
+  test("Databricks-variant semantics: no dictionary, lowercase countries") {
+    val variant = BoatPipeline.clean(raw, currentYear = 2026, normalizeCountries = false)
+    val countries = variant.select("country").collect().map(_.getString(0)).toSet
+    assert(countries.contains("switzerland"))
+    assert(countries.contains("mallorca"))  // city NOT mapped to Spain here
+    assert(countries.contains("None"))      // null location still stringifies
+    assert(!countries.exists(c => c != "None" && c.exists(_.isUpper)))
+  }
+
   test("run(): parquet + single-file csv sinks") {
     val out = java.nio.file.Files.createTempDirectory("boat_out").toString
     BoatPipeline.run(spark, fixture, out, currentYear = 2026)

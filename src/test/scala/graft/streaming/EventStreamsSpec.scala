@@ -62,6 +62,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates, state evicts") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, "10:00", v = 1.0), ev(2, 2, "10:01", v = 1.0),
+                 ev(3, 3, "10:02", v = 2.0))
+      q.processAllAvailable()
+      // (click, 1.0) duplicate dropped; two distinct rows survive
+      assert(spark.table("dedup").count() == 2)
+      in.addData(ev(4, 4, "10:05", v = 1.0)) // still within watermark: dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet drops flow end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     def drop(events: (Long, Long, String, Double)*): Unit =

@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_supplier_revenue" -> Relational.q39SupplierRevenue,
     "q40_subword_count"    -> TextOps.q40SubwordCount,
     "q41_approx_distinct"  -> Relational.q41ApproxDistinct,
+    "q42_percentiles"      -> Relational.q42Percentiles,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -352,6 +353,13 @@ object SparkEntry {
          round(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))::DOUBLE
                / len(string_split(text, ' ')), 6) AS subword_ratio
          FROM documents ORDER BY doc_id""",
+    "q42_percentiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         round(stddev_samp(o_totalprice), 4) AS sd
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q28_embedding_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,

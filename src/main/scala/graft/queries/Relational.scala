@@ -169,6 +169,19 @@ object Relational {
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** q42 — exact percentiles (linear interpolation, identical
+    * definition in both engines) + stddev per priority class: the
+    * distribution-shape aggregates a data-quality dashboard needs.
+    * percentile is a sort-based exact aggregate; at scale swap for
+    * approx_percentile with a t-digest error budget. */
+  def q42Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(r4(percentile(col("o_totalprice"), lit(0.5))).as("p50"),
+           r4(percentile(col("o_totalprice"), lit(0.9))).as("p90"),
+           r4(stddev_samp(col("o_totalprice"))).as("sd"))
+      .orderBy(col("o_orderpriority"))
+
   /** q39 — supplier-side star join: revenue by supplier nation for
     * 1997, broadcast dims (supplier is small relative to lineitem at
     * every scale; nation always broadcasts). */

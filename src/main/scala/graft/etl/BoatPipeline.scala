@@ -1,7 +1,20 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** The validated, typed record at the pipeline boundary (SURVEY.md
+  * §1.5: typed Dataset only where the schema is fixed and type safety
+  * pays — downstream consumers get compile-time column access).
+  * `boat_class` carries the reference's `Type` column (a Scala
+  * keyword); `price_eur` is Option because unknown currencies have no
+  * rate. */
+final case class BoatRecord(
+  price: Long, boat_type: String, manufacturer: String,
+  boat_class: String, power: String, year_built: Long,
+  length: Double, width: Double, material: String, city: String,
+  country: String, currency: String, price_eur: Option[Double],
+  views: Long)
 
 /** The reference's full ETL composed Spark-first (SURVEY.md §7.2
   * step 3): raw CSV → line scrub → parse → transforms → validation →
@@ -50,6 +63,25 @@ object BoatPipeline {
     val typed = Parse.splitType(
       located.na.fill(Map("Length" -> 0.0, "Width" -> 0.0, "Type" -> "None")))
     typed.na.fill("None", Seq("Manufacturer", "Material", "City", "country"))
+  }
+
+  /** [[clean]] narrowed to the typed boundary: Dataset[BoatRecord]
+    * with an implicit product encoder — downstream logic gets
+    * compile-checked fields instead of stringly columns. */
+  def cleanTyped(raw: DataFrame,
+                 currentYear: Int = java.time.Year.now.getValue,
+                 normalizeCountries: Boolean = true): Dataset[BoatRecord] = {
+    val df = clean(raw, currentYear, normalizeCountries)
+    import df.sparkSession.implicits._
+    df.select(
+        col("Price").as("price"), col("Boat Type").as("boat_type"),
+        col("Manufacturer").as("manufacturer"), col("Type").as("boat_class"),
+        col("Power").as("power"), col("Year Built").as("year_built"),
+        col("Length").as("length"), col("Width").as("width"),
+        col("Material").as("material"), col("City").as("city"),
+        col("country"), col("Currency").as("currency"),
+        col("price_eur"), col("Number of views last 7 days").as("views"))
+      .as[BoatRecord]
   }
 
   /** A1 + O1 — per-country average price and listing count, ordered

@@ -91,6 +91,17 @@ class BoatPipelineSpec extends SparkSpec {
     assert(s.last.getString(0) == "United States")
   }
 
+  test("typed boundary: Dataset[BoatRecord] round-trips the cleaned frame") {
+    val ds = BoatPipeline.cleanTyped(raw, currentYear = 2026)
+    val recs = ds.collect()
+    assert(recs.length == 20)
+    assert(recs.count(_.price_eur.isEmpty) == 1) // the USD row has no rate
+    assert(recs.filter(_.currency == "GBP").map(_.price) sameElements Array(5170L))
+    // typed transformations compile against fields, not strings
+    val expensive = ds.filter(_.price_eur.exists(_ > 20000)).count()
+    assert(expensive == 2) // the two CHF rows: 22000*1.06, 45000*1.06
+  }
+
   test("Databricks-variant semantics: no dictionary, lowercase countries") {
     val variant = BoatPipeline.clean(raw, currentYear = 2026, normalizeCountries = false)
     val countries = variant.select("country").collect().map(_.getString(0)).toSet

@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_subword_count"    -> TextOps.q40SubwordCount,
     "q41_approx_distinct"  -> Relational.q41ApproxDistinct,
     "q42_percentiles"      -> Relational.q42Percentiles,
+    "q43_topk_agg"         -> Relational.q43TopKAgg,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -360,6 +361,14 @@ object SparkEntry {
          round(stddev_samp(o_totalprice), 4) AS sd
          FROM orders GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    "q43_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
     "q28_embedding_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,

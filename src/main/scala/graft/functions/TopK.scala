@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Top-K-per-group as a custom typed Aggregator — the scalable
+  * alternative to `row_number().over(Window.partitionBy(...))` for
+  * small K: the window form must shuffle and sort EVERY row of every
+  * group; this aggregator keeps a K-element buffer per group and
+  * combines map-side, so the shuffle carries at most K rows per group
+  * per partition. At 100 TB / billions of keys that is the difference
+  * between a full sort of the fact table and a bounded sketch.
+  *
+  * Ordering: descending by `score`, ties broken by ascending `id`
+  * (deterministic; mirrors the q04 window spec).
+  */
+object TopK {
+
+  case class Scored(id: Long, score: Double)
+
+  private val ord = Ordering.by[Scored, (Double, Long)](s => (-s.score, s.id))
+
+  private def bound(v: Vector[Scored], k: Int): Vector[Scored] = {
+    val sorted = v.sorted(ord)
+    if (sorted.length > k) sorted.take(k) else sorted
+  }
+
+  /** Aggregator keeping the top-`k` (score desc, id asc) per group.
+    * Buffers ride the shuffle kryo-encoded; at most k elements each. */
+  def topK(k: Int): Aggregator[Scored, Vector[Scored], Seq[Scored]] =
+    new Aggregator[Scored, Vector[Scored], Seq[Scored]] {
+      override def zero: Vector[Scored] = Vector.empty
+      override def reduce(b: Vector[Scored], a: Scored): Vector[Scored] =
+        bound(b :+ a, k)
+      override def merge(b1: Vector[Scored], b2: Vector[Scored]): Vector[Scored] =
+        bound(b1 ++ b2, k)
+      override def finish(r: Vector[Scored]): Seq[Scored] = r.sorted(ord)
+      override def bufferEncoder: Encoder[Vector[Scored]] = Encoders.kryo[Vector[Scored]]
+      override def outputEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+    }
+}

@@ -169,6 +169,26 @@ object Relational {
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** q43 — top-3 orders per customer via the custom bounded TopK
+    * Aggregator (graft.functions.TopK) instead of a window: map-side
+    * partial combine means the shuffle carries ≤3 rows per customer
+    * per partition rather than every order. Same output (and oracle)
+    * as the window formulation q04 — the two must agree exactly. */
+  def q43TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    import o.sparkSession.implicits._
+    import graft.functions.TopK
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, okey, price) => TopK.Scored(okey, price) }
+      .agg(TopK.topK(3).toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.zipWithIndex.map { case (sc, i) => (cust, sc.id, sc.score, i + 1) } }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** q42 — exact percentiles (linear interpolation, identical
     * definition in both engines) + stddev per priority class: the
     * distribution-shape aggregates a data-quality dashboard needs.

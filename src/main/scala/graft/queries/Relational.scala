@@ -165,7 +165,6 @@ object Relational {
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-           countDistinct(col("o_custkey")).as("exact_customers"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 

@@ -62,6 +62,8 @@ object SparkEntry {
     "q41_approx_distinct"  -> Relational.q41ApproxDistinct,
     "q42_percentiles"      -> Relational.q42Percentiles,
     "q43_topk_agg"         -> Relational.q43TopKAgg,
+    "q44_sliding_window"   -> EventOps.q44SlidingWindow,
+    "q45_token_freq"       -> TextOps.q45TokenFreq,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -531,5 +533,19 @@ object SparkEntry {
                 count(*) AS "count"
          FROM t2 GROUP BY country
          ORDER BY avg(price_eur) DESC NULLS LAST, country""",
+    "q44_sliding_window" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, event_type, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events)
+         SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start, event_type,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM b GROUP BY b.w_start, event_type
+         ORDER BY w_start, event_type""",
+    "q45_token_freq" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token
+         ORDER BY freq DESC, token LIMIT 25""",
   )
 }

@@ -58,6 +58,19 @@ object EventOps {
               col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("t_start"))
 
+  /** q44 — SLIDING windows (1 h length, 30 min slide): every event
+    * contributes to two overlapping windows — Spark's window()
+    * expands map-side (an Expand, no extra shuffle beyond the
+    * aggregation's own). The oracle replays the expansion as a
+    * two-bucket UNION ALL. */
+  def q44SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+              col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** q31 — JSON property extraction: parse the props column with an
     * explicit schema (from_json → typed struct; no driver-side
     * parsing), aggregate the extracted key per event type. */

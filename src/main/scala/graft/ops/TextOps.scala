@@ -100,6 +100,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q45 — corpus-wide token frequency top-25: explode → count →
+    * global top-k. The aggregation is partial+final on the token, so
+    * the shuffle carries one row per distinct token per partition;
+    * the top-k is TakeOrdered (no global sort). */
+  def q45TokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(25)
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "fr" -> Seq("le", "la", "et", "de"),

@@ -64,6 +64,9 @@ object SparkEntry {
     "q43_topk_agg"         -> Relational.q43TopKAgg,
     "q44_sliding_window"   -> EventOps.q44SlidingWindow,
     "q45_token_freq"       -> TextOps.q45TokenFreq,
+    "q46_intersect"        -> Relational.q46Intersect,
+    "q47_pivot"            -> Relational.q47Pivot,
+    "q48_moving_avg"       -> Relational.q48MovingAvg,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -547,5 +550,24 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token
          ORDER BY freq DESC, token LIMIT 25""",
+    "q46_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q47_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY yr""",
+    "q48_moving_avg" ->
+      """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                    sum(o_totalprice) AS day_total
+                    FROM orders GROUP BY 1)
+         SELECT day, round(day_total, 4) AS day_total,
+                round(avg(day_total) OVER (ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM d ORDER BY day""",
   )
 }

@@ -168,6 +168,41 @@ object Relational {
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** q46 — INTERSECT: customers active in both 1997 and 1998
+    * (completes the set-operation family next to q06's EXCEPT). */
+  def q46Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      .intersect(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q47 — pivot: order counts per year with one column per order
+    * status. Spark's pivot is a single groupBy with conditional
+    * aggregates (one pass, map-side partial); the oracle spells the
+    * same FILTER aggregates. */
+  def q47Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("yr"))
+
+  /** q48 — frame-based window: 7-day moving average of daily order
+    * totals (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over the daily
+    * aggregate — the window runs over |days| rows, not |orders|). */
+  def q48MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice")).as("day_total"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"), r4(col("day_total")).as("day_total"),
+                 r4(avg(col("day_total")).over(w)).as("ma7"))
+      .orderBy(col("day"))
+  }
+
   /** q43 — top-3 orders per customer via the custom bounded TopK
     * Aggregator (graft.functions.TopK) instead of a window: map-side
     * partial combine means the shuffle carries ≤3 rows per customer

@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_intersect"        -> Relational.q46Intersect,
     "q47_pivot"            -> Relational.q47Pivot,
     "q48_moving_avg"       -> Relational.q48MovingAvg,
+    "q49_profile"          -> EtlQueries.q49Profile,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -550,6 +551,27 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token
          ORDER BY freq DESC, token LIMIT 25""",
+    "q49_profile" ->
+      """WITH a AS (SELECT
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS k_n,
+           count(DISTINCT o_orderkey) AS k_d,
+           CAST(min(o_orderkey) AS VARCHAR) AS k_mn, CAST(max(o_orderkey) AS VARCHAR) AS k_mx,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS c_n,
+           count(DISTINCT o_custkey) AS c_d,
+           CAST(min(o_custkey) AS VARCHAR) AS c_mn, CAST(max(o_custkey) AS VARCHAR) AS c_mx,
+           count(*) FILTER (WHERE o_orderstatus IS NULL) AS s_n,
+           count(DISTINCT o_orderstatus) AS s_d,
+           CAST(min(o_orderstatus) AS VARCHAR) AS s_mn, CAST(max(o_orderstatus) AS VARCHAR) AS s_mx,
+           count(*) FILTER (WHERE o_orderpriority IS NULL) AS p_n,
+           count(DISTINCT o_orderpriority) AS p_d,
+           CAST(min(o_orderpriority) AS VARCHAR) AS p_mn, CAST(max(o_orderpriority) AS VARCHAR) AS p_mx
+           FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS column, k_n AS n_nulls, k_d AS n_distinct, k_mn AS min_val, k_mx AS max_val FROM a
+           UNION ALL SELECT 'o_custkey', c_n, c_d, c_mn, c_mx FROM a
+           UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_mn, s_mx FROM a
+           UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_mn, p_mx FROM a)
+         ORDER BY "column" """,
     "q46_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          INTERSECT

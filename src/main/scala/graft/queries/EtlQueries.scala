@@ -89,6 +89,29 @@ object EtlQueries {
       .orderBy(col("yr_clamped"))
   }
 
+  /** q49 — column profiling: per-column null count, distinct count,
+    * min/max — the describe() pass a data-quality dashboard runs
+    * before anything else. One aggregate scan for ALL columns,
+    * unpivoted to a row per column (numeric min/max rendered as
+    * strings so one report covers mixed types). */
+  def q49Profile(s: SparkSession, dir: String): DataFrame = {
+    // long/string columns only: double->string rendering differs
+    // between engines (Spark uses scientific notation past 1e7)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy(col("column"))
+  }
+
   /** q17 — V1 validation suite: every pandera-style check as a Column
     * predicate, counted in a single pass per table (one agg, then
     * unpivoted with stack), unioned into a rule→violations report.

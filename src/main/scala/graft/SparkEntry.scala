@@ -553,24 +553,24 @@ object SparkEntry {
          ORDER BY freq DESC, token LIMIT 25""",
     "q49_profile" ->
       """WITH a AS (SELECT
-           count(*) FILTER (WHERE o_orderkey IS NULL) AS k_n,
-           count(DISTINCT o_orderkey) AS k_d,
-           CAST(min(o_orderkey) AS VARCHAR) AS k_mn, CAST(max(o_orderkey) AS VARCHAR) AS k_mx,
-           count(*) FILTER (WHERE o_custkey IS NULL) AS c_n,
-           count(DISTINCT o_custkey) AS c_d,
-           CAST(min(o_custkey) AS VARCHAR) AS c_mn, CAST(max(o_custkey) AS VARCHAR) AS c_mx,
-           count(*) FILTER (WHERE o_orderstatus IS NULL) AS s_n,
-           count(DISTINCT o_orderstatus) AS s_d,
-           CAST(min(o_orderstatus) AS VARCHAR) AS s_mn, CAST(max(o_orderstatus) AS VARCHAR) AS s_mx,
-           count(*) FILTER (WHERE o_orderpriority IS NULL) AS p_n,
-           count(DISTINCT o_orderpriority) AS p_d,
-           CAST(min(o_orderpriority) AS VARCHAR) AS p_mn, CAST(max(o_orderpriority) AS VARCHAR) AS p_mx
-           FROM orders)
+           count(*) FILTER (WHERE c_custkey IS NULL) AS k_n,
+           count(DISTINCT c_custkey) AS k_d,
+           CAST(min(c_custkey) AS VARCHAR) AS k_mn, CAST(max(c_custkey) AS VARCHAR) AS k_mx,
+           count(*) FILTER (WHERE c_nationkey IS NULL) AS c_n,
+           count(DISTINCT c_nationkey) AS c_d,
+           CAST(min(c_nationkey) AS VARCHAR) AS c_mn, CAST(max(c_nationkey) AS VARCHAR) AS c_mx,
+           count(*) FILTER (WHERE c_mktsegment IS NULL) AS s_n,
+           count(DISTINCT c_mktsegment) AS s_d,
+           CAST(min(c_mktsegment) AS VARCHAR) AS s_mn, CAST(max(c_mktsegment) AS VARCHAR) AS s_mx,
+           count(*) FILTER (WHERE c_name IS NULL) AS p_n,
+           count(DISTINCT c_name) AS p_d,
+           CAST(min(c_name) AS VARCHAR) AS p_mn, CAST(max(c_name) AS VARCHAR) AS p_mx
+           FROM customer)
          SELECT * FROM (
-           SELECT 'o_orderkey' AS column, k_n AS n_nulls, k_d AS n_distinct, k_mn AS min_val, k_mx AS max_val FROM a
-           UNION ALL SELECT 'o_custkey', c_n, c_d, c_mn, c_mx FROM a
-           UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_mn, s_mx FROM a
-           UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_mn, p_mx FROM a)
+           SELECT 'c_custkey' AS column, k_n AS n_nulls, k_d AS n_distinct, k_mn AS min_val, k_mx AS max_val FROM a
+           UNION ALL SELECT 'c_nationkey', c_n, c_d, c_mn, c_mx FROM a
+           UNION ALL SELECT 'c_mktsegment', s_n, s_d, s_mn, s_mx FROM a
+           UNION ALL SELECT 'c_name', p_n, p_d, p_mn, p_mx FROM a)
          ORDER BY "column" """,
     "q46_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997

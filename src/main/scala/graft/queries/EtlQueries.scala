@@ -96,8 +96,12 @@ object EtlQueries {
     * strings so one report covers mixed types). */
   def q49Profile(s: SparkSession, dir: String): DataFrame = {
     // long/string columns only: double->string rendering differs
-    // between engines (Spark uses scientific notation past 1e7)
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    // between engines (Spark uses scientific notation past 1e7).
+    // Profiled table is the dim (customer): exact multi-column
+    // distinct counting expands the scan once per column, which is a
+    // dim-table pass — on facts, profile with approx_count_distinct
+    // (q41's sketch) instead.
+    val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_name")
     val aggs = cols.flatMap { c =>
       Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
           countDistinct(col(c)).as(s"${c}__distinct"),
@@ -106,7 +110,7 @@ object EtlQueries {
     }
     val stacked = cols.map(c =>
       s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
-    Tables.orders(s, dir)
+    Tables.customer(s, dir)
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_val, max_val)")
       .orderBy(col("column"))

@@ -95,7 +95,13 @@ object EventStreams {
         var cur = state.getOption
         for (e <- sorted) cur match {
           case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-            cur = Some(s.copy(last = e.ts, n = s.n + 1, total = s.total + e.value))
+            // min/max, not overwrite: a within-watermark late event can
+            // be older than the open session's bounds and must widen
+            // them, never move t_end backwards
+            cur = Some(SessionState(
+              start = if (e.ts.before(s.start)) e.ts else s.start,
+              last = if (e.ts.after(s.last)) e.ts else s.last,
+              n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             out += close(uid, s)
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))

@@ -62,6 +62,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: within-watermark late event widens, never shrinks, the session") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 5, "10:10"), ev(2, 5, "10:20"))
+      q.processAllAvailable()
+      // late but within watermark: older than the open session's start
+      in.addData(ev(3, 5, "10:00"))
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "13:00")) // timeout sentinel
+      q.processAllAvailable()
+      val s = spark.table("late_sessions").as[SessionOut]
+        .collect().filter(_.user_id == 5L)
+      assert(s.length == 1)
+      assert(s.head.t_start == ts("10:00") && s.head.t_end == ts("10:20"))
+      assert(s.head.n_events == 3)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, state evicts") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

@@ -18,6 +18,10 @@ case class SessionState(start: Timestamp, last: Timestamp, n: Long, total: Doubl
 case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
                       n_events: Long, total_value: Double)
 
+/** Running lifetime stats per user (mapGroupsWithState output). */
+case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                     last_seen: Option[Timestamp])
+
 /** Structured Streaming twins of the batch event operators
   * (graft.ops.EventOps): the SAME logical shapes — tumbling window
   * aggregation and gap-based sessionization — expressed as an
@@ -58,6 +62,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
               col("n_events"), col("total_value"))
+
+  /** Running per-user lifetime stats via mapGroupsWithState (exactly
+    * one output row per user per batch, Update mode): the
+    * monotonically-accumulating counterpart to the session operator.
+    * State is one fixed-size record per user — bounded by the active
+    * user set. */
+  def userStats(events: Dataset[EventRow]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, None))
+          val batch = rows.toSeq
+          val next = UserStats(
+            uid,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            (prev.last_seen ++ batch.map(_.ts))
+              .reduceOption((a, b) => if (a.after(b)) a else b))
+          state.update(next)
+          next
+      }
+  }
 
   /** Streaming exact dedup: drop rows whose content fingerprint was
     * already seen, with the seen-set state BOUNDED by the watermark

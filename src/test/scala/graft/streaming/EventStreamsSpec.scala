@@ -102,6 +102,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("userStats: mapGroupsWithState accumulates across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.userStats(in.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 1, "10:00", v = 1.0), ev(2, 1, "10:05", v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "11:00", v = 4.0))
+      q.processAllAvailable()
+      // Update mode: latest row per user wins
+      val latest = spark.table("user_stats").as[UserStats].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n_events) }
+      val u1 = latest.find(_.user_id == 1L).get
+      assert(u1.n_events == 3 && u1.total_value == 7.0)
+      assert(u1.last_seen.contains(ts("11:00")))
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet drops flow end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     def drop(events: (Long, Long, String, Double)*): Unit =

@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_pivot"            -> Relational.q47Pivot,
     "q48_moving_avg"       -> Relational.q48MovingAvg,
     "q49_profile"          -> EtlQueries.q49Profile,
+    "q50_asof_join"        -> EventOps.q50AsofJoin,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -572,6 +573,16 @@ object SparkEntry {
            UNION ALL SELECT 'c_mktsegment', s_n, s_d, s_mn, s_mx FROM a
            UNION ALL SELECT 'c_name', p_n, p_d, p_mn, p_mx FROM a)
          ORDER BY "column" """,
+    "q50_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_total
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, e.user_id,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+                round(o.o_total, 4) AS o_total
+         FROM events e ASOF JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
     "q46_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          INTERSECT

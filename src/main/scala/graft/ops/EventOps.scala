@@ -71,6 +71,40 @@ object EventOps {
               col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** q50 — AS-OF join, an operator Spark lacks natively: each event
+    * picks the most recent order (per user) at or before its
+    * timestamp. Composed the scalable way — union both sides, ONE
+    * shuffle+sort per key, `last(..., ignoreNulls)` running window —
+    * instead of a range join whose candidate space is |events|×|orders|
+    * per key. Orders are pre-aggregated per (customer, date) so ties
+    * are deterministic in both engines. Oracle: DuckDB's native
+    * ASOF JOIN. */
+  def q50AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("o_total_pre"))
+      .select(col("k"), col("o_orderdate").as("t"), lit(null).cast("long").as("event_id"),
+              col("o_orderdate").as("o_date"), col("o_total_pre").as("o_total"),
+              lit(0).as("is_event"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+              lit(null).cast("timestamp").as("o_date"),
+              lit(null).cast("double").as("o_total"), lit(1).as("is_event"))
+    // at equal timestamps the order row sorts first: ts >= o_orderdate inclusive
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_date", last(col("o_date"), ignoreNulls = true).over(w))
+      .withColumn("asof_total", last(col("o_total"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("asof_date").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+              date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+              date_format(col("asof_date"), "yyyy-MM-dd").as("o_date"),
+              round(col("asof_total"), 4).as("o_total"))
+      .orderBy(col("event_id"))
+  }
+
   /** q31 — JSON property extraction: parse the props column with an
     * explicit schema (from_json → typed struct; no driver-side
     * parsing), aggregate the extracted key per event type. */

@@ -273,39 +273,7 @@ object SparkEntry {
            FROM sims)
          SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
          WHERE rn <= 5 ORDER BY q_id, rn""",
-    "q27_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding,
-           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-           FROM embeddings),
-         cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-                  FROM e WHERE vec_id < 16),
-         asg0 AS (SELECT e.vec_id, e.embedding, e.nrm, c.c_id,
-           list_sum(list_transform(list_zip(e.embedding, c.c_emb),
-             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * c.c_nrm) AS csim
-           FROM e CROSS JOIN cent c),
-         asg AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
-           SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY csim DESC, c_id) AS rn FROM asg0)
-           WHERE rn = 1),
-         probes AS (SELECT q_id, q_emb, q_nrm, c_id AS cell FROM (
-           SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm, c.c_id,
-             list_sum(list_transform(list_zip(q.embedding, c.c_emb),
-               p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q.nrm * c.c_nrm) AS csim,
-             row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY csim DESC, c.c_id) AS pr
-           FROM e q CROSS JOIN cent c WHERE q.vec_id < 8)
-           WHERE pr <= 4),
-         scored AS (SELECT p.q_id, a.vec_id AS n_id,
-           list_sum(list_transform(list_zip(p.q_emb, a.embedding),
-             x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (p.q_nrm * a.nrm) AS sim_exact
-           FROM probes p JOIN asg a ON p.cell = a.cell
-           WHERE a.vec_id <> p.q_id),
-         r AS (SELECT q_id, n_id, sim_exact,
-           row_number() OVER (PARTITION BY q_id
-                              ORDER BY sim_exact DESC, n_id) AS rn
-           FROM scored)
-         SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
-         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q27_ivf_topk" -> Similarity.q27OracleSql(),
     "q35_embedding_neardup" ->
       """WITH e AS (SELECT label, vec_id, embedding,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q27's IVF quality half (VERDICT r1 #2): learned centroids must be
+  * deterministic (oracle replayability) and must buy real recall
+  * against q26's brute-force truth.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("learnCentroids is deterministic and actually moves the seeds") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+              Similarity.l2norm(col("embedding")).as("nrm"))
+    val c1 = Similarity.learnCentroids(e, 16, 2).orderBy("c_id").collect()
+    val c2 = Similarity.learnCentroids(e, 16, 2).orderBy("c_id").collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+    assert(c1.length == 16)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.toString).toSet
+    val moved = c1.map(_.get(1).toString).count(v => !seeds.contains(v))
+    assert(moved > 8, s"expected most centroids to move off their seeds, moved=$moved")
+  }
+
+  test("IVF recall@5 vs brute-force truth") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("n_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.q26AnnTopK(spark, sf0001))
+    val ivf = pairs(Similarity.q27IvfTopK(spark, sf0001))
+    val recall = (truth intersect ivf).size.toDouble / truth.size
+    info(s"recall@5 = $recall (${(truth intersect ivf).size}/${truth.size})")
+    assert(recall >= 0.7, s"recall@5 $recall below floor")
+  }
+}

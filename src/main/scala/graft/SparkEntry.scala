@@ -41,7 +41,7 @@ object SparkEntry {
     "q20_quality_score"    -> TextOps.q20QualityScore,
     "q21_lang_id"          -> TextOps.q21LangId,
     "q22_exact_dedup"      -> Dedup.q22ExactDedup,
-    "q23_jaccard_pairs"    -> Dedup.q23JaccardTopPairs,
+    "q23_jaccard_pairs"    -> ((s, d) => Dedup.q23JaccardTopPairs(s, d)),
     "q24_minhash_lsh"      -> Dedup.q24MinHashLsh,
     "q25_simhash"          -> Dedup.q25SimHash,
     "q26_ann_topk"         -> Similarity.q26AnnTopK,
@@ -252,11 +252,15 @@ object SparkEntry {
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
              ELSE [] END) AS sh
            FROM t),
+         ds AS (SELECT doc_id, source, bucket, sh,
+           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket)) / 1024.0) AS BIGINT) AS sub
+           FROM d),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac_exact
-           FROM d a JOIN d b
-           ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           FROM ds a JOIN ds b
+           ON a.source = b.source AND a.bucket = b.bucket AND a.sub = b.sub
+              AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, round(jac_exact, 6) AS jaccard FROM p
          ORDER BY jac_exact DESC, doc_a, doc_b LIMIT 20""",
     "q26_ann_topk" ->
@@ -274,17 +278,7 @@ object SparkEntry {
          SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
          WHERE rn <= 5 ORDER BY q_id, rn""",
     "q27_ivf_topk" -> Similarity.q27OracleSql(),
-    "q35_embedding_neardup" ->
-      """WITH e AS (SELECT label, vec_id, embedding,
-           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-           FROM embeddings),
-         p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(list_zip(a.embedding, b.embedding),
-             x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS sim_exact
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         SELECT label, id_a, id_b, round(sim_exact, 6) AS sim FROM p
-         WHERE sim_exact >= 0.45
-         ORDER BY label, id_a, id_b""",
+    "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,
          list_reduce(list_prepend(0, list_transform(string_split(text, ''),

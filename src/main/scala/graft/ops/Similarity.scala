@@ -215,24 +215,87 @@ object Similarity {
        WHERE rn <= 5 ORDER BY q_id, rn"""
   }
 
-  /** q35 — embedding-cosine near-dup detection: pairs above a cosine
-    * threshold, blocked by label (the grouping key bounds the
-    * quadratic pair space the way LSH cells would at scale). The
-    * synthetic corpus has no true dups, so the threshold sits below
-    * the max observed similarity to exercise the pair path. */
+  /** Sign-bit LSH cell key for one band: bit i of the key is
+    * [embedding[dims(i)] >= 0]. Sign hyperplanes are exact float
+    * comparisons, so both engines compute identical keys — this is
+    * what makes an LSH-blocked query oracle-checkable. */
+  def signCellKey(emb: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+      acc + when(get(emb, lit(d)) >= 0f, lit(1L << i)).otherwise(lit(0L))
+    }
+
+  /** q35 — embedding-cosine near-dup detection, LSH-celled (VERDICT
+    * r1 #4): candidates are pairs sharing a sign-bit cell in any of
+    * `bands` bands (4 dims per band), verified with the exact cosine
+    * threshold. Cell population — not any data-dependent label —
+    * bounds the quadratic pair space, and a vector pairs only within
+    * its 2^4-way cells, so candidates stay O(n·cellsize)·bands.
+    * Deterministic end to end (sign comparisons are exact), so the
+    * DuckDB oracle replays cells, candidates, and verification.
+    *
+    * The corpus is persisted: it feeds the banding and both candidate
+    * join-backs (same single-scan reasoning as q24's docSh). */
   def q35EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val bands = 16
+    val bitsPerBand = 4
     val e = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"),
               l2norm(col("embedding")).as("nrm"))
-    val a = e.toDF("label", "id_a", "emb_a", "nrm_a")
-    val b = e.toDF("label_b", "id_b", "emb_b", "nrm_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+             signCellKey(col("embedding"),
+               bnd * bitsPerBand until (bnd + 1) * bitsPerBand).as("cell"))
+    }
+    val celled = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("vec_id"), col("bc.band"), col("bc.cell"))
+    val ca = celled.toDF("id_a", "band_a", "cell_a")
+    val cb = celled.toDF("id_b", "band_b", "cell_b")
+    val cand = ca.join(cb, col("band_a") === col("band_b") &&
+                           col("cell_a") === col("cell_b") &&
+                           col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val sim = dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
-    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .select(col("label"), col("id_a"), col("id_b"), sim.as("sim_exact"))
+    cand
+      .join(e.toDF("label_a", "id_a", "emb_a", "nrm_a"), "id_a")
+      .join(e.toDF("label_b", "id_b", "emb_b", "nrm_b"), "id_b")
+      .select(col("label_a"), col("label_b"), col("id_a"), col("id_b"),
+              sim.as("sim_exact"))
       .filter(col("sim_exact") >= 0.45)
-      .select(col("label"), col("id_a"), col("id_b"),
+      .select(col("label_a"), col("label_b"), col("id_a"), col("id_b"),
               round(col("sim_exact"), 6).as("sim"))
-      .orderBy(col("label"), col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB oracle for q35, generated so every sign-LSH band unrolls
+    * into a cells-UNION mirroring [[q35EmbeddingNearDup]]: same
+    * bands, same bit weights, same `>= 0` sign test (exact float
+    * comparison — identical in both engines). */
+  def q35OracleSql(bands: Int = 16, bitsPerBand: Int = 4): String = {
+    val bandSelects = (0 until bands).map { bnd =>
+      val key = (0 until bitsPerBand).map { i =>
+        val d = bnd * bitsPerBand + i
+        s"(embedding[${d + 1}] >= 0)::BIGINT * ${1L << i}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bnd AS band, $key AS cell FROM e"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT label, vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       cells AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM cells a JOIN cells b
+         ON a.band = b.band AND a.cell = b.cell AND a.vec_id < b.vec_id),
+       p AS (SELECT ea.label AS label_a, eb.label AS label_b, c.id_a, c.id_b,
+         list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (ea.nrm * eb.nrm) AS sim_exact
+         FROM cand c
+         JOIN e ea ON ea.vec_id = c.id_a
+         JOIN e eb ON eb.vec_id = c.id_b)
+       SELECT label_a, label_b, id_a, id_b, round(sim_exact, 6) AS sim FROM p
+       WHERE sim_exact >= 0.45
+       ORDER BY id_a, id_b"""
   }
 
   /** q28 — embedding column statistics per label: count, mean norm,

@@ -69,6 +69,8 @@ object SparkEntry {
     "q48_moving_avg"       -> Relational.q48MovingAvg,
     "q49_profile"          -> EtlQueries.q49Profile,
     "q50_asof_join"        -> EventOps.q50AsofJoin,
+    "q51_stream_tumbling"  -> graft.streaming.StreamQueries.q51StreamTumbling,
+    "q52_stream_sessions"  -> graft.streaming.StreamQueries.q52StreamSessions,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -564,5 +566,27 @@ object SparkEntry {
                 round(avg(day_total) OVER (ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM d ORDER BY day""",
+    // q51/q52: the streaming twins finalize EVERY window/session (the
+    // sentinel feed pushes the watermark past all real data), so their
+    // oracles are the batch twins' SQL verbatim
+    "q51_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q52_stream_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end,
+           round(sum(value), 4) AS total_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
   )
 }

@@ -42,47 +42,93 @@ object Similarity {
   /** Deterministic spherical k-means for the IVF coarse quantizer
     * (VERDICT r1 #2): Lloyd's with a FIXED iteration count, seeded
     * from the first C vectors, centroid components rounded to 6
-    * decimals after every averaging step. The rounding pins the
-    * centroids to values both engines agree on bit-for-bit, so the
-    * DuckDB oracle replays the whole learn+assign pipeline and q27
-    * stays hash-checkable — the usual reason ANN indexes dodge
-    * oracles is nondeterminism, and this kills it.
+    * decimals (HALF_UP, matching Spark's and DuckDB's round) after
+    * every averaging step. The rounding pins the centroids to values
+    * both engines agree on bit-for-bit, so the DuckDB oracle replays
+    * the whole learn+assign pipeline and q27 stays hash-checkable —
+    * the usual reason ANN indexes dodge oracles is nondeterminism,
+    * and this kills it.
     *
-    * Scale shape per iteration: one broadcast of C centroids, one
-    * map-side cosine argmax over the corpus (no shuffle until the
-    * tiny (cell,pos) avg — C·dim groups, map-side partial agg), one
-    * C-row result. Iterations are O(scan), not O(pairs).
+    * Scale shape — the standard IVF recipe: the quantizer trains on a
+    * BOUNDED, deterministic sample (`vec_id < trainSample`, one
+    * driver-side collect of ≤ trainSample·dim floats) while
+    * assignment and probing stay fully distributed over the corpus.
+    * Training cost is O(sample·C·iters) driver flops, independent of
+    * corpus size — a DataFrame Lloyd's at this C would instead pay
+    * ~6 shuffle-stage schedulings per iteration, which dominates
+    * everything at bench scale and buys nothing at 100 TB (FAISS
+    * trains IVF cells on samples for the same reason).
     *
-    * Input `e`: (vec_id, embedding, nrm). Output: (c_id, c_emb:
-    * array<double>) — empty cells keep their previous centroid. */
-  def learnCentroids(e: DataFrame, C: Int, iters: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < C)
-      .select(col("vec_id").cast("long").as("c_id"),
-              transform(col("embedding"), x => x.cast("double")).as("c_emb"))
-    for (_ <- 1 to iters) {
-      val cb = broadcast(cent.withColumn("c_nrm", l2normD(col("c_emb"))))
-      val asg = e.crossJoin(cb)
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-                (dotFD(col("embedding"), col("c_emb")) /
-                  (col("nrm") * col("c_nrm"))).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"),
-             first(col("embedding")).as("embedding"))
-      // element-wise mean: posexplode the RAW float array (exploding a
-      // computed array hits the Generate perf trap), cast per element
-      val means = asg.select(col("cell"), posexplode(col("embedding")))
-        .toDF("cell", "pos", "x")
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-                       s => s.getField("m")).as("m_emb"))
-        .withColumnRenamed("cell", "c_id")
-      val prev = cent
-      cent = prev.join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+    * Input `e`: (vec_id, embedding, nrm). Output local DataFrame:
+    * (c_id, c_emb: array<double>) — empty cells keep their previous
+    * centroid. */
+  def learnCentroids(e: DataFrame, C: Int, iters: Int,
+                     trainSample: Int = 65536): DataFrame = {
+    val s = e.sparkSession
+    val sample = e.filter(col("vec_id") < trainSample)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def dotFDl(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }; acc
     }
-    cent
+    def nrmF(a: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    def nrmD(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }; math.sqrt(acc)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrms = sample.map { case (_, emb) => nrmF(emb) }
+    var cent: Array[(Long, Array[Double])] =
+      sample.takeWhile(_._1 < C).map { case (id, emb) => (id, emb.map(_.toDouble)) }
+    for (_ <- 1 to iters) {
+      val cnrms = cent.map { case (_, c) => nrmD(c) }
+      // cosine argmax per sample vector; ties pick the smaller c_id
+      // (cent is c_id-ascending, strict > keeps the first maximum)
+      val cells = sample.indices.map { i =>
+        val emb = sample(i)._2
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < cent.length) {
+          val sim = dotFDl(emb, cent(j)._2) / (nrms(i) * cnrms(j))
+          if (sim > bestSim) { bestSim = sim; best = j }
+          j += 1
+        }
+        cent(best)._1
+      }
+      // element-wise mean per cell, rounded; empty cells carry forward
+      val byCell = sample.indices.groupBy(cells)
+      cent = cent.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            val dim = old.length
+            val mean = Array.tabulate(dim) { d =>
+              var acc = 0.0
+              members.foreach(i => acc += sample(i)._2(d).toDouble)
+              round6(acc / members.size)
+            }
+            (cid, mean)
+          case None => (cid, old)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      cent.map { case (cid, emb) =>
+        org.apache.spark.sql.Row(cid, emb.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
   }
 
   /** q26 — brute-force cosine top-k: for each query vector (vec_id <
@@ -161,7 +207,7 @@ object Similarity {
     * same cosine argmax with (csim DESC, c_id) tie-break, same
     * round-to-6 element-wise mean, same empty-cell carry-forward. */
   def q27OracleSql(C: Int = 16, nprobe: Int = 4, iters: Int = 2,
-                   dim: Int = 64): String = {
+                   dim: Int = 64, trainSample: Int = 65536): String = {
     def withNrm(cte: String) =
       s"(SELECT c_id, c_emb, sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm FROM $cte)"
     val iterCtes = (1 to iters).map { i =>
@@ -171,7 +217,7 @@ object Similarity {
                list_sum(list_transform(list_zip(e.embedding, c.c_emb),
                  p -> p[1]::DOUBLE * p[2])) / (e.nrm * c.c_nrm) DESC,
                c.c_id) AS rn
-           FROM e CROSS JOIN ${withNrm(s"cent${i - 1}")} c) WHERE rn = 1),
+           FROM et e CROSS JOIN ${withNrm(s"cent${i - 1}")} c) WHERE rn = 1),
          mean$i AS (SELECT cell AS c_id, list(m ORDER BY i) AS m_emb FROM (
            SELECT cell, i, round(avg(embedding[i + 1]::DOUBLE), 6) AS m
            FROM asg_l$i, range($dim) t(i) GROUP BY cell, i) GROUP BY cell),
@@ -181,6 +227,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          FROM embeddings),
+       et AS (SELECT * FROM e WHERE vec_id < $trainSample),
        cent0 AS (SELECT vec_id AS c_id,
          list_transform(embedding, x -> x::DOUBLE) AS c_emb
          FROM embeddings WHERE vec_id < $C),
@@ -237,7 +284,7 @@ object Similarity {
     * join-backs (same single-scan reasoning as q24's docSh). */
   def q35EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val bands = 16
-    val bitsPerBand = 4
+    val bitsPerBand = 6
     val e = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"),
               l2norm(col("embedding")).as("nrm"))
@@ -245,7 +292,7 @@ object Similarity {
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
              signCellKey(col("embedding"),
-               bnd * bitsPerBand until (bnd + 1) * bitsPerBand).as("cell"))
+               (bnd * bitsPerBand until (bnd + 1) * bitsPerBand).map(_ % 64)).as("cell"))
     }
     val celled = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bc"))
       .select(col("vec_id"), col("bc.band"), col("bc.cell"))
@@ -272,10 +319,10 @@ object Similarity {
     * into a cells-UNION mirroring [[q35EmbeddingNearDup]]: same
     * bands, same bit weights, same `>= 0` sign test (exact float
     * comparison — identical in both engines). */
-  def q35OracleSql(bands: Int = 16, bitsPerBand: Int = 4): String = {
+  def q35OracleSql(bands: Int = 16, bitsPerBand: Int = 6): String = {
     val bandSelects = (0 until bands).map { bnd =>
       val key = (0 until bitsPerBand).map { i =>
-        val d = bnd * bitsPerBand + i
+        val d = (bnd * bitsPerBand + i) % 64
         s"(embedding[${d + 1}] >= 0)::BIGINT * ${1L << i}"
       }.mkString(" + ")
       s"SELECT vec_id, $bnd AS band, $key AS cell FROM e"

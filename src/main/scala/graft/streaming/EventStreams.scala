@@ -98,14 +98,23 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
+  /** Full-precision event time: Timestamp.getTime is millis-truncated,
+    * but event data carries microseconds — gap arithmetic at millis
+    * would merge sessions the batch operator splits. */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Gap-based sessionization with custom state:
     * flatMapGroupsWithState keyed by user, EventTimeTimeout. A
     * session closes when a later event arrives past the gap (emitted
     * immediately) or when the watermark passes last-event + gap
-    * (emitted on timeout). State per user is ONE open session. */
+    * (emitted on timeout). State per user is ONE open session. All
+    * gap arithmetic runs at microsecond precision to agree with the
+    * batch twin (q30) on micro-granular data. */
   def sessionize(events: Dataset[EventRow],
                  gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
 
     def close(uid: Long, s: SessionState): SessionOut =
       SessionOut(uid, s.start, s.last, s.n, s.total)
@@ -117,11 +126,12 @@ object EventStreams {
         state.remove()
         Iterator(close(uid, s))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         val out = Seq.newBuilder[SessionOut]
         var cur = state.getOption
         for (e <- sorted) cur match {
-          case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+          case Some(s) if micros(e.ts) >= micros(s.start) - gapUs &&
+                          micros(e.ts) - micros(s.last) <= gapUs =>
             // min/max, not overwrite: a within-watermark late event can
             // be older than the open session's bounds and must widen
             // them, never move t_end backwards
@@ -129,6 +139,11 @@ object EventStreams {
               start = if (e.ts.before(s.start)) e.ts else s.start,
               last = if (e.ts.after(s.last)) e.ts else s.last,
               n = s.n + 1, total = s.total + e.value))
+          case Some(s) if micros(e.ts) < micros(s.start) - gapUs =>
+            // late event more than a gap BEFORE the open session: the
+            // batch twin would give it its own earlier session — emit
+            // it closed immediately rather than widening (ADVICE r1)
+            out += SessionOut(uid, e.ts, e.ts, 1, e.value)
           case Some(s) =>
             out += close(uid, s)
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))
@@ -139,7 +154,7 @@ object EventStreams {
           state.update(s)
           // never set a timeout at/below the current watermark
           state.setTimeoutTimestamp(
-            math.max(s.last.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            math.max(s.last.getTime + gapMs + 1, state.getCurrentWatermarkMs + 1))
         }
         out.result().iterator
       }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Oracle-gated streaming queries (VERDICT r1 #5): each runs a REAL
+  * Structured Streaming query — file source, watermarked operator from
+  * [[EventStreams]], memory sink — over the full events table, then
+  * returns the finalized output for the DuckDB compare against the
+  * SAME oracle SQL as the batch twin (q29/q30). Far-future sentinel
+  * file drops advance the watermark so every real window/session
+  * finalizes; sentinels are filtered from the result.
+  *
+  * The file-source feed keeps the whole pipeline distributed — no
+  * driver-side collect, no per-row encoder loop; the events parquet is
+  * hard-linked (copied on failure) into a temp stream directory and the
+  * sentinels arrive as later file drops, exactly how a production file
+  * stream ingests. State partitions are capped at 8 for these
+  * micro-batches: state-store commit overhead is per-partition per
+  * batch and dominates at bench scale (the conf is restored after
+  * start — streaming captures its own session clone).
+  */
+object StreamQueries {
+
+  private val runId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val sentinelType = "zz_sentinel"
+
+  /** Raw physical schema of the events parquet: ts is TIMESTAMP(NANOS),
+    * read as a long (spark.sql.legacy.parquet.nanosAsLong) exactly as
+    * the batch loader does (graft.Tables.events). */
+  private val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private val streamDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    streamDirs.forEach { d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
+  private def linkOrCopy(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src)
+    catch { case _: Exception =>
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+
+  /** Stream the events table + two watermark-advancing sentinel drops
+    * through `transform`, return the memory-sink table. */
+  private def runStream(s: SparkSession, dir: String, prefix: String)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxMs = graft.Tables.events(s, dir)
+      .agg(max(col("ts"))).first().getTimestamp(0).getTime
+    val tmp = Files.createTempDirectory(s"graft_$prefix")
+    streamDirs.add(tmp.toString)
+    linkOrCopy(Paths.get(s"$dir/events.parquet"), tmp.resolve("batch0.parquet"))
+    def dropSentinel(tsMs: Long): Unit =
+      Seq((-1L, -1L, tsMs * 1000000L, sentinelType, 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .write.mode("append").parquet(tmp.toString)
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val src = s.readStream.schema(rawEventSchema).parquet(tmp.toString)
+      .select(col("event_id"), col("user_id"),
+              expr("timestamp_micros(ts div 1000)").as("ts"),
+              col("event_type"), col("value"))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try transform(src).writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      q.processAllAvailable()
+      // two sentinel drops: the first lifts the watermark past every
+      // real window/session end, the second makes the resulting
+      // emissions + timeouts fire (watermark advances at batch END)
+      dropSentinel(maxMs + 3L * 3600 * 1000)
+      q.processAllAvailable()
+      dropSentinel(maxMs + 30L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** q51 — streaming tumbling windows over the whole events table;
+    * same oracle as batch q29. */
+  def q51StreamTumbling(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q51")(EventStreams.tumblingCounts(_, "1 hour", "1 hour"))
+      .filter(col("event_type") =!= sentinelType)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+              col("event_type"), col("n_events"),
+              round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q52 — streaming sessionization over the whole events table; same
+    * oracle as batch q30. session_id is reconstructed as the per-user
+    * time rank (sessions never overlap, so this equals the batch
+    * running-sum numbering). */
+  def q52StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = runStream(s, dir, "q52") { df =>
+      import df.sparkSession.implicits._
+      EventStreams.sessionize(df.as[EventRow]).toDF()
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_start"))
+    sessions.filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              date_format(col("t_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_start"),
+              date_format(col("t_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_end"),
+              round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

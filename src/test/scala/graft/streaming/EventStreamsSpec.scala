@@ -84,6 +84,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: late event a full gap before the open session closes alone") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("prestart_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 6, "12:00"), ev(2, 6, "12:10"))
+      q.processAllAvailable()
+      // within watermark but > 30 min BEFORE the open session's start:
+      // batch semantics give it its own session — it must NOT widen
+      in.addData(ev(3, 6, "11:15", v = 5.0))
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "15:00")) // timeout sentinel
+      q.processAllAvailable()
+      in.addData(ev(10, 9, "18:00"))
+      q.processAllAvailable()
+      val s = spark.table("prestart_sessions").as[SessionOut]
+        .collect().filter(_.user_id == 6L).sortBy(_.t_start.getTime)
+      assert(s.length == 2, s"expected 2 sessions, got: ${s.toSeq}")
+      assert(s(0).t_start == ts("11:15") && s(0).n_events == 1 && s(0).total_value == 5.0)
+      assert(s(1).t_start == ts("12:00") && s(1).t_end == ts("12:10") && s(1).n_events == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, state evicts") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

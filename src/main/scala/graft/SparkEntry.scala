@@ -287,10 +287,14 @@ object SparkEntry {
            ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
          length(text)::BIGINT AS n_chars
          FROM documents ORDER BY doc_id""",
+    // q37's oracle uses >= (not q30's >): session_window is half-open
+    // [start, last+gap), so an event EXACTLY gap after its predecessor
+    // starts a new session — the lag rule must mirror that bound
+    // (ADVICE r1; the two differ only on exact-gap timestamps)
     "q37_session_window" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          y AS (SELECT user_id, ts, value,

@@ -28,13 +28,19 @@ object Multimodal {
               (lit(64) + (col("n_chars") * 7) % 1016).cast("long").as("fake_height"))
       .orderBy(col("doc_id"))
 
-  /** Output schema of the decode stage. */
+  /** Output schema of the decode stage (primitive fields are
+    * non-nullable — the product encoder guarantees it). */
   val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("mean_luma", DoubleType)))
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Typed decode-stage record (keeps [[decodeImages]] in Tungsten via
+    * the product encoder; field order matches [[decodedSchema]]). */
+  final case class DecodedImage(doc_id: Long, n_bytes: Long, width: Int,
+                                height: Int, mean_luma: Double)
 
   /** Partition-parallel "decode" over binary payloads: the real
     * engine shape (mapPartitions over an iterator of rows, batch-
@@ -84,11 +90,14 @@ object Multimodal {
 
   def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val session = df.sparkSession
-    val rdd = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+    import session.implicits._
+    // Dataset.mapPartitions, NOT .rdd (VERDICT r1 #8): same iterator
+    // shape, but rows stay UnsafeRow/Tungsten and the surrounding plan
+    // keeps whole-stage codegen on both sides of the decode stage.
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
           // deterministic fake decode: dims + luma from byte stats
           val n = bytes.length
           val w = 64 + (n % 1856)
@@ -97,9 +106,8 @@ object Multimodal {
           var i = 0
           while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
           val luma = if (n == 0) 0.0 else sum.toDouble / n / 255.0
-          Row(id, n.toLong, w, h, luma)
+          DecodedImage(id, n.toLong, w, h, luma)
         }
-      }
-    session.createDataFrame(rdd, decodedSchema)
+      }.toDF()
   }
 }

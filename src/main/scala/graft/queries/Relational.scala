@@ -197,9 +197,25 @@ object Relational {
     val daily = Tables.orders(s, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum(col("o_totalprice")).as("day_total"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-    daily.select(col("day"), r4(col("day_total")).as("day_total"),
-                 r4(avg(col("day_total")).over(w)).as("ma7"))
+    // Partitioned window (VERDICT r1 #8): the heavy per-order work is
+    // the day aggregation above; the 7-row moving average then runs
+    // per YEAR, with each year's partition padded by the previous
+    // year's last 6 rows so the positional frame matches the global
+    // formulation exactly — no single-partition WindowExec, partitions
+    // stay ≤ 372 rows under any data volume.
+    val yr = substring(col("day"), 1, 4).cast("int")
+    val real = daily.withColumn("yr", yr).withColumn("pad", lit(0))
+    val wDesc = Window.partitionBy(col("yr")).orderBy(col("day").desc)
+    val pads = real
+      .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= 6).drop("rd")
+      .withColumn("yr", col("yr") + 1).withColumn("pad", lit(1))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    real.unionByName(pads)
+      .withColumn("ma7", avg(col("day_total")).over(w))
+      .filter(col("pad") === 0)
+      .select(col("day"), r4(col("day_total")).as("day_total"),
+              r4(col("ma7")).as("ma7"))
       .orderBy(col("day"))
   }
 

@@ -32,6 +32,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("length mismatch and null elements null out, matching the HOF (ADVICE r1)") {
+    val tricky = Seq(
+      (1L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f))),           // mismatch
+      (2L, Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))),     // null elem
+      (3L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f)))
+    ).toDF("id", "a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+                        lit(0.0), (acc, x) => acc + x)
+    val rows = tricky.select($"id", VectorFunctions.dotF32($"a", $"b").as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"contract diverges from HOF on id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(rows.count(_.isNullAt(1)) == 2)
+  }
+
   test("registered SQL function and extensions builder") {
     VectorFunctions.register(spark)
     df.createOrReplaceTempView("vex")

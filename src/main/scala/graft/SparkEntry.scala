@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_asof_join"        -> EventOps.q50AsofJoin,
     "q51_stream_tumbling"  -> graft.streaming.StreamQueries.q51StreamTumbling,
     "q52_stream_sessions"  -> graft.streaming.StreamQueries.q52StreamSessions,
+    "q53_approx_percentiles" -> Relational.q53ApproxPercentiles,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */

@@ -252,6 +252,22 @@ object Relational {
            r4(stddev_samp(col("o_totalprice"))).as("sd"))
       .orderBy(col("o_orderpriority"))
 
+  /** q53 — approx_percentile twin of q42 (VERDICT r1 #7): the sketch
+    * the exact sort-based percentile must swap to at 100 TB —
+    * GK-sketch mergeable partial aggregation, one map-side pass, no
+    * global sort. Rows-only checked (the sketch is
+    * implementation-specific); RelationalSpec bounds its error
+    * against q42's exact answer, mirroring q41's HLL pattern. */
+  def q53ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(r4(element_at(percentile_approx(col("o_totalprice"),
+             array(lit(0.5), lit(0.9)), lit(10000)), 1)).as("p50_approx"),
+           r4(element_at(percentile_approx(col("o_totalprice"),
+             array(lit(0.5), lit(0.9)), lit(10000)), 2)).as("p90_approx"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** q39 — supplier-side star join: revenue by supplier nation for
     * 1997, broadcast dims (supplier is small relative to lineitem at
     * every scale; nation always broadcasts). */

@@ -4,6 +4,20 @@ import graft.SparkSpec
 
 class RelationalSpec extends SparkSpec {
 
+  test("q53: approx percentiles within 2% relative error of q42's exact") {
+    val exact = Relational.q42Percentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Relational.q53ApproxPercentiles(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      val (e50, e90) = exact(k)
+      val (a50, a90) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$k p50 approx=$a50 exact=$e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.02, s"$k p90 approx=$a90 exact=$e90")
+    }
+  }
+
   test("q41: HLL estimate within its 2% target error of exact") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q41ApproxDistinct(spark, sf0001).collect()

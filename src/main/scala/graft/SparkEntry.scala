@@ -72,6 +72,9 @@ object SparkEntry {
     "q51_stream_tumbling"  -> graft.streaming.StreamQueries.q51StreamTumbling,
     "q52_stream_sessions"  -> graft.streaming.StreamQueries.q52StreamSessions,
     "q53_approx_percentiles" -> Relational.q53ApproxPercentiles,
+    "q54_tfidf"            -> TextOps.q54TfIdf,
+    "q55_pii_redact"       -> TextOps.q55PiiRedact,
+    "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -593,5 +596,46 @@ object SparkEntry {
            strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end,
            round(sum(value), 4) AS total_value
          FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // q54: rational idf (N+1)/(df+1) — integer ratios through IEEE
+    // division are bit-stable cross-engine, unlike ln
+    "q54_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           (tf.tf * (n.n + 1)) / (df.df + 1) AS score_exact
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_exact DESC, term) AS rn FROM sc)
+         SELECT doc_id, term, tf, df, round(score_exact, 6) AS tfidf
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q55_pii_redact" ->
+      """WITH red AS (SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PHONE]', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS rtext,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text,
+             '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text,
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT AS n_ssns
+           FROM documents)
+         SELECT doc_id, n_emails, n_phones, n_ssns,
+           md5(rtext) AS redacted_md5, length(rtext)::BIGINT AS redacted_len
+         FROM red ORDER BY doc_id""",
+    // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
+    "q56_stratified_sample" ->
+      """SELECT source, count(*) AS n_total,
+         count(*) FILTER (WHERE ('0x' || substr(md5(text), 32, 1))::BIGINT < 2)
+           AS n_sampled,
+         round((count(*) FILTER (WHERE ('0x' || substr(md5(text), 32, 1))::BIGINT < 2))::DOUBLE
+               / count(*), 6) AS rate
+         FROM documents GROUP BY source ORDER BY source""",
   )
 }

@@ -112,6 +112,68 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(25)
 
+  /** q54 — per-document top TF-IDF term. IDF is the RATIONAL form
+    * (N+1)/(df+1) rather than its log: every value is then an exact
+    * integer ratio, and IEEE division is correctly rounded in both
+    * engines, so the ranking is bit-stable cross-engine (a
+    * transcendental ln could differ in the last ulp and flip
+    * near-ties). tf is computed with one partial+final aggregation;
+    * df reuses the (doc, term) frame (rows = distinct pairs, so a
+    * count per term IS the document frequency); N is one scalar to
+    * the driver (aggregate-then-broadcast, SURVEY §7.4). */
+  def q54TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = (col("tf") * lit(nDocs + 1)) / (col("df") + lit(1))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_exact").desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              score.as("score_exact"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              round(col("score_exact"), 6).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns (shared by query and oracle; RE2- and Java-regex
+    * compatible — no backreferences, no lookaround). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+  val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** q55 — PII detection + redaction, the compliance pass every
+    * training-data pipeline needs: count pattern hits per class and
+    * replace them with typed placeholders, all map-side codegen'd
+    * regex (no UDF). The redacted text itself never moves — only its
+    * md5 and length, so the operator output is O(docs) narrow rows
+    * at any corpus size. */
+  def q55PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"),
+        ssnRe, "[SSN]")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+                .cast("long").as("n_emails"),
+              size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+                .cast("long").as("n_phones"),
+              size(regexp_extract_all(col("text"), lit(ssnRe), lit(0)))
+                .cast("long").as("n_ssns"),
+              md5(redacted).as("redacted_md5"),
+              length(redacted).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "fr" -> Seq("le", "la", "et", "de"),

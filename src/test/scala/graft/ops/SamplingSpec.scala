@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling + the new text operators. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is layout-independent and deterministic") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = Sampling.hashSample(docs, "text", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), "text", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.nonEmpty && a.size < 500)
+    // k16=2 keeps ~12.5%; allow generous band for a 500-doc corpus
+    assert(a.size > 20 && a.size < 130, s"rate off: ${a.size}/500")
+  }
+
+  test("q55 finds and redacts planted PII") {
+    val df = Seq(
+      (1L, "contact john.doe@example.com or +1 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 and email a@b.io plus 987-65-4321"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val emails = df.select(size(regexp_extract_all($"text",
+      lit(TextOps.emailRe), lit(0))).as("n")).collect().map(_.getInt(0))
+    assert(emails.sameElements(Array(1, 1, 0)))
+    val redacted = df.select(regexp_replace(regexp_replace(regexp_replace(
+        $"text", TextOps.emailRe, "[EMAIL]"),
+        TextOps.phoneRe, "[PHONE]"),
+        TextOps.ssnRe, "[SSN]").as("r"))
+      .collect().map(_.getString(0))
+    assert(redacted(0).contains("[EMAIL]") && redacted(0).contains("[PHONE]"))
+    assert(redacted(1).contains("[SSN]") && redacted(1).contains("[EMAIL]"))
+    assert(redacted(2) == "clean text with no pii at all")
+    assert(!redacted.exists(_.contains("example.com")))
+  }
+
+  test("q54 ranks a planted distinctive term on a literal corpus") {
+    // the distinctive term (high tf, df=1) must beat common terms
+    val rows = TextOps.q54TfIdf(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= 1) // tf, df sane
+    }
+  }
+}

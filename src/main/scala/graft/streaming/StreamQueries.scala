@@ -125,6 +125,24 @@ object StreamQueries {
               round(col("total_value"), 4).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** q57 — watermarked stream-stream join over the whole events
+    * table: view → purchase attribution within 30 minutes per user.
+    * Sentinels pass BOTH side filters (they must flow through both
+    * watermark nodes to advance the join's watermark) and are dropped
+    * from the result by user_id. Oracle: the plain batch self-join. */
+  def q57StreamJoin(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q57") { src =>
+      EventStreams.attributionJoin(
+        src.filter(col("event_type").isin("view", sentinelType)),
+        src.filter(col("event_type").isin("purchase", sentinelType)))
+    }
+      .filter(col("v_user") >= 0)
+      .select(col("view_id"), col("purchase_id"),
+              col("v_user").as("user_id"),
+              date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_ts"),
+              date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
+      .orderBy(col("view_id"), col("purchase_id"))
+
   /** q52 — streaming sessionization over the whole events table; same
     * oracle as batch q30. session_id is reconstructed as the per-user
     * time rank (sessions never overlap, so this equals the batch

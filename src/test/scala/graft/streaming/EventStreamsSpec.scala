@@ -127,6 +127,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches within the gap only") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val src = in.toDF()
+    val q = EventStreams.attributionJoin(
+        src.filter($"event_type" === "view"),
+        src.filter($"event_type" === "purchase"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, 1, "10:00", typ = "view"),
+        ev(2, 1, "10:20", typ = "purchase"), // within 30 min → match
+        ev(3, 1, "11:30", typ = "purchase"), // past the gap → no match
+        ev(4, 2, "10:10", typ = "view"),     // other user: no purchase
+        ev(5, 3, "10:15", typ = "purchase")) // purchase with no view
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("userStats: mapGroupsWithState accumulates across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

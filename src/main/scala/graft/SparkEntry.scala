@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_pii_redact"       -> TextOps.q55PiiRedact,
     "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
     "q57_stream_join"      -> graft.streaming.StreamQueries.q57StreamJoin,
+    "q58_heavy_hitters"    -> TextOps.q58HeavyHitters,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */

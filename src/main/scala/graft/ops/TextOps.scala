@@ -174,6 +174,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q58 — heavy-hitter estimation with a count-min sketch (the
+    * bounded-memory answer to "which tokens dominate the corpus" —
+    * at 100 TB the exact groupBy of q45 shuffles |vocab| rows per
+    * partition, while the CMS is a FIXED-width mergeable array that
+    * reduces map-side; merging is integer addition, so the estimate
+    * is deterministic under any partitioning). The query emits the
+    * exact top-25 (q45's aggregation) alongside the sketch estimate:
+    * one sketch blob crosses to the driver, which probes 25 tokens —
+    * aggregate-then-probe, never per-row driver work. Rows-only
+    * checked (no DuckDB CMS); the spec bounds overestimation by the
+    * sketch's ε·N guarantee. */
+  def q58HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val skBytes = toks
+      .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .first().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(25)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 // String probe == the agg's addBinary(utf8 bytes) path
+                 cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF("token", "freq", "cms_est")
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "fr" -> Seq("le", "la", "et", "de"),

@@ -39,6 +39,22 @@ class SamplingSpec extends SparkSpec {
     assert(!redacted.exists(_.contains("example.com")))
   }
 
+  test("q58 CMS estimates bound the exact counts from above within eps*N") {
+    val rows = TextOps.q58HeavyHitters(spark, sf0001).collect()
+    assert(rows.length == 25)
+    val nTokens = graft.Tables.documents(spark, sf0001)
+      .select(explode(TextOps.tokens($"text"))).count()
+    rows.foreach { r =>
+      val (freq, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= freq, s"CMS must never underestimate: ${r.getString(0)}")
+      assert(est - freq <= (0.001 * nTokens).ceil.toLong * 2,
+        s"${r.getString(0)}: est=$est freq=$freq beyond 2*eps*N")
+    }
+    // agreement with q45's exact top-25 token set
+    val q45 = TextOps.q45TokenFreq(spark, sf0001).collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == q45)
+  }
+
   test("q54 ranks a planted distinctive term on a literal corpus") {
     // the distinctive term (high tf, df=1) must beat common terms
     val rows = TextOps.q54TfIdf(spark, sf0001).collect()

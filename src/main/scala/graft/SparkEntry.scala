@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
     "q57_stream_join"      -> graft.streaming.StreamQueries.q57StreamJoin,
     "q58_heavy_hitters"    -> TextOps.q58HeavyHitters,
+    "q59_simhash_pairs"    -> ((s, d) => Dedup.q59SimHashPairs(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */

@@ -170,4 +170,36 @@ object Dedup {
               simhash(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
                 .as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** q59 — SimHash near-dup PAIRS via pigeonhole chunk banding: two
+    * 64-bit fingerprints within hamming distance k<4 must agree on at
+    * least one of 4 disjoint 16-bit chunks, so candidates come from a
+    * hash-join on (chunk_no, chunk_value) — the hamming-ball probe
+    * SCALE.md promises, O(n·bucket) not O(n²) — and are verified with
+    * the exact popcount of the XOR. Rows-only checked (xxhash64-based
+    * fingerprints have no DuckDB twin); DedupSpec plants near-identical
+    * docs and asserts they surface. */
+  def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    simhashPairs(q25SimHash(s, dir), maxDist)
+
+  /** The banding+verify core over any (doc_id, simhash) frame. */
+  private[ops] def simhashPairs(fps: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_no"),
+             shiftrightunsigned(col("simhash"), c * 16)
+               .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk_no"), col("ck.chunk"))
+    val a = banded.toDF("doc_a", "sh_a", "cn_a", "ck_a")
+    val b = banded.toDF("doc_b", "sh_b", "cn_b", "ck_b")
+    val dist = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, col("cn_a") === col("cn_b") && col("ck_a") === col("ck_b") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(cells.forall(_.getLong(1) == 4))
   }
 
+  test("q59 simhash banding surfaces planted near-identical docs") {
+    // fingerprints differing in <= 3 bits MUST collide on one 16-bit
+    // chunk (pigeonhole) — plant exact twins and 1/2/3-bit flips
+    val base = 0x0123456789ABCDEFL
+    val fps = Seq(
+      (1L, base), (2L, base),                    // distance 0
+      (3L, base ^ 1L),                           // distance 1
+      (4L, base ^ (1L << 20) ^ (1L << 40)),      // distance 2
+      (5L, base ^ (1L << 5) ^ (1L << 25) ^ (1L << 63)), // distance 3
+      (6L, ~base)                                // distance 64
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // flips are at disjoint positions, so cross-distances add:
+    // d(3,5)=4 and d(4,5)=5 exceed the bound; d(3,4)=3 is in
+    val expected = Set((1L,2L), (1L,3L), (2L,3L), (1L,4L), (2L,4L),
+                       (1L,5L), (2L,5L), (3L,4L))
+    assert(found == expected, s"got $found")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0L)
+    assert(!found.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("q24 LSH finds the planted near-dup pairs") {
     val df = Dedup.q24MinHashLsh(spark, sf0001)
     // the shingle scan must run once: all three consumers read the

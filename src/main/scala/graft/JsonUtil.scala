@@ -1,0 +1,18 @@
+package graft
+
+/** Shared JSON string escaping for the Bench/Verify emitters:
+  * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+  * builder-authored SQL or an exception message would otherwise make
+  * the driver's json.load fail. */
+private[graft] object JsonUtil {
+  def esc(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

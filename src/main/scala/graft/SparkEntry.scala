@@ -569,13 +569,16 @@ object SparkEntry {
          count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
          count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY 1 ORDER BY yr""",
+    // q48 is a 7-CALENDAR-DAY average (RANGE on the day number), so
+    // missing days shrink the window in both engines identically
     "q48_moving_avg" ->
       """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                    date_diff('day', DATE '1970-01-01', min(o_orderdate)) AS day_num,
                     sum(o_totalprice) AS day_total
                     FROM orders GROUP BY 1)
          SELECT day, round(day_total, 4) AS day_total,
-                round(avg(day_total) OVER (ORDER BY day
-                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+                round(avg(day_total) OVER (ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM d ORDER BY day""",
     // q51/q52: the streaming twins finalize EVERY window/session (the
     // sentinel feed pushes the watermark past all real data), so their

@@ -75,18 +75,34 @@ object Parse {
   private def scrubbedLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
       .filter(trim(col("value")) =!= "")
-      .select(Scrub.asciiScrub(col("value")).as("value"))
+      // header dropped on the RAW line: scrub(header) == header (the
+      // header is ASCII-clean), and filtering after the scrub Project
+      // would inline the whole regexp chain into the Filter and run
+      // it twice per line (the known Filter-over-Project trap)
       .filter(col("value") =!= lit(header))
+      .select(Scrub.asciiScrub(col("value")).as("value"))
+
+  /** Cache key for per-input caches: path + size + mtime when the
+    * path is a local file, so overwriting an input in the same JVM
+    * invalidates the cached detection/materialization instead of
+    * silently serving stale data. Non-local URIs fall back to the
+    * bare path (same-session immutability assumed, as for any
+    * remote-object read). */
+  private def cacheKey(path: String): String =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      s"$path:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    } catch { case _: Exception => path }
 
   /** A physical line with an odd number of `"` characters opens (or
     * closes) a quoted region that continues past the line break, i.e.
     * the file has multi-line records. Early-exits on the first such
-    * line (`isEmpty` plans a CollectLimit(1)); result cached per path
-    * so repeated loads (bench loops) scan once. */
+    * line (`isEmpty` plans a CollectLimit(1)); result cached per
+    * input version so repeated loads (bench loops) scan once. */
   private val multiLineCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def hasMultiLineRecords(spark: SparkSession, path: String): Boolean =
-    multiLineCache.computeIfAbsent(path, _ => {
+    multiLineCache.computeIfAbsent(cacheKey(path), _ => {
       val quotes = length(col("value")) -
         length(regexp_replace(col("value"), "\"", ""))
       !spark.read.text(path).filter(quotes % 2 === 1).isEmpty
@@ -104,7 +120,7 @@ object Parse {
   }
   private def loadViaRoundTrip(spark: SparkSession, scrubbed: DataFrame,
                                path: String): DataFrame = {
-    val tmp = roundTripDirs.computeIfAbsent(path, _ => {
+    val tmp = roundTripDirs.computeIfAbsent(cacheKey(path), _ => {
       val t = java.nio.file.Files.createTempDirectory("graft_scrub").toString
       scrubbed.coalesce(1).write.mode("overwrite").text(s"$t/clean")
       t

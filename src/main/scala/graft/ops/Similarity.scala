@@ -289,13 +289,16 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("embedding"),
               l2norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-             signCellKey(col("embedding"),
-               (bnd * bitsPerBand until (bnd + 1) * bitsPerBand).map(_ % 64)).as("cell"))
-    }
-    val celled = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bc"))
-      .select(col("vec_id"), col("bc.band"), col("bc.cell"))
+    // union of per-band Projects over the persisted corpus instead of
+    // explode(array(...)): Generate evaluates an inlined computed
+    // array far slower than the same expressions in a Project (the
+    // round-1 shingle trap), and the sign-test chains are non-trivial
+    val celled = (0 until bands).map { bnd =>
+      e.select(col("vec_id"), lit(bnd).as("band"),
+               signCellKey(col("embedding"),
+                 (bnd * bitsPerBand until (bnd + 1) * bitsPerBand).map(_ % 64))
+                 .as("cell"))
+    }.reduce(_ unionByName _)
     val ca = celled.toDF("id_a", "band_a", "cell_a")
     val cb = celled.toDF("id_b", "band_b", "cell_b")
     val cand = ca.join(cb, col("band_a") === col("band_b") &&

@@ -187,22 +187,27 @@ object TextOps {
     * sketch's ε·N guarantee. */
   def q58HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // both actions (sketch agg + exact top-25) run inside this call,
+    // so the tokenize scan persists for exactly their duration
     val toks = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
-    val skBytes = toks
-      .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("sk"))
-      .first().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(25)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1),
-                 // String probe == the agg's addBinary(utf8 bytes) path
-                 cms.estimateCount(r.getString(0))))
-    top.toSeq.toDF("token", "freq", "cms_est")
-      .orderBy(col("freq").desc, col("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val skBytes = toks
+        .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .first().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(25)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+                   // String probe == the agg's addBinary(utf8 bytes) path
+                   cms.estimateCount(r.getString(0))))
+      top.toSeq.toDF("token", "freq", "cms_est")
+        .orderBy(col("freq").desc, col("token"))
+    } finally toks.unpersist()
   }
 
   private val markers: Seq[(String, Seq[String])] = Seq(

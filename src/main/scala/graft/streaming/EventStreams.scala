@@ -151,27 +151,55 @@ object EventStreams {
         val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         val out = Seq.newBuilder[SessionOut]
         var cur = state.getOption
+        // chain of within-watermark late events more than a gap BEFORE
+        // the open session: they sessionize among THEMSELVES exactly as
+        // the batch twin would (ADVICE r1 + r2 review), and fold into
+        // the open session if a later event bridges the gap between
+        // the chain and the (possibly widened) session start
+        var early: Option[SessionState] = None
+        def widen(s: SessionState, e: EventRow): SessionState =
+          SessionState(
+            start = if (e.ts.before(s.start)) e.ts else s.start,
+            last = if (e.ts.after(s.last)) e.ts else s.last,
+            n = s.n + 1, total = s.total + e.value)
         for (e <- sorted) cur match {
           case Some(s) if micros(e.ts) >= micros(s.start) - gapUs &&
                           micros(e.ts) - micros(s.last) <= gapUs =>
-            // min/max, not overwrite: a within-watermark late event can
-            // be older than the open session's bounds and must widen
-            // them, never move t_end backwards
-            cur = Some(SessionState(
-              start = if (e.ts.before(s.start)) e.ts else s.start,
-              last = if (e.ts.after(s.last)) e.ts else s.last,
-              n = s.n + 1, total = s.total + e.value))
+            // e joins the open session; if e also bridges the early
+            // chain (chain.last within gap of e), the batch semantics
+            // merge chain + e + session into ONE session
+            val folded = early match {
+              case Some(es) if micros(e.ts) - micros(es.last) <= gapUs =>
+                early = None
+                SessionState(
+                  start = if (es.start.before(s.start)) es.start else s.start,
+                  last = if (es.last.after(s.last)) es.last else s.last,
+                  n = s.n + es.n, total = s.total + es.total)
+              case _ => s
+            }
+            cur = Some(widen(folded, e))
           case Some(s) if micros(e.ts) < micros(s.start) - gapUs =>
-            // late event more than a gap BEFORE the open session: the
-            // batch twin would give it its own earlier session — emit
-            // it closed immediately rather than widening (ADVICE r1)
-            out += SessionOut(uid, e.ts, e.ts, 1, e.value)
+            early match {
+              case Some(es) if micros(e.ts) - micros(es.last) <= gapUs =>
+                early = Some(widen(es, e))
+              case Some(es) =>
+                out += close(uid, es)
+                early = Some(SessionState(e.ts, e.ts, 1, e.value))
+              case None =>
+                early = Some(SessionState(e.ts, e.ts, 1, e.value))
+            }
           case Some(s) =>
+            // e starts past the open session's gap; nothing later can
+            // bridge the early chain either (events only move forward)
+            early.foreach(es => out += close(uid, es)); early = None
             out += close(uid, s)
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))
           case None =>
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))
         }
+        // an unfolded early chain can no longer merge with anything
+        // (its last event sits a full gap before the session start)
+        early.foreach(es => out += close(uid, es))
         cur.foreach { s =>
           state.update(s)
           // never set a timeout at/below the current watermark

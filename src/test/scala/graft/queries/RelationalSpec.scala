@@ -18,6 +18,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q48 window: per-year partitioning equals the global frame on sparse years") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // year 1996 has only TWO days (one near year end), 1997 starts
+    // immediately — the per-year rewrite must still see 1996-12-30
+    // from 1997-01-02's frame, and a positional 6-row pad would not
+    // equal a calendar frame here
+    val daily = Seq(
+      ("1995-12-29", 10.0), ("1995-12-31", 20.0),
+      ("1996-06-15", 30.0), ("1996-12-30", 40.0),
+      ("1997-01-02", 50.0), ("1997-01-05", 60.0), ("1997-01-06", 70.0)
+    ).toDF("day", "day_total")
+    val got = Relational.movingAvg7(daily).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // brute force: mean of day_totals within [day-6, day] calendar days
+    val all = Seq(("1995-12-29", 10.0), ("1995-12-31", 20.0),
+      ("1996-06-15", 30.0), ("1996-12-30", 40.0),
+      ("1997-01-02", 50.0), ("1997-01-05", 60.0), ("1997-01-06", 70.0))
+    def epoch(d: String) = java.time.LocalDate.parse(d).toEpochDay
+    all.foreach { case (d, _) =>
+      val in = all.filter { case (d2, _) =>
+        epoch(d) - epoch(d2) <= 6 && epoch(d) - epoch(d2) >= 0 }
+      val want = BigDecimal(in.map(_._2).sum / in.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(d) == want, s"$d: got ${got(d)} want $want (frame=$in)")
+    }
+  }
+
   test("q41: HLL estimate within its 2% target error of exact") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q41ApproxDistinct(spark, sf0001).collect()

@@ -127,6 +127,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: late-event chains merge like the batch twin") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("chain_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 11: chain of two mutually-close late events -> ONE session
+      // user 12: late event bridged into the open session by a third
+      in.addData(ev(1, 11, "12:00"), ev(2, 11, "12:10"),
+                 ev(3, 12, "12:00"), ev(4, 12, "12:10"))
+      q.processAllAvailable()
+      // all late events sit above the watermark (12:10 - 1h = 11:10)
+      in.addData(ev(5, 11, "11:12"), ev(6, 11, "11:20"), // chain, both < 11:30
+                 ev(7, 12, "11:12"),                      // early
+                 ev(8, 12, "11:35"))                      // bridges 11:12 ↔ 12:00
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "15:00")); q.processAllAvailable()
+      in.addData(ev(10, 9, "18:00")); q.processAllAvailable()
+      val all = spark.table("chain_sessions").as[SessionOut].collect()
+      val u11 = all.filter(_.user_id == 11L).sortBy(_.t_start.getTime)
+      assert(u11.map(s => (s.t_start, s.t_end, s.n_events)).toSeq ==
+        Seq((ts("11:12"), ts("11:20"), 2L), (ts("12:00"), ts("12:10"), 2L)),
+        s"u11: ${u11.toSeq}")
+      val u12 = all.filter(_.user_id == 12L)
+      assert(u12.length == 1 && u12.head.t_start == ts("11:12") &&
+        u12.head.t_end == ts("12:10") && u12.head.n_events == 4,
+        s"u12: ${u12.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches within the gap only") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

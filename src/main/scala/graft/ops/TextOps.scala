@@ -128,11 +128,14 @@ object TextOps {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a count over the term partition instead of a groupBy+join:
+    // the join formulation recomputes the whole tokenize+tf lineage
+    // for its df side (two corpus scans); the window shares one
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
     val score = (col("tf") * lit(nDocs + 1)) / (col("df") + lit(1))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_exact").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", df)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
               score.as("score_exact"))
       .withColumn("rn", row_number().over(w))

@@ -33,12 +33,14 @@ object BoatCli {
     val sum = summaryDir.getOrElse(out)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val t0 = System.nanoTime()
     val spark = SparkSession.builder()
       .appName("BoatDataETL").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(f"[boat-cli] spark session up in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     try {
       val raw = Parse.load(spark, in)
       Validate.requireColumns(raw, Parse.rawSchema.fieldNames.toSeq)
@@ -50,6 +52,7 @@ object BoatCli {
         .csv(s"$sum/data_summary.csv")
       if (show) s.show(false)
       println(s"[boat-cli] wrote $out/data.parquet and $sum/data_summary.csv")
+      println(f"[boat-cli] pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s (incl. session start)")
     } finally spark.stop()
   }
 }

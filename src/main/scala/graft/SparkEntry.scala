@@ -78,6 +78,7 @@ object SparkEntry {
     "q57_stream_join"      -> graft.streaming.StreamQueries.q57StreamJoin,
     "q58_heavy_hitters"    -> TextOps.q58HeavyHitters,
     "q59_simhash_pairs"    -> ((s, d) => Dedup.q59SimHashPairs(s, d)),
+    "q60_dedup_clusters"   -> Dedup.q60DedupClusters,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -647,6 +648,41 @@ object SparkEntry {
             AND a.event_type = 'view' AND b.event_type = 'purchase'
             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
          ORDER BY view_id, purchase_id""",
+    // q60: transitive dedup clusters — recursive closure replays the
+    // min-label propagation exactly (both sides fully converge)
+    "q60_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh
+           FROM t),
+         ds AS (SELECT doc_id, source, bucket, sh,
+           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket)) / 1024.0) AS BIGINT) AS sub
+           FROM d),
+         jacp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ds a JOIN ds b
+           ON a.source = b.source AND a.bucket = b.bucket AND a.sub = b.sub
+              AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+               FROM documents),
+         exactp AS (SELECT min_id AS doc_a, doc_id AS doc_b FROM m
+                    WHERE doc_id <> min_id),
+         e0 AS (SELECT doc_a, doc_b FROM jacp
+                UNION SELECT doc_a, doc_b FROM exactp),
+         edges AS (SELECT doc_a AS s, doc_b AS t2 FROM e0
+                   UNION SELECT doc_b, doc_a FROM e0),
+         reach AS (
+           SELECT s AS doc, s AS lbl FROM edges
+           UNION
+           SELECT e.t2, r.lbl FROM reach r JOIN edges e ON e.s = r.doc),
+         comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+         SELECT doc AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+         FROM comp ORDER BY doc_id""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

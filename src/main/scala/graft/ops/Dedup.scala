@@ -153,6 +153,70 @@ object Dedup {
     docSh.agg(count(lit(1)).as("n_docs")).crossJoin(candStats)
   }
 
+  /** Minimum-label connected components over an undirected edge list
+    * (doc_a, doc_b): every node's label converges to the smallest
+    * doc_id reachable from it. Label propagation runs a driver loop of
+    * bounded shuffle rounds — one join + min-aggregate per round,
+    * terminating when the global label sum stops decreasing (it
+    * decreases strictly until the fixpoint), with rounds bounded by
+    * the cluster diameter. Near-dup clusters are shallow (diameter ≤
+    * a handful), so this is a few rounds; a corpus with adversarially
+    * long chains would switch to the large-star/small-star
+    * formulation with the same per-round shape. */
+  private[ops] def connectedComponents(edges: DataFrame,
+                                       maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = sym.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).persist(lvl)
+    var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym.join(labels, col("dst") === col("doc"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(nbrMin, col("doc") === col("src"), "left")
+        .select(col("doc"),
+                least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .persist(lvl)
+      val nextSum = next.agg(sum(col("lbl"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q60 — dedup CLUSTERS: the step every training pipeline runs after
+    * candidate pairs — group near-duplicates transitively and pick a
+    * canonical survivor. Edges = exact-content duplicates (star edges
+    * to the group-min doc_id) ∪ blocked exact-Jaccard pairs ≥ 0.5;
+    * components by [[connectedComponents]]; survivor = the cluster id
+    * (smallest member). Fully deterministic, so the DuckDB oracle
+    * replays it with a recursive transitive-closure CTE. */
+  def q60DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val withMin = docs
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    val exactEdges = withMin.filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val jacEdges = boundedJaccardPairs(blockedShingles(s, dir), 1024)
+      .filter(col("jac_exact") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(exactEdges.unionByName(jacEdges))
+    val wc = Window.partitionBy(col("lbl"))
+    comp.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+                count(lit(1)).over(wc).as("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over PRE-HASHED tokens: per bit, sign of the sum
     * of ±1 votes across token hashes — the codegen'd SimHash64
     * expression (graft.functions), one primitive pass per row. */

@@ -164,10 +164,37 @@ object Dedup {
     * long chains would switch to the large-star/small-star
     * formulation with the same per-round shape. */
   private[ops] def connectedComponents(edges: DataFrame,
-                                       maxIters: Int = 20): DataFrame = {
+                                       maxIters: Int = 20,
+                                       driverLimit: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist(lvl)
+    // verified near-dup edge sets are usually tiny relative to the
+    // corpus — under the limit, union-find on the driver beats paying
+    // a shuffle round per cluster-diameter step (same result either
+    // way: labels are the component minimum)
+    if (e.count() <= driverLimit) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k))).toDF("doc", "lbl")
+    }
+    val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc")).persist(lvl)

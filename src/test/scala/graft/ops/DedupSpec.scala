@@ -73,12 +73,16 @@ class DedupSpec extends SparkSpec {
     // chain 1-2-3 (1~2, 2~3 but NOT 1~3), pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (3L, 7L))
       .toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path and distributed label-propagation path
+    // must agree exactly
+    val fast = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(7L) == 1L)
-    assert(comp(10L) == 10L && comp(11L) == 10L)
-    assert(comp(20L) == 20L && comp(21L) == 20L)
-    assert(comp.size == 8)
+    val dist = Dedup.connectedComponents(edges, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected, s"driver path: $fast")
+    assert(dist == expected, s"distributed path: $dist")
   }
 
   test("q59 simhash banding surfaces planted near-identical docs") {

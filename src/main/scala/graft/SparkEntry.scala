@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_heavy_hitters"    -> TextOps.q58HeavyHitters,
     "q59_simhash_pairs"    -> ((s, d) => Dedup.q59SimHashPairs(s, d)),
     "q60_dedup_clusters"   -> Dedup.q60DedupClusters,
+    "q61_chunk_docs"       -> ((s, d) => TextOps.q61ChunkDocs(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -683,6 +684,17 @@ object SparkEntry {
          SELECT doc AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS n_members
          FROM comp ORDER BY doc_id""",
+    "q61_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(generate_series(0, CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1)) AS chunk_no
+           FROM t),
+         s AS (SELECT doc_id, chunk_no,
+           toks[chunk_no * 64 + 1 : chunk_no * 64 + 64] AS ct
+           FROM c)
+         SELECT doc_id, chunk_no, len(ct)::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(ct, ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_no""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

@@ -177,6 +177,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q61 — context-window CHUNKING: split every document into
+    * fixed-size token windows (64 tokens, non-overlapping) — the
+    * sequence-packing step before LLM training. One map-side pass:
+    * tokenize, explode the chunk index range, slice; only (doc,
+    * chunk_no, token count, content md5) move — chunk text never
+    * crosses an exchange. Deterministic and fully oracle-replayable
+    * (DuckDB list slicing is 1-based inclusive, same as slice()). */
+  def q61ChunkDocs(s: SparkSession, dir: String,
+                   chunkTokens: Int = 64): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+              explode(sequence(lit(0),
+                (ceil(size(col("toks")) / lit(chunkTokens.toDouble)) - 1)
+                  .cast("int"))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+              slice(col("toks"), col("chunk_no") * chunkTokens + 1,
+                    lit(chunkTokens)).as("ct"))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+              size(col("ct")).cast("long").as("n_chunk_tokens"),
+              md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   /** q58 — heavy-hitter estimation with a count-min sketch (the
     * bounded-memory answer to "which tokens dominate the corpus" —
     * at 100 TB the exact groupBy of q45 shuffles |vocab| rows per

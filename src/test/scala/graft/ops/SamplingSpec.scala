@@ -55,6 +55,23 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == q45)
   }
 
+  test("q61 chunking covers every token exactly once with a ragged tail") {
+    val rows = TextOps.q61ChunkDocs(spark, sf0001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nTokens = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk numbering is dense from 0
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      // all full except possibly the last; total covers the doc exactly
+      assert(sorted.init.forall(_.getLong(2) == 64L))
+      assert(sorted.map(_.getLong(2)).sum == nTokens(doc))
+      assert(sorted.last.getLong(2) >= 1 && sorted.last.getLong(2) <= 64)
+    }
+  }
+
   test("q54 ranks a planted distinctive term on a literal corpus") {
     // the distinctive term (high tf, df=1) must beat common terms
     val rows = TextOps.q54TfIdf(spark, sf0001).collect()

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins the physical-plan properties SCALE.md claims, so a regression
+  * that silently un-broadcasts a dim or un-prunes a scan fails CI
+  * instead of surfacing at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01 prunes the lineitem scan and pushes the date filter") {
+    val p = plan("q01_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, s"no ReadSchema in:\n${p.take(800)}")
+    val nCols = read.get.split(",").length
+    assert(nCols <= 7, s"lineitem scan reads $nCols of 16 columns: ${read.get}")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter not pushed to the scan")
+  }
+
+  test("q02 broadcasts every dimension join") {
+    val p = plan("q02_revenue_by_nation")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast dim joins, found $n")
+  }
+
+  test("q03 is top-k, not a global sort") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations combine map-side (partial HashAggregate)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q25 simhash is a single map-side pass (no shuffle before sort)") {
+    val p = plan("q25_simhash")
+    // the only exchange allowed is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected aggregation/join shuffle:\n${p.take(1200)}")
+  }
+
+  test("no scan reads the full documents text column where unused") {
+    val p = plan("q19_token_count")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined && read.get.split(",").length <= 2,
+      s"q19 should read only doc_id+text: ${read.getOrElse("")}")
+  }
+}

@@ -80,6 +80,7 @@ object SparkEntry {
     "q59_simhash_pairs"    -> ((s, d) => Dedup.q59SimHashPairs(s, d)),
     "q60_dedup_clusters"   -> Dedup.q60DedupClusters,
     "q61_chunk_docs"       -> ((s, d) => TextOps.q61ChunkDocs(s, d)),
+    "q62_pack_chunks"      -> ((s, d) => TextOps.q62PackChunks(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -695,6 +696,21 @@ object SparkEntry {
          SELECT doc_id, chunk_no, len(ct)::BIGINT AS n_chunk_tokens,
            md5(array_to_string(ct, ' ')) AS chunk_md5
          FROM s ORDER BY doc_id, chunk_no""",
+    "q62_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source, toks,
+           unnest(generate_series(0, CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1)) AS chunk_no
+           FROM t),
+         s AS (SELECT source, doc_id, chunk_no,
+           len(toks[chunk_no * 64 + 1 : chunk_no * 64 + 64])::BIGINT AS n_chunk_tokens
+           FROM c),
+         p AS (SELECT source, doc_id, chunk_no, n_chunk_tokens,
+           sum(n_chunk_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id, chunk_no ROWS UNBOUNDED PRECEDING) AS cum
+           FROM s)
+         SELECT source, doc_id, chunk_no, n_chunk_tokens,
+           CAST(floor((cum - n_chunk_tokens) / 128.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY source, doc_id, chunk_no""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

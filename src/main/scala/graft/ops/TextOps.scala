@@ -200,6 +200,38 @@ object TextOps {
               md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** q62 — sequence PACKING: assign q61's chunks to fixed-capacity
+    * training windows (128 tokens) by cumulative token count, packed
+    * per source shard in (doc_id, chunk_no) order — the approximate
+    * contiguous packing production corpus builders use (exact greedy
+    * bin packing is inherently sequential; the cumsum form is one
+    * windowed scan and deterministic). Partitioning by source keeps
+    * the window bounded per shard — no single-partition WindowExec. */
+  def q62PackChunks(s: SparkSession, dir: String,
+                    capacity: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunkTokens = 64
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+              explode(sequence(lit(0),
+                (ceil(size(col("toks")) / lit(chunkTokens.toDouble)) - 1)
+                  .cast("int"))).as("chunk_no"))
+      .select(col("source"), col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+              size(slice(col("toks"), col("chunk_no") * chunkTokens + 1,
+                         lit(chunkTokens))).cast("long").as("n_chunk_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("chunk_no"),
+              col("n_chunk_tokens"),
+              floor((col("cum") - col("n_chunk_tokens")) / capacity)
+                .as("bin_id"))
+      .orderBy(col("source"), col("doc_id"), col("chunk_no"))
+  }
+
   /** q58 — heavy-hitter estimation with a count-min sketch (the
     * bounded-memory answer to "which tokens dominate the corpus" —
     * at 100 TB the exact groupBy of q45 shuffles |vocab| rows per

@@ -81,6 +81,7 @@ object SparkEntry {
     "q60_dedup_clusters"   -> Dedup.q60DedupClusters,
     "q61_chunk_docs"       -> ((s, d) => TextOps.q61ChunkDocs(s, d)),
     "q62_pack_chunks"      -> ((s, d) => TextOps.q62PackChunks(s, d)),
+    "q63_quantize_embeddings" -> Similarity.q63QuantizeEmbeddings,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -696,6 +697,21 @@ object SparkEntry {
          SELECT doc_id, chunk_no, len(ct)::BIGINT AS n_chunk_tokens,
            md5(array_to_string(ct, ' ')) AS chunk_md5
          FROM s ORDER BY doc_id, chunk_no""",
+    "q63_quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+           FROM embeddings)
+         SELECT vec_id,
+           round(amax / 127.0, 6) AS scale,
+           CASE WHEN amax = 0 THEN 0 ELSE
+             list_sum(list_transform(embedding,
+               x -> CAST(round(x::DOUBLE / (amax / 127.0), 0) AS BIGINT)))
+           END AS qsum,
+           CASE WHEN amax = 0 THEN 0 ELSE
+             list_sum(list_transform(embedding,
+               x -> abs(CAST(round(x::DOUBLE / (amax / 127.0), 0) AS BIGINT))))
+           END AS ql1
+         FROM e ORDER BY vec_id""",
     "q62_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, source, toks,

@@ -354,6 +354,35 @@ object Similarity {
        ORDER BY id_a, id_b"""
   }
 
+  /** q63 — int8 embedding quantization (per-vector absmax scaling,
+    * the standard mixed-precision compression for embedding storage):
+    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]. One
+    * map-side pass; only (vec_id, scale, checksum) move — the
+    * quantized payload stays columnar. Every step is exact or
+    * correctly-rounded IEEE arithmetic (max is order-independent,
+    * round is HALF_UP in both engines), so the oracle replays it. */
+  def q63QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val absMax = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), absMax.as("amax"))
+      .select(col("vec_id"),
+              round(col("amax") / 127.0, 6).as("scale"),
+              when(col("amax") === 0.0, lit(0L)).otherwise(
+                aggregate(
+                  transform(col("embedding"),
+                    x => round(x.cast("double") / (col("amax") / 127.0), 0)
+                      .cast("long")),
+                  lit(0L), (acc, q) => acc + q)).as("qsum"),
+              when(col("amax") === 0.0, lit(0L)).otherwise(
+                aggregate(
+                  transform(col("embedding"),
+                    x => abs(round(x.cast("double") / (col("amax") / 127.0), 0))
+                      .cast("long")),
+                  lit(0L), (acc, q) => acc + q)).as("ql1"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q28 — embedding column statistics per label: count, mean norm,
     * mean first component. */
   def q28EmbeddingStats(s: SparkSession, dir: String): DataFrame =

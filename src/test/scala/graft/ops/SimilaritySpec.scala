@@ -24,6 +24,30 @@ class SimilaritySpec extends SparkSpec {
     assert(moved > 8, s"expected most centroids to move off their seeds, moved=$moved")
   }
 
+  test("q63 quantization: values in int8 range, dequantized error within scale/2") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f, 127.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),        // zero vector
+      (2L, Seq(-0.003f, 0.001f, 0.002f, -0.001f))
+    ).toDF("vec_id", "embedding")
+    val absMax = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    val q = vecs.select(col("vec_id"), col("embedding"), absMax.as("amax"))
+      .filter(col("amax") > 0) // the query guards zero vectors via when()
+      .select(col("vec_id"), col("amax"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / (col("amax") / 127.0), 0).cast("long"))
+          .as("q"))
+      .collect()
+    assert(q.length == 2)
+    q.foreach { r =>
+      val qs = r.getSeq[Long](2)
+      assert(qs.forall(v => v >= -127 && v <= 127), s"out of int8 range: $qs")
+      assert(qs.exists(v => math.abs(v) == 127L), "absmax element must hit 127")
+    }
+  }
+
   test("IVF recall@5 vs brute-force truth") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("q_id").cast("long"), col("n_id").cast("long"))

@@ -82,6 +82,7 @@ object SparkEntry {
     "q61_chunk_docs"       -> ((s, d) => TextOps.q61ChunkDocs(s, d)),
     "q62_pack_chunks"      -> ((s, d) => TextOps.q62PackChunks(s, d)),
     "q63_quantize_embeddings" -> Similarity.q63QuantizeEmbeddings,
+    "q64_decode_meta"      -> Multimodal.q64DecodeMeta,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -697,6 +698,20 @@ object SparkEntry {
          SELECT doc_id, chunk_no, len(ct)::BIGINT AS n_chunk_tokens,
            md5(array_to_string(ct, ' ')) AS chunk_md5
          FROM s ORDER BY doc_id, chunk_no""",
+    // q64: the decode stub's fake is pure arithmetic over the bytes —
+    // ASCII corpus, so per-char ascii() sums equal byte sums (q36
+    // already pins that equivalence)
+    "q64_decode_meta" ->
+      """WITH b AS (SELECT doc_id, strlen(text)::BIGINT AS n,
+           list_sum(list_transform(string_split(text, ''),
+             ch -> ascii(ch)::BIGINT)) AS bsum
+           FROM documents)
+         SELECT doc_id, n AS n_bytes,
+           (64 + n % 1856) AS width,
+           (64 + (n * 7) % 1016) AS height,
+           round(CASE WHEN n = 0 THEN 0 ELSE bsum::DOUBLE / n / 255.0 END, 6)
+             AS mean_luma
+         FROM b ORDER BY doc_id""",
     "q63_quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax

@@ -88,6 +88,25 @@ object Multimodal {
               posexplode(frames).as(Seq("frame_no", "frame")))
   }
 
+  /** q64 — the decode stage under the oracle gate: run the
+    * partition-parallel decode over the documents' bytes and check
+    * every derived field against DuckDB (byte length, fake dims,
+    * mean byte value — the corpus is ASCII, q36 already proves the
+    * per-char arithmetic matches). This upgrades the decode from
+    * "plumbing with a spec" to an oracle-checked distributed pass:
+    * the mapPartitions path, encoder round-trip, and batch shape all
+    * sit on the verified path even though the codec is a stub. */
+  def q64DecodeMeta(s: SparkSession, dir: String): DataFrame =
+    decodeImages(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "doc_id")
+      .select(col("doc_id"), col("n_bytes"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy(col("doc_id"))
+
   def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._

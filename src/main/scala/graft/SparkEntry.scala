@@ -83,6 +83,8 @@ object SparkEntry {
     "q62_pack_chunks"      -> ((s, d) => TextOps.q62PackChunks(s, d)),
     "q63_quantize_embeddings" -> Similarity.q63QuantizeEmbeddings,
     "q64_decode_meta"      -> Multimodal.q64DecodeMeta,
+    "q65_resize_plan"      -> ((s, d) => Multimodal.q65ResizePlan(s, d)),
+    "q66_frame_sample"     -> Multimodal.q66FrameSample,
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
@@ -698,6 +700,25 @@ object SparkEntry {
          SELECT doc_id, chunk_no, len(ct)::BIGINT AS n_chunk_tokens,
            md5(array_to_string(ct, ' ')) AS chunk_md5
          FROM s ORDER BY doc_id, chunk_no""",
+    "q65_resize_plan" ->
+      """WITH b AS (SELECT doc_id, strlen(text)::BIGINT AS n FROM documents),
+         d AS (SELECT doc_id, (64 + n % 1856) AS w, (64 + (n * 7) % 1016) AS h
+               FROM b)
+         SELECT doc_id, w AS width, h AS height,
+           CAST(floor(w * least(1.0, 512.0 / greatest(w, h))) AS BIGINT)
+             AS target_width,
+           CAST(floor(h * least(1.0, 512.0 / greatest(w, h))) AS BIGINT)
+             AS target_height
+         FROM d ORDER BY doc_id""",
+    "q66_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text,
+           CAST(floor(strlen(text) / 128.0) AS BIGINT) AS nf FROM documents),
+         f AS (SELECT doc_id, text,
+           unnest(generate_series(0, nf - 1)) AS frame_no
+           FROM b WHERE nf >= 1)
+         SELECT doc_id, frame_no,
+           md5(substring(text, CAST(frame_no * 128 + 1 AS INT), 64)) AS frame_md5
+         FROM f ORDER BY doc_id, frame_no""",
     // q64: the decode stub's fake is pure arithmetic over the bytes —
     // ASCII corpus, so per-char ascii() sums equal byte sums (q36
     // already pins that equivalence)

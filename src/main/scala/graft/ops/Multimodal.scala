@@ -107,6 +107,37 @@ object Multimodal {
               round(col("mean_luma"), 6).as("mean_luma"))
       .orderBy(col("doc_id"))
 
+  /** q65 — resize planning under the oracle gate: chain [[resizeMeta]]
+    * behind the decode stage and verify the target-dimension
+    * arithmetic (aspect-preserving max-edge bound) against DuckDB. */
+  def q65ResizePlan(s: SparkSession, dir: String, maxEdge: Int = 512): DataFrame =
+    resizeMeta(
+        decodeImages(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload", "doc_id"),
+        maxEdge)
+      .select(col("doc_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("target_width").cast("long").as("target_width"),
+              col("target_height").cast("long").as("target_height"))
+      .orderBy(col("doc_id"))
+
+  /** q66 — frame sampling under the oracle gate: every stride-th
+    * fixed-size block of the payload becomes a frame row; the corpus
+    * is ASCII so DuckDB's string slicing replays the byte slicing
+    * and the per-frame md5 matches bit-for-bit. Only (doc, frame_no,
+    * md5) ever move. */
+  def q66FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "doc_id", frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+              md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
   def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._

@@ -738,14 +738,14 @@ object SparkEntry {
            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
            FROM embeddings)
          SELECT vec_id,
-           round(amax / 127.0, 6) AS scale,
+           CAST(floor(amax / 127.0 * 1e6 + 0.5) AS BIGINT) AS scale_micro,
            CASE WHEN amax = 0 THEN 0 ELSE
              list_sum(list_transform(embedding,
-               x -> CAST(round(x::DOUBLE / (amax / 127.0), 0) AS BIGINT)))
+               x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS BIGINT)))
            END AS qsum,
            CASE WHEN amax = 0 THEN 0 ELSE
              list_sum(list_transform(embedding,
-               x -> abs(CAST(round(x::DOUBLE / (amax / 127.0), 0) AS BIGINT))))
+               x -> abs(CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS BIGINT))))
            END AS ql1
          FROM e ORDER BY vec_id""",
     "q62_pack_chunks" ->

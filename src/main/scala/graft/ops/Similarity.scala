@@ -356,28 +356,32 @@ object Similarity {
 
   /** q63 — int8 embedding quantization (per-vector absmax scaling,
     * the standard mixed-precision compression for embedding storage):
-    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]. One
-    * map-side pass; only (vec_id, scale, checksum) move — the
-    * quantized payload stays columnar. Every step is exact or
-    * correctly-rounded IEEE arithmetic (max is order-independent,
-    * round is HALF_UP in both engines), so the oracle replays it. */
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+    * One map-side pass; only (vec_id, scale_micro, checksum) move —
+    * the quantized payload stays columnar. All outputs are
+    * integer-exact: `round()`-on-double is NOT bit-stable across
+    * engines at last-ulp halfway-adjacent quotients (r2's one hash
+    * mismatch), so the scale is emitted as micro-units via floor and
+    * the quantizer uses floor(x/scale + 0.5) — floor of a correctly
+    * rounded IEEE double is identical in Spark and DuckDB. */
   def q63QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val absMax = aggregate(col("embedding"), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double"))))
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), absMax.as("amax"))
       .select(col("vec_id"),
-              round(col("amax") / 127.0, 6).as("scale"),
+              floor(col("amax") / 127.0 * 1e6 + 0.5).cast("long")
+                .as("scale_micro"),
               when(col("amax") === 0.0, lit(0L)).otherwise(
                 aggregate(
                   transform(col("embedding"),
-                    x => round(x.cast("double") / (col("amax") / 127.0), 0)
+                    x => floor(x.cast("double") / (col("amax") / 127.0) + 0.5)
                       .cast("long")),
                   lit(0L), (acc, q) => acc + q)).as("qsum"),
               when(col("amax") === 0.0, lit(0L)).otherwise(
                 aggregate(
                   transform(col("embedding"),
-                    x => abs(round(x.cast("double") / (col("amax") / 127.0), 0))
+                    x => abs(floor(x.cast("double") / (col("amax") / 127.0) + 0.5))
                       .cast("long")),
                   lit(0L), (acc, q) => acc + q)).as("ql1"))
       .orderBy(col("vec_id"))

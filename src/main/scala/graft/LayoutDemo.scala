@@ -82,9 +82,58 @@ object LayoutDemo {
     val flatExchanges = "Exchange hashpartitioning".r
       .findAllIn(revJoin("l_flat", "o_flat").queryExecution.executedPlan.toString).length
 
+    // ---- C: IVF partition-by-cell layout (embeddings) ----
+    // SCALE.md's promised layout lever: store the corpus partitioned by
+    // assigned coarse cell, and an IVF probe physically reads only its
+    // nprobe/C of the files — partition pruning does the candidate
+    // selection before a single byte of embedding data is scanned.
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+              Similarity.l2norm(col("embedding")).as("nrm"))
+    val cent = Similarity.centroidsWithNorm(emb, 16, 2)
+    val asg = Similarity.assignCells(emb, cent)
+    asg.write.mode("overwrite").parquet(s"$wh/emb_flat")
+    graft.sources.Sources.writePartitioned(
+      asg.repartition(col("cell")), s"$wh/emb_bycell", Seq("cell"))
+    // the query's nprobe best cells (same rule as q27's probe stage)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val probeCells = q0.crossJoin(cent)
+      .select(col("c_id"),
+              (Similarity.dotFD(col("q_emb"), col("c_emb")) /
+                (col("q_nrm") * col("c_nrm"))).as("csim"))
+      .orderBy(col("csim").desc, col("c_id")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    // a real probe: score every candidate in the probed cells against
+    // the broadcast query vector, keep the top 5
+    def probe(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("cell").isin(probeCells: _*))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+                (Similarity.dot(col("q_emb"), col("embedding")) /
+                  (col("q_nrm") * col("nrm"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    val flatProbeDf = probe(s"$wh/emb_flat")
+    val cellProbeDf = probe(s"$wh/emb_bycell")
+    val flatProbe = timeIt(run(flatProbeDf))
+    val cellProbe = timeIt(run(cellProbeDf))
+    val cellPlan = cellProbeDf.queryExecution.executedPlan.toString
+    val cellPruned = cellPlan.contains("PartitionFilters: [cell")
+    // physical proof: how many part-files each variant actually opens
+    def filesRead(path: String): Long =
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*))
+        .select(input_file_name()).distinct().count()
+    val filesTotal = spark.read.parquet(s"$wh/emb_bycell")
+      .select(input_file_name()).distinct().count()
+    val filesProbed = filesRead(s"$wh/emb_bycell")
+
     println(s"""{"partition_pruning":{"flat_sec":$flatScan,"pruned_sec":$prunedScan,"partition_filter_in_plan":$pruned},""" +
       s""""bucketed_join":{"flat_sec":$flatJoin,"bucketed_sec":$bucketJoin,""" +
-      s""""flat_exchanges":$flatExchanges,"bucketed_exchanges":$exchanges}}""")
+      s""""flat_exchanges":$flatExchanges,"bucketed_exchanges":$exchanges},""" +
+      s""""ivf_cell_layout":{"flat_probe_sec":$flatProbe,"cell_probe_sec":$cellProbe,""" +
+      s""""partition_filter_in_plan":$cellPruned,"files_total":$filesTotal,"files_probed":$filesProbed}}""")
     spark.stop()
   }
 }

@@ -164,23 +164,36 @@ object Similarity {
     * joins the small (query × cell) set broadcast against the
     * cell-assigned corpus, so the quadratic scoring touches only
     * nprobe/C of the data. */
+  /** Learned IVF centroids with norms, broadcast-ready: (c_id, c_emb,
+    * c_nrm). Shared by q27 and the partition-by-cell layout demo. */
+  private[graft] def centroidsWithNorm(e: DataFrame, C: Int, iters: Int): DataFrame =
+    broadcast(
+      learnCentroids(e, C, iters).withColumn("c_nrm", l2normD(col("c_emb")))
+        .toDF("c_id", "c_emb", "c_nrm"))
+
+  /** Distributed IVF cell assignment — cosine argmax against the
+    * broadcast centroids, reduced by a map-side partial max_by agg
+    * (the shuffle carries (vec_id, cell, emb) once, not C times):
+    * (vec_id, cell, embedding, nrm). */
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val simToC = dotFD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+    e.crossJoin(cent)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
+              simToC.as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"),
+           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+  }
+
   def q27IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val C = 16
     val nprobe = 4
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    val cent = broadcast(
-      learnCentroids(e, C, iters = 2).withColumn("c_nrm", l2normD(col("c_emb")))
-        .toDF("c_id", "c_emb", "c_nrm"))
-    val simToC = dotFD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+    val cent = centroidsWithNorm(e, C, iters = 2)
     // argmax cell per vector: map-side partial agg, tiny shuffle
-    val asg = e.crossJoin(cent)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
-              simToC.as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"),
-           first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val asg = assignCells(e, cent)
     // nprobe best cells per query vector
     val wprobe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
     val probes = broadcast(

@@ -739,14 +739,14 @@ object SparkEntry {
            FROM embeddings)
          SELECT vec_id,
            CAST(floor(amax / 127.0 * 1e6 + 0.5) AS BIGINT) AS scale_micro,
-           CASE WHEN amax = 0 THEN 0 ELSE
+           CAST(CASE WHEN amax = 0 THEN 0 ELSE
              list_sum(list_transform(embedding,
                x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS BIGINT)))
-           END AS qsum,
-           CASE WHEN amax = 0 THEN 0 ELSE
+           END AS BIGINT) AS qsum,
+           CAST(CASE WHEN amax = 0 THEN 0 ELSE
              list_sum(list_transform(embedding,
                x -> abs(CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS BIGINT))))
-           END AS ql1
+           END AS BIGINT) AS ql1
          FROM e ORDER BY vec_id""",
     "q62_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

@@ -32,7 +32,7 @@ object Bench {
     // batch timings must not absorb (VERDICT r2 #2 — the suspected
     // mechanism behind the driver-side r2 drift).
     val (streamingQs, batchQs) =
-      selected.partition(_._1.contains("stream"))
+      selected.partition(q => SparkEntry.streamingQueries(q._1))
     // min of N runs per query: steady-state timing, robust to GC /
     // scheduler noise in a 32-thread local JVM. A query that throws
     // reports -1 (sentinel) and its error — never the fast-failure

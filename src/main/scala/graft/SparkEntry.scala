@@ -87,6 +87,13 @@ object SparkEntry {
     "q66_frame_sample"     -> Multimodal.q66FrameSample,
   )
 
+  /** The queries above that run real Structured Streaming round-trips.
+    * Bench isolates their timings from the batch set (a started stream
+    * leaves state-store maintenance threads in the JVM); derived here,
+    * next to the registrations, rather than by name-matching. */
+  val streamingQueries: Set[String] =
+    Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join")
+
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -242,7 +242,7 @@ object Dedup {
         .distinct().localCheckpoint()
       large.unpersist()
       val cur = checksum(next)
-      canon.unpersist()
+      releaseCheckpoint(canon)
       canon = next
       converged = cur == prev
       prev = cur
@@ -252,14 +252,48 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters " +
         "large-star/small-star rounds — refusing to return partial labels")
+    // Checksum equality is necessary but not sufficient — a 64-bit
+    // collision between two DISTINCT edge sets would end the loop
+    // early with wrong labels. Independently certify the structural
+    // fixpoint: star graphs are exactly the fixpoints of
+    // large-star/small-star, so the converged set must be a forest of
+    // depth-1 stars — each non-root points to exactly one root and no
+    // node is both a pointer and a pointee. Two small jobs over the
+    // checkpointed set; certifies labels regardless of how we exited.
+    val multiParent = canon.groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).limit(1).count()
+    val chained = canon.select(col("u")).intersect(canon.select(col("v")))
+      .limit(1).count()
+    if (multiParent > 0 || chained > 0)
+      throw new IllegalStateException(
+        "connectedComponents converged on a non-star edge set " +
+        "(checksum collision) — refusing to return wrong labels")
     // at the fixpoint every component is a star centred on its min:
-    // non-roots appear exactly once as u; roots (and only roots) never do
+    // non-roots appear exactly once as u; roots (and only roots) never do.
+    // Materialize labels before releasing the cached inputs they read —
+    // returning them lazily would pin nodes + canon in the block manager
+    // for the caller's lifetime (ADVICE r3).
     val labels = nodes
       .join(canon.select(col("u").as("doc"), col("v").as("lbl")), Seq("doc"), "left")
       .select(col("doc"), coalesce(col("lbl"), col("doc")).as("lbl"))
+      .localCheckpoint()
+    nodes.unpersist()
+    releaseCheckpoint(canon)
     e.unpersist()
     labels
   }
+
+  /** `Dataset.localCheckpoint` persists its RDD OUTSIDE the
+    * CacheManager, so `df.unpersist()` is a no-op on a checkpointed
+    * frame; release the backing blocks via the public LogicalRDD
+    * leaf instead (otherwise every contraction round leaks its edge
+    * set until the ContextCleaner's next GC-driven sweep). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** q60 — dedup CLUSTERS: the step every training pipeline runs after
     * candidate pairs — group near-duplicates transitively and pick a

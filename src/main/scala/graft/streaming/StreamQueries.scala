@@ -118,8 +118,12 @@ object StreamQueries {
       if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
       else Paths.get(System.getProperty("java.io.tmpdir"))
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
-    val sentinelDrops =
-      sys.env.get("SPARK_GRAFT_STREAM_SENTINELS").map(_.toInt).getOrElse(drops)
+    // Debug knob, scoped per query (e.g. SPARK_GRAFT_STREAM_SENTINELS_q51):
+    // a uniform override would silently strip another query's required
+    // watermark-advancing sentinel while iterating on this one.
+    val sentinelDrops = sys.env
+      .get(s"SPARK_GRAFT_STREAM_SENTINELS_$prefix")
+      .map(_.toInt).getOrElse(drops)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", stateParts)
     val ckpt = Files.createTempDirectory(ckptBase, s"graft_ckpt_$prefix")

@@ -631,24 +631,32 @@ object SparkEntry {
                ORDER BY score_exact DESC, term) AS rn FROM sc)
          SELECT doc_id, term, tf, df, round(score_exact, 6) AS tfidf
          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // q55: counts = redactions performed per step, derived from
+    // placeholder occurrences (after minus before) exactly like the
+    // Spark query — one regex pass per pattern in both engines
     "q55_pii_redact" ->
-      """WITH red AS (SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PHONE]', 'g'),
-             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS rtext,
-           len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(text,
-             '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))::BIGINT AS n_phones,
-           len(regexp_extract_all(text,
-             '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT AS n_ssns
-           FROM documents)
-         SELECT doc_id, n_emails, n_phones, n_ssns,
-           md5(rtext) AS redacted_md5, length(rtext)::BIGINT AS redacted_len
-         FROM red ORDER BY doc_id""",
+      """WITH s1 AS (SELECT doc_id, text,
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT *, regexp_replace(t1,
+             '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PHONE]', 'g') AS t2
+           FROM s1),
+         s3 AS (SELECT *, regexp_replace(t2,
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t3
+           FROM s2)
+         SELECT doc_id,
+           CAST((length(t1) - length(replace(t1, '[EMAIL]', ''))) / 7 AS BIGINT)
+             - CAST((length(text) - length(replace(text, '[EMAIL]', ''))) / 7 AS BIGINT)
+             AS n_emails,
+           CAST((length(t2) - length(replace(t2, '[PHONE]', ''))) / 7 AS BIGINT)
+             - CAST((length(t1) - length(replace(t1, '[PHONE]', ''))) / 7 AS BIGINT)
+             AS n_phones,
+           CAST((length(t3) - length(replace(t3, '[SSN]', ''))) / 5 AS BIGINT)
+             - CAST((length(t2) - length(replace(t2, '[SSN]', ''))) / 5 AS BIGINT)
+             AS n_ssns,
+           md5(t3) AS redacted_md5, length(t3)::BIGINT AS redacted_len
+         FROM s3 ORDER BY doc_id""",
     // q57: the stream-stream join finalizes every match (sentinels
     // advance both sides' watermarks), so the oracle is the batch
     // self-join verbatim

@@ -45,6 +45,17 @@ object Sources {
     (good, bad)
   }
 
+  /** Schema'd ORC source: the other columnar format large estates
+    * standardize on. Same scan behaviors as parquet — column pruning
+    * and predicate pushdown reach the reader (SourcesSpec pins the
+    * pushed filter), so a 2-column projection reads 2 columns. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink (zlib, Spark's default codec). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet sink: directory per partition
     * value, so filters on the partition columns prune entire
     * directories at planning time (zero I/O for pruned partitions —

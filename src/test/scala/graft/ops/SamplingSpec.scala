@@ -39,6 +39,26 @@ class SamplingSpec extends SparkSpec {
     assert(!redacted.exists(_.contains("example.com")))
   }
 
+  test("q55 placeholder-derived counts match redactions performed") {
+    val df = Seq(
+      (1L, "contact john.doe@example.com or +1 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 and email a@b.io plus 987-65-4321"),
+      (3L, "clean text with no pii at all"),
+      // literal placeholder already in the text must NOT count
+      (4L, "fake [EMAIL] marker but real bob@corp.net here"),
+      // a phone-shaped local part is consumed by the email redaction:
+      // counted as the email it was part of, not double-counted
+      (5L, "odd address 555-123-4567@pbx.example.org rings")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.piiRedact(df).orderBy($"doc_id").collect()
+    val counts = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(counts(0) == ((1L, 1L, 0L)))
+    assert(counts(1) == ((1L, 0L, 2L)), s"got ${counts(1)}")
+    assert(counts(2) == ((0L, 0L, 0L)))
+    assert(counts(3) == ((1L, 0L, 0L)), "pre-existing literal [EMAIL] must not count")
+    assert(counts(4) == ((1L, 0L, 0L)), "phone inside email counts once, as the email")
+  }
+
   test("q58 CMS estimates bound the exact counts from above within eps*N") {
     val rows = TextOps.q58HeavyHitters(spark, sf0001).collect()
     assert(rows.length == 25)

@@ -38,6 +38,22 @@ class SourcesSpec extends SparkSpec {
     assert(badRows.length == 1 && badRows.head.contains("broken"))
   }
 
+  test("orc round trip preserves schema and pushes filters to the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc").toString
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    Sources.writeOrc(orders, s"$tmp/orders")
+    val back = Sources.readOrc(spark, s"$tmp/orders", orders.schema)
+    assert(back.schema == orders.schema)
+    assert(back.count() == orders.count())
+    val filtered = back.filter($"o_totalprice" > 100000.0).select($"o_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"filter should reach the ORC scan:\n$plan")
+    assert(filtered.count() ==
+      orders.filter($"o_totalprice" > 100000.0).count())
+  }
+
   test("partitioned write prunes partitions at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     val orders = Tables.orders(spark, sf0001)
@@ -49,6 +65,35 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("yr"))
     val expected = orders.filter($"yr" === 1997).count()
     assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("partition-by-cell IVF layout: probe reads only nprobe/C of the files") {
+    import graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("ivfcell").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding", Similarity.l2norm($"embedding").as("nrm"))
+    val cent = Similarity.centroidsWithNorm(emb, 8, 2)
+    val asg = Similarity.assignCells(emb, cent)
+    // one file per cell directory: repartition by the partition column
+    Sources.writePartitioned(
+      asg.repartition($"cell"), s"$tmp/emb_bycell", Seq("cell"))
+    val probeCells = Seq(0L, 1L)
+    val probed = spark.read.parquet(s"$tmp/emb_bycell")
+      .filter($"cell".isin(probeCells: _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell probe should prune partitions at planning time:\n$plan")
+    val filesTotal = spark.read.parquet(s"$tmp/emb_bycell")
+      .select(input_file_name()).distinct().count()
+    val filesProbed = probed.select(input_file_name()).distinct().count()
+    assert(filesProbed <= probeCells.length,
+      s"probe opened $filesProbed files for ${probeCells.length} cells")
+    assert(filesTotal > filesProbed, "layout should have more cells than probed")
+    // pruning must not change the answer
+    val expected = asg.filter($"cell".isin(probeCells: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(probed.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == expected)
   }
 
   test("bucketed tables join without a shuffle") {

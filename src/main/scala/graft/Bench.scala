@@ -46,6 +46,12 @@ object Bench {
       group.foreach { case (_, fn) =>
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => }
+        // several operators persist an intra-query scan (q24's shingle
+        // table, q35's corpus) that the CacheManager keeps alive after
+        // the action; 60+ such caches accumulating across the run is
+        // cross-query memory pressure that skews later timings (the
+        // r2 bench drift). Isolate: every query starts cache-cold.
+        spark.catalog.clearCache()
       }
       group.map { case (name, fn) =>
         var err: Option[String] = None
@@ -60,6 +66,7 @@ object Bench {
             None
           }
         }
+        spark.catalog.clearCache()
         (name, if (times.nonEmpty && err.isEmpty) times.min else -1.0, err)
       }
     }

@@ -24,6 +24,9 @@ object Verify {
         failures(name) =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
+      // intra-query persists (q24, q35) must not accumulate across
+      // the 60+ query dump — same isolation as Bench
+      spark.catalog.clearCache()
     }
     def q(s: String): String = JsonUtil.esc(s)
     val json = SparkEntry.oracleSql

@@ -221,6 +221,61 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash (base 31, mod 1e9+7) over the character
+  * stream as ONE codegen'd pass over the UTF8String — the document
+  * fingerprint (q36) without the per-character string array the
+  * `aggregate(transform(split(text, ''), ascii), ...)` formulation
+  * allocates. Bit-equal to that formulation: pure-ASCII input runs a
+  * primitive byte loop (byte value == code point); any non-ASCII
+  * input falls back to a UTF-16 loop (char value == `ascii()` of the
+  * split character for all BMP text). Modular at every step, so it
+  * can never overflow ANSI-mode longs. */
+case class RollingHash31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash31 requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash31"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash31.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.RollingHash31.hash($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash31 {
+  private val M = 1000000007L
+
+  /** Static so generated code can call it directly. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) { // non-ASCII byte: redo as UTF-16 code units
+        val str = s.toString
+        acc = 0L
+        var j = 0
+        while (j < str.length) { acc = (acc * 31L + str.charAt(j)) % M; j += 1 }
+        return acc
+      }
+      acc = (acc * 31L + b) % M
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -239,6 +294,10 @@ object VectorFunctions {
   /** 64-bit SimHash fingerprint over an array<long> of token hashes. */
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  /** Rolling base-31 fingerprint over a string column's characters. */
+  def rollingHash31(text: Column): Column =
+    ColumnBridge.column(RollingHash31(ColumnBridge.expression(text)))
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

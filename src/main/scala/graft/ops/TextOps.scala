@@ -66,22 +66,21 @@ object TextOps {
 
   /** q36 — document fingerprinting via a polynomial rolling hash over
     * the character stream (base 31, mod 1e9+7): the classic
-    * content-defined fingerprint, computed as a single sequential
-    * `aggregate` over the char codes — one map-side pass, no shuffle
-    * before the final sort, and modular so it can never overflow
-    * ANSI-mode longs. Cross-checkable exactly (unlike xxhash64, both
-    * engines can run the same arithmetic). */
-  def q36RollingHash(s: SparkSession, dir: String): DataFrame = {
-    val M = 1000000007L
-    val fp = aggregate(
-      transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % M)
+    * content-defined fingerprint. Computed by the codegen'd
+    * `RollingHash31` expression (graft.functions) — a primitive loop
+    * over the string bytes, no per-character array, no shuffle before
+    * the final sort; bit-equal to the
+    * `aggregate(transform(split(...), ascii), ...)` formulation it
+    * replaced (FunctionsSpec pins the equivalence), and modular so it
+    * can never overflow ANSI-mode longs. Cross-checkable exactly
+    * (unlike xxhash64, both engines can run the same arithmetic). */
+  def q36RollingHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), fp.as("fingerprint"),
+      .select(col("doc_id"),
+              graft.functions.VectorFunctions.rollingHash31(col("text"))
+                .as("fingerprint"),
               length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   /** q40 — BPE-ish subword token counting: alongside the whitespace
     * count, tokens from a regex that mimics byte-pair-encoded unit

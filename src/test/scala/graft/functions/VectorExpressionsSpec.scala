@@ -26,6 +26,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(byId(3L) == 0.0)
   }
 
+  test("rolling_hash31 equals the split+ascii HOF formulation") {
+    val M = 1000000007L
+    val texts = Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""),
+      (3L, "a"),
+      (4L, "punctuation: yes, nums 12345 & symbols #@!"),
+      (5L, "café naïve résumé"), // non-ASCII BMP chars
+      (6L, "x" * 5000)
+    ).toDF("id", "text")
+    val hof = aggregate(
+      transform(split($"text", ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => (acc * 31L + c) % M)
+    val rows = texts
+      .select($"id", VectorFunctions.rollingHash31($"text").as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)} diverged"))
+    // and on the real corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(VectorFunctions.rollingHash31($"text").as("fast"), hof.as("ref"))
+      .collect()
+    docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("null inputs propagate") {
     val withNull = Seq((Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = withNull.select(VectorFunctions.dotF32($"a", $"b")).collect().head

@@ -85,6 +85,9 @@ object SparkEntry {
     "q64_decode_meta"      -> Multimodal.q64DecodeMeta,
     "q65_resize_plan"      -> ((s, d) => Multimodal.q65ResizePlan(s, d)),
     "q66_frame_sample"     -> Multimodal.q66FrameSample,
+    "q67_stream_dedup"     -> graft.streaming.StreamQueries.q67StreamDedup,
+    "q68_repetition"       -> TextOps.q68Repetition,
+    "q69_funnel"           -> EventOps.q69Funnel,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -92,7 +95,8 @@ object SparkEntry {
     * leaves state-store maintenance threads in the JVM); derived here,
     * next to the registrations, rather than by name-matching. */
   val streamingQueries: Set[String] =
-    Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join")
+    Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
+        "q67_stream_dedup")
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -778,6 +782,42 @@ object SparkEntry {
          SELECT source, doc_id, chunk_no, n_chunk_tokens,
            CAST(floor((cum - n_chunk_tokens) / 128.0) AS BIGINT) AS bin_id
          FROM p ORDER BY source, doc_id, chunk_no""",
+    "q67_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q68_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END AS tri FROM t)
+         SELECT doc_id, len(tri)::BIGINT AS n_trigrams,
+           len(list_distinct(tri))::BIGINT AS n_distinct,
+           round(CASE WHEN len(tri) > 0
+                 THEN 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)
+                 ELSE 0.0 END, 6) AS rep_ratio
+         FROM g ORDER BY doc_id""",
+    "q69_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+         SELECT v.user_id,
+           strftime(v.t_view, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+           strftime(c.t_click, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+           (1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS stage
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

@@ -276,6 +276,67 @@ object RollingHash31 {
   }
 }
 
+/** Word-trigram statistics (q68's repetition signal) in ONE pass per
+  * row, packed into a single long: high 32 bits = total trigrams,
+  * low 32 = distinct trigrams. The Column formulation materializes
+  * the full trigram string array just to take `size` and
+  * `size(array_distinct(...))`; this walks the token array once with
+  * a hash set, allocating only the joined keys. Distinctness is
+  * exact byte equality on the space-joined trigram — identical to
+  * `array_distinct` over `concat_ws(" ", ...)` and to DuckDB's
+  * `list_distinct` over `array_to_string` (tokens from a space split
+  * can't themselves contain spaces, so the join is injective). Null
+  * tokens (which a space split never produces) are treated as empty
+  * strings. */
+case class TrigramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"trigram_stats requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "trigram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramStats.stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.TrigramStats.stats($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TrigramStats {
+  /** Static so generated code can call it directly. */
+  def stats(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val total = if (n >= 3) n - 2 else 0
+    if (total == 0) return 0L
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < total) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
+        .append(toks(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    (total.toLong << 32) | seen.size.toLong
+  }
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -298,6 +359,10 @@ object VectorFunctions {
   /** Rolling base-31 fingerprint over a string column's characters. */
   def rollingHash31(text: Column): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(text)))
+
+  /** Packed (total<<32 | distinct) word-trigram counts of a token array. */
+  def trigramStats(toks: Column): Column =
+    ColumnBridge.column(TrigramStats(ColumnBridge.expression(toks)))
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

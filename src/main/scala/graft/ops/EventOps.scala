@@ -118,4 +118,36 @@ object EventOps {
            round(avg(col("k")), 6).as("avg_k"),
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** q69 — ordered conversion funnel (view → click → purchase): per
+    * user, the first view, the first click strictly after it, the
+    * first purchase strictly after that — the classic product
+    * funnel, which plain conditional aggregation can't express
+    * because each stage's window starts at the previous stage's
+    * result. Three per-user min-aggregations chained by equi-joins:
+    * every shuffle keys on user_id, so after the first aggregation
+    * the remaining joins and aggs reuse the same hash partitioning
+    * (no re-shuffle at scale — one partitioning carried through the
+    * whole funnel). */
+  def q69Funnel(s: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+              date_format(col("t_view"), fmt).as("t_view"),
+              date_format(col("t_click"), fmt).as("t_click"),
+              date_format(col("t_purchase"), fmt).as("t_purchase"),
+              (lit(1L) + col("t_click").isNotNull.cast("long")
+                       + col("t_purchase").isNotNull.cast("long")).as("stage"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -300,4 +300,31 @@ object TextOps {
                   col("s_en"), col("s_fr"), col("s_es"), col("s_de"))
       .orderBy(col("doc_id"))
   }
+
+  /** q68 — repetition detection, the quality signal that catches
+    * boilerplate and degenerate generations: the fraction of word
+    * trigrams that are repeats (1 − distinct/total). Non-distinct
+    * trigrams here — unlike [[shingles]], the duplicates ARE the
+    * signal. One map-side expression pass per document (guarded so
+    * sub-3-token docs score 0 rather than tripping `sequence`'s
+    * descending-range behavior); deterministic, so the DuckDB oracle
+    * replays it list-for-list. */
+  def q68Repetition(s: SparkSession, dir: String): DataFrame = {
+    // one pass per row via the codegen'd TrigramStats expression
+    // (graft.functions): total<<32 | distinct packed in a long — the
+    // array-materializing Column formulation was 10× slower at sf0.1
+    val packed = graft.functions.VectorFunctions
+      .trigramStats(tokens(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), packed.as("packed"))
+      .select(col("doc_id"),
+              shiftrightunsigned(col("packed"), 32).as("n_trigrams"),
+              col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+              round(when(col("n_trigrams") > 0,
+                      lit(1.0) - col("n_distinct").cast("double")
+                        / col("n_trigrams"))
+                      .otherwise(0.0), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

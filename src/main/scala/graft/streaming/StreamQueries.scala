@@ -190,6 +190,26 @@ object StreamQueries {
               date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
       .orderBy(col("view_id"), col("purchase_id"))
 
+  /** q67 — streaming exact dedup: first-occurrence distinct over
+    * (user_id, event_type) via streaming `dropDuplicates` state — the
+    * online form of q22's batch dedup, and the standard
+    * at-least-once-to-exactly-once repair step in an event ingest.
+    * Only the key columns are selected before the dedup, so the
+    * emitted first-occurrence rows are deterministic regardless of
+    * arrival order, and the oracle is a plain batch DISTINCT. State
+    * is one entry per distinct key (no watermark needed for
+    * emission — each first-seen key is final immediately; a
+    * time-bounded variant would use dropDuplicatesWithinWatermark
+    * when keys can recur beyond the horizon). Needs zero sentinel
+    * drops. */
+  def q67StreamDedup(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q67", drops = 0) { src =>
+      src.select(col("user_id"), col("event_type"))
+        .dropDuplicates(Seq("user_id", "event_type"))
+    }
+      .filter(col("event_type") =!= sentinelType)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** q52 — streaming sessionization over the whole events table; same
     * oracle as batch q30. session_id is reconstructed as the per-user
     * time rank (sessions never overlap, so this equals the batch

@@ -51,6 +51,42 @@ class VectorExpressionsSpec extends SparkSpec {
     docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("trigram_stats equals the array formulation") {
+    val texts = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all words differ in this doc"),
+      (3L, "two words"),
+      (4L, ""),
+      (5L, "a b a b a b a b")
+    ).toDF("id", "text")
+    val toks = split($"text", " ")
+    val tri = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - lit(2)),
+        j => concat_ws(" ", element_at(toks, j), element_at(toks, j + lit(1)),
+                       element_at(toks, j + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = texts.select($"id",
+        VectorFunctions.trigramStats(toks).as("packed"),
+        size(tri).cast("long").as("ref_n"),
+        size(array_distinct(tri)).cast("long").as("ref_d"))
+      .collect()
+    rows.foreach { r =>
+      val (packed, refN, refD) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(packed >>> 32 == refN, s"id ${r.getLong(0)} total")
+      assert((packed & 0xFFFFFFFFL) == refD, s"id ${r.getLong(0)} distinct")
+    }
+    // and on the real corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(VectorFunctions.trigramStats(split($"text", " ")).as("packed"),
+              size(tri).cast("long").as("ref_n"),
+              size(array_distinct(tri)).cast("long").as("ref_d"))
+      .collect()
+    docs.foreach { r =>
+      assert(r.getLong(0) >>> 32 == r.getLong(1))
+      assert((r.getLong(0) & 0xFFFFFFFFL) == r.getLong(2))
+    }
+  }
+
   test("null inputs propagate") {
     val withNull = Seq((Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = withNull.select(VectorFunctions.dotF32($"a", $"b")).collect().head

@@ -29,4 +29,30 @@ class EventOpsSpec extends SparkSpec {
     val rows = EventOps.q29TumblingWindow(spark, sf0001).collect()
     assert(rows.map(_.getLong(2)).sum == 1000) // every event in exactly one bucket
   }
+
+  test("funnel stages require strict time order") {
+    val tmp = java.nio.file.Files.createTempDirectory("fun").toString
+    Seq(
+      // user 1 converts fully: view < click < purchase
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:05"), "click", 0.0, "{}"),
+      (3L, 1L, ts("10:10"), "purchase", 0.0, "{}"),
+      // user 2: click BEFORE first view -> stage stalls at 1
+      (4L, 2L, ts("10:05"), "click", 0.0, "{}"),
+      (5L, 2L, ts("10:10"), "view", 0.0, "{}"),
+      // user 3: purchase before click -> stage 2
+      (6L, 3L, ts("10:00"), "view", 0.0, "{}"),
+      (7L, 3L, ts("10:01"), "purchase", 0.0, "{}"),
+      (8L, 3L, ts("10:02"), "click", 0.0, "{}"),
+      // user 4 never views -> absent from the funnel
+      (9L, 4L, ts("10:00"), "purchase", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q69Funnel(spark, tmp)
+      .select("user_id", "stage")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
 }

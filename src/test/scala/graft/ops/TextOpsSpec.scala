@@ -50,4 +50,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == "fr")
     assert(got(3L) == "unknown")
   }
+
+  test("repetition ratio flags degenerate text, not varied text") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 6 trigrams, 1 distinct
+      (2L, "each word here appears exactly once today"),
+      (3L, "too short")                                 // < 3 tokens -> 0 trigrams
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q68Repetition(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6L, 1L, 0.833333)))
+    assert(got(2L)._1 == got(2L)._2 && got(2L)._3 == 0.0) // all distinct
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
 }

@@ -252,4 +252,13 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("q67 streaming dedup equals batch distinct over the corpus") {
+    val got = graft.streaming.StreamQueries.q67StreamDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -88,6 +88,8 @@ object SparkEntry {
     "q67_stream_dedup"     -> graft.streaming.StreamQueries.q67StreamDedup,
     "q68_repetition"       -> TextOps.q68Repetition,
     "q69_funnel"           -> EventOps.q69Funnel,
+    "q70_decontaminate"    -> ((s, d) => Dedup.q70Decontaminate(s, d)),
+    "q71_upsert_latest"    -> Relational.q71UpsertLatest,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -818,6 +820,35 @@ object SparkEntry {
          FROM v LEFT JOIN c ON v.user_id = c.user_id
                 LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+    "q70_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                    ('0x' || substr(md5(text), 32, 1))::BIGINT AS nib
+                    FROM documents),
+         g AS (SELECT doc_id, nib, CASE WHEN len(toks) >= 5 THEN
+                 list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                   i -> array_to_string(toks[i:i+4], ' ')))
+               ELSE [] END AS grams FROM t),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE nib = 0),
+         cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE nib <> 0),
+         ov AS (SELECT cg.doc_id, count(*) AS shared
+                FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+         SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+           coalesce(ov.shared, 0)::BIGINT AS n_shared,
+           (coalesce(ov.shared, 0) >= 3)::BIGINT AS contaminated
+         FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+         WHERE g.nib <> 0 ORDER BY g.doc_id""",
+    "q71_upsert_latest" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       1::BIGINT AS version FROM orders),
+         upd AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+                 o_totalprice + 100.0 AS o_totalprice, 2::BIGINT AS version
+                 FROM base WHERE o_orderkey % 7 = 0),
+         merged AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, version
+         FROM merged
+         QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                    ORDER BY version DESC) = 1
+         ORDER BY o_orderkey""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

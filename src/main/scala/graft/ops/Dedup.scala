@@ -369,4 +369,49 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q70 — benchmark decontamination: flag training docs that share
+    * word 5-grams with a held-out evaluation set, the standard
+    * pre-training hygiene pass (eval answers leaking into the corpus
+    * inflate benchmark scores). The "benchmark" here is a
+    * deterministic content-hash slice of the corpus (md5 nibble 0,
+    * ~1/16 — the same engine-agnostic bucket as q56), so the DuckDB
+    * oracle derives the identical set with no side channel.
+    *
+    * Shaped for scale: the benchmark gram set is ALWAYS the small
+    * side (eval suites are KBs against a 100 TB corpus), so the
+    * overlap probe is a map-side `broadcast()` hash join on the
+    * exploded grams — the corpus never shuffles; the only exchange
+    * is the per-doc count aggregation on the (tiny) matched subset.
+    * The (doc_id, nib, grams) projection is persisted because three
+    * branches read it (benchmark grams, candidate explode, per-doc
+    * gram counts) and shingling is the dominant map cost; the
+    * harness drops the cache after the query. At real scale the
+    * benchmark side would come from its own table and the corpus
+    * branch would stay a single streamed pass. */
+  def q70Decontaminate(s: SparkSession, dir: String,
+                       n: Int = 5, threshold: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              Sampling.hashBucket16(col("text")).as("nib"),
+              TextOps.shingles(TextOps.tokens(col("text")), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchGrams = docs.filter(col("nib") === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val cand = docs.filter(col("nib") =!= 0)
+    // grams are distinct within a doc (shingles applies array_distinct),
+    // so plain count == count of distinct shared grams
+    val overlap = cand
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    cand.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              coalesce(col("shared"), lit(0L)).as("n_shared"),
+              (coalesce(col("shared"), lit(0L)) >= threshold)
+                .cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

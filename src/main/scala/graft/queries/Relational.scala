@@ -291,4 +291,35 @@ object Relational {
            countDistinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy(col("n_name"))
   }
+
+  /** q71 — last-write-wins upsert (the CDC/merge compaction every
+    * incremental pipeline needs): a base snapshot plus a changeset,
+    * resolved to one current row per key by version. The changeset is
+    * derived deterministically from the base (every 7th order key,
+    * status flipped to "R", price bumped by an EXACT double +100.0 —
+    * no rounding, so both engines agree bit-for-bit) and resolution
+    * is row_number over (key, version desc): the portable MERGE.
+    *
+    * Shaped for scale: union is free (no shuffle); the winner pick is
+    * ONE hash exchange on the key and a per-key sort of ≤ version
+    * count rows. On a real lakehouse the base would be bucketed by
+    * key so the window runs shuffle-free per bucket, and AQE would
+    * handle changeset skew; the pattern (never join base-to-updates,
+    * union + windowed pick instead) is what keeps merge linear when
+    * the changeset is 0.1% of 100 TB. */
+  def q71UpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+              lit(1L).as("version"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+              (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+              lit(2L).as("version"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_orderkey"))
+  }
 }

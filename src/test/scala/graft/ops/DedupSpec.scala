@@ -15,6 +15,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 1))
   }
 
+  test("q70 decontamination flags gram overlap with the benchmark slice") {
+    val rows = Dedup.q70Decontaminate(spark, sf0001).collect()
+    // candidates = every doc outside the nibble-0 benchmark slice
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", conv(substring(md5($"text"), 32, 1), 16, 10)
+        .cast("int").as("nib"))
+    val candIds = docs.filter($"nib" =!= 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet == candIds)
+    rows.foreach { r =>
+      val (nGrams, nShared, flag) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nShared <= nGrams, s"doc ${r.getLong(0)}: shared > total")
+      assert(flag == (if (nShared >= 3) 1L else 0L))
+    }
+    // the corpus plants near-dups, so some contamination must surface
+    assert(rows.map(_.getLong(2)).sum > 0, "no overlap found — vacuous query")
+  }
+
   test("minhash signature: equal shingle sets -> equal signatures") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),

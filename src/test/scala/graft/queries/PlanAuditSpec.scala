@@ -45,6 +45,14 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected aggregation/join shuffle:\n${p.take(1200)}")
   }
 
+  test("q70 probes the benchmark gram set via broadcast, never shuffling the corpus") {
+    val p = plan("q70_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark gram probe must be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join found:\n${p.take(1200)}")
+  }
+
   test("no scan reads the full documents text column where unused") {
     val p = plan("q19_token_count")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))

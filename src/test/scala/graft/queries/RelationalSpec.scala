@@ -18,6 +18,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q71 upsert: one row per key, updates win, untouched keys unchanged") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val rows = Relational.q71UpsertLatest(spark, sf0001).collect()
+    assert(rows.length == base.size, "merge must emit exactly one row per key")
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val (status, price, version) = (r.getString(1), r.getDouble(2), r.getLong(3))
+      val (bStatus, bPrice) = base(k)
+      if (k % 7 == 0) {
+        assert(version == 2L && status == "R" && price == bPrice + 100.0,
+          s"key $k: update must win")
+      } else {
+        assert(version == 1L && status == bStatus && price == bPrice,
+          s"key $k: base row must pass through untouched")
+      }
+    }
+  }
+
   test("q48 window: per-year partitioning equals the global frame on sparse years") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -90,6 +90,7 @@ object SparkEntry {
     "q69_funnel"           -> EventOps.q69Funnel,
     "q70_decontaminate"    -> ((s, d) => Dedup.q70Decontaminate(s, d)),
     "q71_upsert_latest"    -> Relational.q71UpsertLatest,
+    "q72_balanced_sample"  -> ((s, d) => graft.ops.Sampling.q72BalancedSample(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -849,6 +850,14 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY o_orderkey
                                     ORDER BY version DESC) = 1
          ORDER BY o_orderkey""",
+    "q72_balanced_sample" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT,
+                             doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 50 ORDER BY source, rk""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

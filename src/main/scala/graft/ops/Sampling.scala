@@ -35,4 +35,40 @@ object Sampling {
       .withColumn("rate",
         round(col("n_sampled").cast("double") / col("n_total"), 6))
       .orderBy(col("source"))
+
+  /** 52-bit content-hash rank key (first 13 md5 hex chars): a total,
+    * engine-agnostic, layout-independent order over content. 52 bits
+    * so the value is exact as a double (the TopK aggregator scores in
+    * doubles). */
+  def hashRank52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** q72 — balanced corpus sampling (the data-mixing stage): cap
+    * every source at `k` docs, chosen as the k smallest content-hash
+    * ranks — so the per-source subsample is reproducible across
+    * engines, re-runs, and layouts, exactly like q56's rate sample
+    * but with a hard per-group budget.
+    *
+    * Shaped for scale via the bounded [[graft.functions.TopK]]
+    * aggregator (same machinery as q43), NOT a window: sources are
+    * few and huge — a window would shuffle and sort the entire
+    * corpus into one partition per source (the canonical skew
+    * disaster), while the aggregator combines map-side and ships at
+    * most k rows per source per partition. The oracle replays it as
+    * the window formulation, which must agree exactly. */
+  def q72BalancedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = Tables.documents(s, dir)
+    import d.sparkSession.implicits._
+    import graft.functions.TopK
+    d.select(col("source"), col("doc_id"), hashRank52(col("text")).as("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      // TopK keeps score DESC; negate so the k smallest hashes win
+      .mapValues { case (_, id, h) => TopK.Scored(id, -h.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case (sc, i) => (src, sc.id, (i + 1).toLong) } }
+      .toDF("source", "doc_id", "rk")
+      .orderBy(col("source"), col("rk"))
+  }
 }

@@ -19,6 +19,32 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 20 && a.size < 130, s"rate off: ${a.size}/500")
   }
 
+  test("q72 balanced sample respects the per-source budget and matches the window form") {
+    val k = 50
+    val rows = Sampling.q72BalancedSample(spark, sf0001, k).collect()
+    val perSource = graft.Tables.documents(spark, sf0001)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_.getString(0))
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, g) =>
+      assert(g.length == math.min(k.toLong, perSource(src)),
+        s"$src: kept ${g.length} of budget $k (source has ${perSource(src)})")
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length).toSeq,
+        s"$src: ranks must be dense from 1")
+    }
+    // aggregator must agree with the window formulation exactly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(Sampling.hashRank52($"text"), $"doc_id")
+    val windowForm = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id", row_number().over(w).as("rk"))
+      .filter($"rk" <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == windowForm)
+  }
+
   test("q55 finds and redacts planted PII") {
     val df = Seq(
       (1L, "contact john.doe@example.com or +1 555-123-4567 today"),

@@ -129,11 +129,40 @@ object LayoutDemo {
       .select(input_file_name()).distinct().count()
     val filesProbed = filesRead(s"$wh/emb_bycell")
 
+    // ---- D: runtime bloom-filter join pruning ----
+    // When a selective filter sits on one side of a shuffle join,
+    // Catalyst can inject a bloom filter of the filtered side's keys
+    // into the OTHER side's scan (InjectRuntimeFilter), dropping
+    // non-joining fact rows MAP-SIDE before they ever reach the
+    // exchange — at 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~join-selectivity slice
+    // of it. Thresholds are lowered because the bench tables sit far
+    // below the 10 GB production default; the mechanism is identical.
+    def bloomConf(on: Boolean): Unit = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", on.toString)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+    }
+    def selJoin(): DataFrame =
+      spark.table("l_flat").join(
+          spark.table("o_flat").filter(col("o_orderpriority") === "1-URGENT" &&
+            date_format(col("o_orderdate"), "yyyy-MM") === "1997-03"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("rev"), count(lit(1)).as("n"))
+    bloomConf(false)
+    val noBloom = timeIt(run(selJoin()))
+    bloomConf(true)
+    val withBloom = timeIt(run(selJoin()))
+    val bloomPlan = selJoin().queryExecution.executedPlan.toString
+    val bloomInPlan = bloomPlan.contains("might_contain")
+
     println(s"""{"partition_pruning":{"flat_sec":$flatScan,"pruned_sec":$prunedScan,"partition_filter_in_plan":$pruned},""" +
       s""""bucketed_join":{"flat_sec":$flatJoin,"bucketed_sec":$bucketJoin,""" +
       s""""flat_exchanges":$flatExchanges,"bucketed_exchanges":$exchanges},""" +
       s""""ivf_cell_layout":{"flat_probe_sec":$flatProbe,"cell_probe_sec":$cellProbe,""" +
-      s""""partition_filter_in_plan":$cellPruned,"files_total":$filesTotal,"files_probed":$filesProbed}}""")
+      s""""partition_filter_in_plan":$cellPruned,"files_total":$filesTotal,"files_probed":$filesProbed},""" +
+      s""""runtime_bloom_filter":{"off_sec":$noBloom,"on_sec":$withBloom,"might_contain_in_plan":$bloomInPlan}}""")
     spark.stop()
   }
 }

@@ -53,6 +53,30 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-side shuffle join found:\n${p.take(1200)}")
   }
 
+  test("runtime bloom filter injects into the fact side of a selective join") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = graft.Tables.lineitem(spark, sf0001)
+      val o = graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${p.take(1200)}")
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prev.getOrElse("10GB"))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no scan reads the full documents text column where unused") {
     val p = plan("q19_token_count")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))

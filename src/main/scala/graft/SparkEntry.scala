@@ -91,6 +91,8 @@ object SparkEntry {
     "q70_decontaminate"    -> ((s, d) => Dedup.q70Decontaminate(s, d)),
     "q71_upsert_latest"    -> Relational.q71UpsertLatest,
     "q72_balanced_sample"  -> ((s, d) => graft.ops.Sampling.q72BalancedSample(s, d)),
+    "q73_quality_filter"   -> TextOps.q73QualityFilter,
+    "q74_dup_ngram_coverage" -> ((s, d) => Dedup.q74DupNgramCoverage(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -858,6 +860,46 @@ object SparkEntry {
                              doc_id) AS rk
            FROM documents)
          WHERE rk <= 50 ORDER BY source, rk""",
+    "q73_quality_filter" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks,
+                    length(text) AS len FROM documents),
+         r AS (SELECT source, len(toks) AS n,
+                 len(list_filter(toks, w ->
+                   list_contains(['the','a','of','and','to','in'], w))) AS stops,
+                 len(list_distinct(toks)) AS uniq, len FROM t),
+         v AS (SELECT source,
+                 CASE WHEN n < 30 THEN 1
+                      WHEN stops::DOUBLE / n < 0.02 THEN 2
+                      WHEN uniq::DOUBLE / n < 0.35 THEN 3
+                      WHEN (len - n + 1)::DOUBLE / n < 4.0
+                           OR (len - n + 1)::DOUBLE / n > 8.0 THEN 4
+                      ELSE 0 END AS verdict FROM r)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE verdict = 0)::BIGINT AS n_kept,
+           count(*) FILTER (WHERE verdict = 1)::BIGINT AS n_rej_short,
+           count(*) FILTER (WHERE verdict = 2)::BIGINT AS n_rej_stopword,
+           count(*) FILTER (WHERE verdict = 3)::BIGINT AS n_rej_repetitive,
+           count(*) FILTER (WHERE verdict = 4)::BIGINT AS n_rej_token_len
+         FROM v GROUP BY source ORDER BY source""",
+    "q74_dup_ngram_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END AS grams FROM t),
+         p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         pg AS (SELECT doc_id, gram, count(*) AS c FROM p GROUP BY 1, 2),
+         gt AS (SELECT gram, sum(c) AS tot FROM pg GROUP BY 1),
+         pd AS (SELECT pg.doc_id, sum(c)::BIGINT AS n_grams,
+                  sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup
+                FROM pg JOIN gt USING (gram) GROUP BY 1)
+         SELECT t.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
+           CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0::BIGINT
+                ELSE CAST(floor(pd.n_dup * 1000000.0 / pd.n_grams)
+                          AS BIGINT) END AS dup_micro
+         FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     // q56: content-hash sampling — last md5 nibble < 2 keeps ~2/16
     "q56_stratified_sample" ->
       """SELECT source, count(*) AS n_total,

@@ -414,4 +414,50 @@ object Dedup {
                 .cast("long").as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** q74 — duplicate n-gram coverage (the Gopher "fraction of the
+    * document made of repeated n-grams" signal): for each doc, the
+    * share of its n-gram POSITIONS whose gram occurs more than once
+    * in the whole corpus (anywhere — another doc or a repeat within
+    * the same doc). Emitted as `dup_micro` = floor(n_dup/n_grams·1e6)
+    * — integer-exact across engines (floor, never round-on-double;
+    * the q63 lesson).
+    *
+    * Scale shape: shingling happens in ONE map pass, then the data
+    * immediately shrinks to per-(doc, gram) counts — the first
+    * shuffle's map-side partial aggregation collapses within-doc
+    * repeats before anything crosses the wire. Corpus-wide gram
+    * totals are a second aggregate over that already-reduced set,
+    * and the join back is gram-keyed (both sides hash-partitioned by
+    * gram — AQE plans it without a broadcast dependency on corpus
+    * size). No all-pairs stage anywhere; at 100 TB the gram-total
+    * aggregate is the canonical word-count shape. */
+  def q74DupNgramCoverage(s: SparkSession, dir: String,
+                          n: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDocGram = docs
+      .select(col("doc_id"),
+              explode(TextOps.shinglePositions(
+                TextOps.tokens(col("text")), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val gramTotals = perDocGram
+      .groupBy(col("gram")).agg(sum(col("c")).as("tot"))
+    val perDoc = perDocGram
+      .join(gramTotals, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+           sum(when(col("tot") >= 2, col("c")).otherwise(0L))
+             .cast("long").as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+              when(coalesce(col("n_grams"), lit(0L)) === 0, 0L)
+                .otherwise(floor(col("n_dup") * lit(1000000.0) /
+                                 col("n_grams")).cast("long"))
+                .as("dup_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -24,6 +24,15 @@ object TextOps {
         j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Every n-gram POSITION (no array_distinct, unlike [[shingles]]) —
+    * for coverage metrics where the repeats are the signal. */
+  def shinglePositions(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Shingle HASHES — the n-gram set as a set of longs (xxhash64 over
     * the token tuple, no string construction): what every dedup
     * consumer actually needs. Set cardinalities and intersections
@@ -326,5 +335,48 @@ object TextOps {
                         / col("n_trigrams"))
                       .otherwise(0.0), 6).as("rep_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q73 — the quality FILTER stage itself (C4/Gopher-style rule
+    * chain): every doc gets a verdict = the first failing rule, and
+    * the output is the per-source filter funnel — how many docs each
+    * rule rejects and how many survive. This is the report a corpus
+    * build actually ships alongside the filtered data.
+    *
+    * Rules, in evaluation order (mirroring the published C4/Gopher
+    * recipes): (1) too short (< 30 tokens), (2) too few stopwords
+    * (ratio < 0.02 — the "is this natural language" test),
+    * (3) repetitive (unique-token ratio < 0.35), (4) degenerate
+    * token length (mean outside [4, 8] chars).
+    *
+    * Scale shape: verdicts are a single map-side expression pass
+    * (no UDFs), the funnel one partial-agg shuffle on `source` —
+    * identical cost profile to q56. Ratio comparisons use the raw
+    * IEEE quotient (single division, bit-identical in any engine);
+    * nothing is rounded before a threshold compare. */
+  def q73QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+              size(toks).as("n"),
+              size(filter(toks, t => t.isin(stopwords: _*))).as("stops"),
+              size(array_distinct(toks)).as("uniq"),
+              length(col("text")).as("len"))
+    val avgLen = (col("len") - col("n") + 1).cast("double") / col("n")
+    val verdict =
+      when(col("n") < 30, 1)
+        .when(col("stops").cast("double") / col("n") < 0.02, 2)
+        .when(col("uniq").cast("double") / col("n") < 0.35, 3)
+        .when(avgLen < 4.0 || avgLen > 8.0, 4)
+        .otherwise(0)
+    d.select(col("source"), verdict.as("verdict"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("verdict") === 0, 1)).as("n_kept"),
+           count(when(col("verdict") === 1, 1)).as("n_rej_short"),
+           count(when(col("verdict") === 2, 1)).as("n_rej_stopword"),
+           count(when(col("verdict") === 3, 1)).as("n_rej_repetitive"),
+           count(when(col("verdict") === 4, 1)).as("n_rej_token_len"))
+      .orderBy(col("source"))
   }
 }

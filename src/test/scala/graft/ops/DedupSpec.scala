@@ -160,4 +160,24 @@ class DedupSpec extends SparkSpec {
     assert(nCand >= nVerified)
     assert(nVerified > 0) // corpus has planted near-dups
   }
+
+  test("q74 dup-ngram coverage counts cross-doc and within-doc repeats") {
+    val tmp = java.nio.file.Files.createTempDirectory("dng").toString
+    Seq(
+      (1L, "a b c d e"),         // "a b c" shared with doc 2 -> 1/3 dup
+      (2L, "a b c x y"),         // same                      -> 1/3 dup
+      (3L, "p q r p q r p q"),   // every gram repeats IN-doc -> 6/6 dup
+      (4L, "zz yy")              // < 3 tokens -> 0 grams
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q74DupNgramCoverage(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L)))
+    assert(got(2L) == ((3L, 1L, 333333L)))
+    assert(got(3L) == ((6L, 6L, 1000000L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+  }
 }

@@ -67,4 +67,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._1 == got(2L)._2 && got(2L)._3 == 0.0) // all distinct
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
+
+  test("quality filter attributes each doc to its first failing rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("qf").toString
+    def words(n: Int, len: Int): Seq[String] =
+      (0 until n).map(i => ("w" + i).padTo(len, 'x'))
+    val kept       = ("the" +: words(39, 5)).mkString(" ")
+    val tooShort   = "only five words right here"
+    val noStops    = words(40, 5).mkString(" ")           // 0 stopword hits
+    val repetitive = Seq.fill(20)("the cat").mkString(" ") // 2 uniq / 40
+    val longTokens = ("the" +: words(39, 12)).mkString(" ") // avg len ~11.8
+    Seq((1L, kept, "s1"), (2L, tooShort, "s1"), (3L, noStops, "s1"),
+        (4L, repetitive, "s2"), (5L, longTokens, "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q73QualityFilter(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // s1: 3 docs — 1 kept, 1 too-short, 1 stopword-starved
+    assert(got("s1") == ((3L, 1L, 1L, 1L, 0L, 0L)))
+    // s2: 2 docs — 1 repetitive, 1 degenerate token length
+    assert(got("s2") == ((2L, 0L, 0L, 0L, 1L, 1L)))
+  }
 }

@@ -93,6 +93,7 @@ object SparkEntry {
     "q72_balanced_sample"  -> ((s, d) => graft.ops.Sampling.q72BalancedSample(s, d)),
     "q73_quality_filter"   -> TextOps.q73QualityFilter,
     "q74_dup_ngram_coverage" -> ((s, d) => Dedup.q74DupNgramCoverage(s, d)),
+    "q75_pq_topk"          -> Similarity.q75PqTopK,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -310,6 +311,7 @@ object SparkEntry {
          SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
          WHERE rn <= 5 ORDER BY q_id, rn""",
     "q27_ivf_topk" -> Similarity.q27OracleSql(),
+    "q75_pq_topk" -> Similarity.q75OracleSql(),
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

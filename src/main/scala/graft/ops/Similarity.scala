@@ -400,6 +400,237 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Squared L2 distance of a float-array column against a
+    * double-array column: zip, cast-subtract-square, strictly
+    * sequential sum — mirrors the oracle's list_zip chain exactly. */
+  private def l2sqFD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+                (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+              lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic per-subspace Lloyd's for the PQ codebooks — the
+    * classic product-quantization recipe (Jégou et al., TPAMI 2011):
+    * the `dim`-dim vector is cut into M contiguous subvectors and
+    * each subspace learns its own K codewords by Euclidean k-means.
+    * Same determinism contract as [[learnCentroids]]: bounded sample
+    * collected to the driver, seeded from the first K vectors, fixed
+    * iteration count, means rounded to 6 decimals HALF_UP, empty
+    * clusters carry forward, L2 argmin ties pick the smaller code.
+    * Returns codebooks(m)(k) = the codeword vector. */
+  def learnPqCodebooks(e: DataFrame, M: Int, K: Int, subDim: Int,
+                       iters: Int, trainSample: Int = 65536)
+      : Array[Array[Array[Double]]] = {
+    val sample = e.filter(col("vec_id") < trainSample)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Array.tabulate(M) { m =>
+      val subs = sample.map { case (id, emb) =>
+        (id, emb.slice(m * subDim, (m + 1) * subDim).map(_.toDouble)) }
+      var cw: Array[(Long, Array[Double])] =
+        subs.takeWhile(_._1 < K).map { case (id, v) => (id, v) }
+      for (_ <- 1 to iters) {
+        // Euclidean argmin per sample subvector; strict < keeps the
+        // first (smallest-k) minimum on ties
+        val asg = subs.map { case (_, v) =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var k = 0
+          while (k < cw.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(i) - cw(k)._2(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          cw(best)._1
+        }
+        val byCode = subs.indices.groupBy(i => asg(i))
+        cw = cw.map { case (cid, old) =>
+          byCode.get(cid) match {
+            case Some(members) =>
+              (cid, Array.tabulate(subDim) { d =>
+                var acc = 0.0
+                members.foreach(i => acc += subs(i)._2(d))
+                round6(acc / members.size)
+              })
+            case None => (cid, old)
+          }
+        }
+      }
+      cw.map(_._2)
+    }
+  }
+
+  /** q75 — product-quantization ANN with exact re-ranking (the
+    * IVFADC + re-rank recipe, Jégou et al., TPAMI 2011): learn
+    * M=8 × K=16 codebooks ([[learnPqCodebooks]]), encode every
+    * vector as M codes, score every candidate against each query
+    * (vec_id < 8) through a precomputed (query × subspace ×
+    * codeword) asymmetric-distance table, keep the top-R=64
+    * shortlist per query, then re-rank the shortlist by EXACT L2 and
+    * emit the top-5. Both distances surface as micro-BIGINTs
+    * (floor(d·1e6 + 0.5)) so ranking and output are bit-identical in
+    * any engine — no double ever crosses an ordering or a hash.
+    *
+    * Scale shape: codebooks and the distance table are learned
+    * before the plan is built, so they embed as LITERALS — encoding
+    * is a single zero-shuffle map pass (argmin over K literal
+    * codewords per subspace) and the ADC sum is M integer lookups;
+    * the only exchanges are the per-query shortlist window and a
+    * broadcast join that fetches the R·|Q| shortlist embeddings for
+    * re-ranking (at warehouse scale that fetch is the
+    * bloom/DPP-prunable id-lookup LayoutDemo demonstrates). This is
+    * the billion-scale recipe precisely because the coarse scorer
+    * reads M bytes per vector and the exact scorer touches only
+    * R/N of the corpus. */
+  def q75PqTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val K = 16; val subDim = 8; val iters = 2; val R = 64
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cb = learnPqCodebooks(e, M, K, subDim, iters)
+    // queries collected driver-side (tiny, fixed set) → distance table
+    val queries = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val dtab: Seq[Seq[Seq[Long]]] = queries.toSeq.map { case (_, q) =>
+      (0 until M).map { m =>
+        (0 until K).map { k =>
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = q(m * subDim + i).toDouble - cb(m)(k)(i)
+            d += t * t; i += 1
+          }
+          math.floor(d * 1e6 + 0.5).toLong
+        }
+      }
+    }
+    val qIds: Seq[Long] = queries.map(_._1).toSeq
+    // encode: per subspace, argmin over the K literal codewords —
+    // array_position finds the FIRST minimum (smallest k on ties)
+    val codes = array((0 until M).map { m =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      val dists = array((0 until K).map(k =>
+        l2sqFD(sub, typedLit(cb(m)(k).toSeq))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val dtabLit = typedLit(dtab)
+    val qIdsLit = typedLit(qIds)
+    val qEmbLit = typedLit(queries.toSeq.map(_._2.toSeq.map(_.toDouble)))
+    val adc = (0 until M).map(m =>
+      element_at(element_at(element_at(dtabLit, col("qi") + 1), m + 1),
+                 element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val wshort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_micro").asc, col("n_id").asc)
+    val shortlist = e
+      .select(col("vec_id").as("n_id"), codes.as("codes"),
+              explode(sequence(lit(0), lit(qIds.size - 1))).as("qi"))
+      .select(col("qi"), element_at(qIdsLit, col("qi") + 1).as("q_id"),
+              col("n_id"), adc.cast("long").as("adc_micro"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("rs", row_number().over(wshort))
+      .filter(col("rs") <= R)
+      .select(col("qi"), col("q_id"), col("n_id"), col("adc_micro"))
+    // exact re-rank: fetch shortlist embeddings, exact L2 vs the
+    // query literal
+    val l2exact = l2sqFD(col("embedding"),
+                         element_at(qEmbLit, col("qi") + 1))
+    val wtop = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2_micro").asc, col("n_id").asc)
+    e.join(broadcast(shortlist), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("adc_micro"),
+              floor(l2exact * lit(1000000.0) + lit(0.5))
+                .cast("long").as("l2_micro"))
+      .withColumn("rn", row_number().over(wtop))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("adc_micro"),
+              col("l2_micro"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB oracle for q75 — replays codebook learning per subspace
+    * in unrolled CTEs (same seed, Euclidean argmin with (dist ASC, k)
+    * tie-break, round-6 means, empty-code carry-forward — the
+    * [[q27OracleSql]] technique), then encodes, builds the micro-int
+    * distance table, and sums BIGINTs. */
+  def q75OracleSql(M: Int = 8, K: Int = 16, subDim: Int = 8,
+                   iters: Int = 2, R: Int = 64,
+                   trainSample: Int = 65536): String = {
+    val l2 = "list_sum(list_transform(list_zip(%s, %s), " +
+      "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
+    def dist(a: String, b: String) = l2.format(a, b)
+    val perSub = (0 until M).map { m =>
+      val lo = m * subDim + 1; val hi = (m + 1) * subDim
+      val iterCtes = (1 to iters).map { i =>
+        s"""asg${m}_$i AS (SELECT vec_id, sub, k FROM (
+             SELECT s.vec_id, s.sub, c.k,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 ${dist("s.sub", "c.cw")} ASC, c.k) AS rn
+             FROM sub$m s CROSS JOIN cw${m}_${i - 1} c) WHERE rn = 1),
+           mean${m}_$i AS (SELECT k, list(v ORDER BY d) AS cw FROM (
+             SELECT k, d, round(avg(sub[d + 1]::DOUBLE), 6) AS v
+             FROM asg${m}_$i, range($subDim) t(d) GROUP BY k, d)
+             GROUP BY k),
+           cw${m}_$i AS (SELECT p.k, coalesce(m.cw, p.cw) AS cw
+             FROM cw${m}_${i - 1} p LEFT JOIN mean${m}_$i m USING (k))"""
+      }.mkString(",\n           ")
+      s"""sub$m AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sub
+             FROM et),
+           cw${m}_0 AS (SELECT vec_id::BIGINT AS k,
+             list_transform(sub, x -> x::DOUBLE) AS cw
+             FROM sub$m WHERE vec_id < $K),
+           $iterCtes"""
+    }.mkString(",\n         ")
+    val cbUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, k, cw FROM cw${m}_$iters")
+      .mkString(" UNION ALL ")
+    s"""WITH et AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < $trainSample),
+         $perSub,
+         cb AS ($cbUnion),
+         allsub AS (SELECT vec_id, m,
+             list_slice(embedding, m * $subDim + 1, (m + 1) * $subDim) AS sub
+           FROM embeddings, range($M) t(m)),
+         enc AS (SELECT vec_id, m, k AS code FROM (
+           SELECT a.vec_id, a.m, c.k,
+             row_number() OVER (PARTITION BY a.vec_id, a.m ORDER BY
+               ${dist("a.sub", "c.cw")} ASC, c.k) AS rn
+           FROM allsub a JOIN cb c USING (m)) WHERE rn = 1),
+         qsub AS (SELECT vec_id AS q_id, m,
+             list_slice(embedding, m * $subDim + 1, (m + 1) * $subDim) AS sub
+           FROM embeddings, range($M) t(m) WHERE vec_id < 8),
+         dtab AS (SELECT s.q_id, s.m, c.k,
+             CAST(floor(${dist("s.sub", "c.cw")} * 1000000.0 + 0.5)
+                  AS BIGINT) AS d_micro
+           FROM qsub s JOIN cb c USING (m)),
+         adc AS (SELECT d.q_id, e.vec_id AS n_id,
+             sum(d.d_micro)::BIGINT AS adc_micro
+           FROM enc e JOIN dtab d ON e.m = d.m AND e.code = d.k
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id, adc_micro FROM (
+           SELECT q_id, n_id, adc_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_micro, n_id) AS rs
+           FROM adc WHERE n_id <> q_id) WHERE rs <= $R),
+         rr AS (SELECT s.q_id, s.n_id, s.adc_micro,
+             CAST(floor(list_sum(list_transform(
+               list_zip(en.embedding, qe.embedding),
+               p -> (p[1]::DOUBLE - p[2]::DOUBLE) *
+                    (p[1]::DOUBLE - p[2]::DOUBLE))) * 1000000.0 + 0.5)
+               AS BIGINT) AS l2_micro
+           FROM short s
+           JOIN embeddings en ON en.vec_id = s.n_id
+           JOIN embeddings qe ON qe.vec_id = s.q_id)
+         SELECT q_id, n_id, adc_micro, l2_micro, rn FROM (
+           SELECT q_id, n_id, adc_micro, l2_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY l2_micro, n_id) AS rn
+           FROM rr)
+         WHERE rn <= 5 ORDER BY q_id, rn"""
+  }
+
   /** q28 — embedding column statistics per label: count, mean norm,
     * mean first component. */
   def q28EmbeddingStats(s: SparkSession, dir: String): DataFrame =

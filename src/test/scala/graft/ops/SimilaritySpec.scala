@@ -58,4 +58,34 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall@5 = $recall (${(truth intersect ivf).size}/${truth.size})")
     assert(recall >= 0.7, s"recall@5 $recall below floor")
   }
+
+  test("PQ codebooks are deterministic; ADC recall@5 vs exact L2 truth") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cb1 = Similarity.learnPqCodebooks(e, 8, 16, 8, 2)
+    val cb2 = Similarity.learnPqCodebooks(e, 8, 16, 8, 2)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ==
+           cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // exact L2 truth, computed here (PQ approximates L2, not cosine)
+    val all = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+      d
+    }
+    val truth = all.filter(_._1 < 8).flatMap { case (qid, q) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, v) => (nid, l2sq(q, v)) }
+        .sortBy { case (nid, d) => (d, nid) }
+        .take(5).map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val pq = Similarity.q75PqTopK(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect pq).size.toDouble / truth.size
+    info(s"PQ recall@5 = $recall (${(truth intersect pq).size}/${truth.size})")
+    assert(recall >= 0.6, s"PQ recall@5 $recall below floor")
+  }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q73_quality_filter"   -> TextOps.q73QualityFilter,
     "q74_dup_ngram_coverage" -> ((s, d) => Dedup.q74DupNgramCoverage(s, d)),
     "q75_pq_topk"          -> Similarity.q75PqTopK,
+    "q76_hash_split"       -> ((s, d) => graft.ops.Sampling.q76HashSplit(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -312,6 +313,15 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY q_id, rn""",
     "q27_ivf_topk" -> Similarity.q27OracleSql(),
     "q75_pq_topk" -> Similarity.q75OracleSql(),
+    "q76_hash_split" ->
+      """SELECT doc_id,
+         (('0x' || substr(md5(text), 29, 4))::BIGINT % 100) AS bucket,
+         CASE WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 80
+                THEN 'train'
+              WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

@@ -71,4 +71,30 @@ object Sampling {
       .toDF("source", "doc_id", "rk")
       .orderBy(col("source"), col("rk"))
   }
+
+  /** q76 — deterministic train/val/test split: every doc is assigned
+    * by CONTENT hash (md5 16-bit slice mod 100 → 80/10/10), never by
+    * position, random seed, or layout. The property that matters for
+    * a training corpus: byte-identical texts always land in the SAME
+    * split — the cheapest possible guard against train/test leakage
+    * of exact duplicates — and any engine, re-run, or repartition
+    * reproduces the assignment bit-for-bit (the DuckDB oracle is the
+    * proof).
+    *
+    * Scale shape: a pure map pass — one codegen'd md5 per row, no
+    * shuffle anywhere (the ORDER BY is the gate's determinism
+    * requirement, not the operator's). At 100 TB this is the shape
+    * you want: split assignment costs one scan and parallelizes
+    * perfectly. */
+  def q76HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      pmod(conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"),
+           lit(100L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+              when(bucket < 80, "train")
+                .when(bucket < 90, "val")
+                .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -337,6 +337,114 @@ object TrigramStats {
   }
 }
 
+/** Product-quantization encoder in ONE codegen'd pass: the input
+  * float vector is cut into `numSub` contiguous `subDim`-wide
+  * subvectors and each is assigned the index of its
+  * Euclidean-nearest codeword out of `numCodes` (strict `<` — the
+  * FIRST minimum wins on ties, matching
+  * `array_position(dists, array_min(dists))`). Arithmetic mirrors
+  * the zip_with/aggregate formulation exactly: each float widens to
+  * double, the difference is squared, terms accumulate in index
+  * order — so codes are bit-identical to the HOF chain and to the
+  * DuckDB oracle's list_zip replay.
+  *
+  * The Column formulation needs numSub × numCodes separate
+  * HOF-distance expressions (128 for the q75 shape) whose combined
+  * tree blows the task binary past a megabyte and evaluates
+  * interpreted lambdas per element; this is a primitive triple loop
+  * with an O(numSub · numCodes · subDim) flop count and one
+  * int-array allocation. At 100 TB, PQ encoding is the dominant
+  * map pass of an ANN build — it has to stay in whole-stage
+  * codegen. */
+case class PqEncode(child: Expression, codebook: Array[Double],
+                    numSub: Int, numCodes: Int, subDim: Int)
+    extends UnaryExpression {
+  require(codebook.length == numSub * numCodes * subDim,
+    s"codebook length ${codebook.length} != $numSub*$numCodes*$subDim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  // Shorter-than-expected input or a null element → null, mirroring
+  // how the HOF chain's null-padded zip nulls the distance sum.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = numSub * subDim
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < numCodes) {
+        val base = (m * numCodes + k) * subDim
+        var d = 0.0; var j = 0
+        while (j < subDim) {
+          val t = arr.getFloat(m * subDim + j).toDouble - codebook(base + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+      val bad = ctx.freshName("bad")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val dim = numSub * subDim
+      s"""
+         |boolean $bad = $in.numElements() < $dim;
+         |for (int $i = 0; !$bad && $i < $dim; $i++) {
+         |  if ($in.isNullAt($i)) $bad = true;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  int[] $out = new int[$numSub];
+         |  for (int $m = 0; $m < $numSub; $m++) {
+         |    int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $k = 0; $k < $numCodes; $k++) {
+         |      int $base = ($m * $numCodes + $k) * $subDim;
+         |      double $d = 0.0;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        double $t = ((double) $in.getFloat($m * $subDim + $j)) - $cb[$base + $j];
+         |        $d += $t * $t;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $k; }
+         |    }
+         |    $out[$m] = $best;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -363,6 +471,16 @@ object VectorFunctions {
   /** Packed (total<<32 | distinct) word-trigram counts of a token array. */
   def trigramStats(toks: Column): Column =
     ColumnBridge.column(TrigramStats(ColumnBridge.expression(toks)))
+
+  /** PQ codes (array<int>, length M) of a float vector against
+    * codebooks(m)(k)(d), flattened row-major internally. */
+  def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]],
+               subDim: Int): Column = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb),
+      codebooks.flatten.flatten, m, k, subDim))
+  }
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

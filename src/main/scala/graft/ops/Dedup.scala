@@ -435,12 +435,19 @@ object Dedup {
   def q74DupNgramCoverage(s: SparkSession, dir: String,
                           n: Int = 3): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // persist: the (doc, gram) counts feed BOTH the corpus-wide gram
+    // totals and the join back — without the cache the scan→tokenize→
+    // shingle→explode lineage (the expensive map stage) runs twice.
+    // The cached set is already collapsed to per-(doc, gram) counts,
+    // far smaller than the exploded positions.
     val perDocGram = docs
       .select(col("doc_id"),
-              explode(TextOps.shinglePositions(
-                TextOps.tokens(col("text")), n)).as("gram"))
+              TextOps.shinglePositions(
+                TextOps.tokens(col("text")), n).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gramTotals = perDocGram
       .groupBy(col("gram")).agg(sum(col("c")).as("tot"))
     val perDoc = perDocGram

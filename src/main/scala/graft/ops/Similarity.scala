@@ -508,14 +508,12 @@ object Similarity {
       }
     }
     val qIds: Seq[Long] = queries.map(_._1).toSeq
-    // encode: per subspace, argmin over the K literal codewords —
-    // array_position finds the FIRST minimum (smallest k on ties)
-    val codes = array((0 until M).map { m =>
-      val sub = slice(col("embedding"), m * subDim + 1, subDim)
-      val dists = array((0 until K).map(k =>
-        l2sqFD(sub, typedLit(cb(m)(k).toSeq))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    // encode: per subspace, argmin over the K codewords — one
+    // codegen'd PqEncode pass (first minimum on ties, arithmetic
+    // bit-identical to the M×K HOF-distance formulation it replaced,
+    // which cost a >1 MB task binary and interpreted lambdas)
+    val codes = graft.functions.VectorFunctions.pqEncode(
+      col("embedding"), cb, subDim)
     val dtabLit = typedLit(dtab)
     val qIdsLit = typedLit(qIds)
     val qEmbLit = typedLit(queries.toSeq.map(_._2.toSeq.map(_.toDouble)))
@@ -524,8 +522,12 @@ object Similarity {
                  element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
     val wshort = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_micro").asc, col("n_id").asc)
+    // encode BELOW the explode: codes is an attribute by the time the
+    // per-query fan-out happens, so each vector is encoded once, not
+    // once per query row
     val shortlist = e
-      .select(col("vec_id").as("n_id"), codes.as("codes"),
+      .select(col("vec_id").as("n_id"), codes.as("codes"))
+      .select(col("n_id"), col("codes"),
               explode(sequence(lit(0), lit(qIds.size - 1))).as("qi"))
       .select(col("qi"), element_at(qIdsLit, col("qi") + 1).as("q_id"),
               col("n_id"), adc.cast("long").as("adc_micro"))

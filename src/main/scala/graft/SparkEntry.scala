@@ -95,6 +95,11 @@ object SparkEntry {
     "q74_dup_ngram_coverage" -> ((s, d) => Dedup.q74DupNgramCoverage(s, d)),
     "q75_pq_topk"          -> Similarity.q75PqTopK,
     "q76_hash_split"       -> ((s, d) => graft.ops.Sampling.q76HashSplit(s, d)),
+    "q77_bm25"             -> TextOps.q77Bm25,
+    "q78_edit_distance"    -> ((s, d) => Dedup.q78EditDistancePairs(s, d)),
+    "q79_lm_quality"       -> ((s, d) => TextOps.q79LmQuality(s, d)),
+    "q80_canonical_pick"   -> Dedup.q80CanonicalPick,
+    "q81_semdedup"         -> ((s, d) => Similarity.q81SemDedup(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -104,6 +109,42 @@ object SparkEntry {
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
         "q67_stream_dedup")
+
+  /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
+    * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
+    * by a recursive reachability CTE into `comp(doc, cluster_id)`.
+    * q60 reads the clusters; q80 extends them with the canonical-pick
+    * window, so both replay ONE cluster definition. */
+  private val dupClusterCtes: String =
+    """RECURSIVE t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh
+           FROM t),
+         ds AS (SELECT doc_id, source, bucket, sh,
+           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket)) / 1024.0) AS BIGINT) AS sub
+           FROM d),
+         jacp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ds a JOIN ds b
+           ON a.source = b.source AND a.bucket = b.bucket AND a.sub = b.sub
+              AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+               FROM documents),
+         exactp AS (SELECT min_id AS doc_a, doc_id AS doc_b FROM m
+                    WHERE doc_id <> min_id),
+         e0 AS (SELECT doc_a, doc_b FROM jacp
+                UNION SELECT doc_a, doc_b FROM exactp),
+         edges AS (SELECT doc_a AS s, doc_b AS t2 FROM e0
+                   UNION SELECT doc_b, doc_a FROM e0),
+         reach AS (
+           SELECT s AS doc, s AS lbl FROM edges
+           UNION
+           SELECT e.t2, r.lbl FROM reach r JOIN edges e ON e.s = r.doc),
+         comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)"""
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]], same aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -322,6 +363,70 @@ object SparkEntry {
                 THEN 'val'
               ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    "q77_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+           len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+           len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf1,
+           len(list_filter(toks, x -> x = 'window'))::BIGINT AS tf2,
+           len(list_filter(toks, x -> x = 'hash'))::BIGINT AS tf3
+           FROM t),
+         c AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+           sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+           FROM d)
+         SELECT doc_id, dl AS n_tokens,
+           CAST(floor((
+             ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * 2.2::DOUBLE) / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+           + ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * 2.2::DOUBLE) / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+           + ((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE)) * (tf2 * 2.2::DOUBLE) / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+           + ((n - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE)) * (tf3 * 2.2::DOUBLE) / (tf3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+           ) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS bm25_micro
+         FROM d, c ORDER BY doc_id""",
+    "q78_edit_distance" ->
+      """WITH d0 AS (SELECT doc_id, source,
+           CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+           substring(text, 1, 128) AS pfx FROM documents),
+         d AS (SELECT doc_id, source, bucket, pfx,
+           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket)) / 1024.0) AS BIGINT) AS sub
+           FROM d0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.pfx, b.pfx)::BIGINT AS lev,
+           greatest(length(a.pfx), length(b.pfx))::BIGINT AS max_len
+           FROM d a JOIN d b
+           ON a.source = b.source AND a.bucket = b.bucket AND a.sub = b.sub
+              AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, lev,
+           CAST(floor((1.0::DOUBLE - lev::DOUBLE / max_len) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS sim_micro
+         FROM p WHERE lev <= 16
+         ORDER BY sim_micro DESC, doc_a, doc_b LIMIT 20""",
+    "q79_lm_quality" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         vocab AS (SELECT token, count(*)::BIGINT AS freq FROM dt
+                   GROUP BY token ORDER BY freq DESC, token LIMIT 64),
+         nt AS (SELECT count(*)::BIGINT AS n_corpus FROM dt),
+         pd AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+                  coalesce(sum(v.freq), 0)::BIGINT AS sum_freq
+                FROM dt LEFT JOIN vocab v USING (token)
+                GROUP BY dt.doc_id)
+         SELECT doc_id, n_tokens, sum_freq,
+           (sum_freq * 1000000) // (n_tokens * n_corpus) AS lm_micro
+         FROM pd, nt ORDER BY doc_id""",
+    "q80_canonical_pick" ->
+      s"""WITH $dupClusterCtes,
+         tl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+                FROM documents),
+         cm AS (SELECT c.doc, c.cluster_id, tk.n_tokens,
+                  count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                    ORDER BY tk.n_tokens DESC, c.doc) AS rn
+                FROM comp c JOIN tl tk ON tk.doc_id = c.doc)
+         SELECT cluster_id, doc AS canon_doc_id, n_tokens AS canon_tokens,
+           (n_members - 1)::BIGINT AS n_dropped
+         FROM cm WHERE rn = 1 ORDER BY cluster_id""",
+    "q81_semdedup" -> Similarity.q81OracleSql(),
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,
@@ -693,35 +798,7 @@ object SparkEntry {
     // q60: transitive dedup clusters — recursive closure replays the
     // min-label propagation exactly (both sides fully converge)
     "q60_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks FROM documents),
-         d AS (SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-           list_distinct(CASE WHEN len(toks) >= 3 THEN
-             list_transform(generate_series(1, len(toks) - 2),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ELSE [] END) AS sh
-           FROM t),
-         ds AS (SELECT doc_id, source, bucket, sh,
-           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket)) / 1024.0) AS BIGINT) AS sub
-           FROM d),
-         jacp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ds a JOIN ds b
-           ON a.source = b.source AND a.bucket = b.bucket AND a.sub = b.sub
-              AND a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
-               FROM documents),
-         exactp AS (SELECT min_id AS doc_a, doc_id AS doc_b FROM m
-                    WHERE doc_id <> min_id),
-         e0 AS (SELECT doc_a, doc_b FROM jacp
-                UNION SELECT doc_a, doc_b FROM exactp),
-         edges AS (SELECT doc_a AS s, doc_b AS t2 FROM e0
-                   UNION SELECT doc_b, doc_a FROM e0),
-         reach AS (
-           SELECT s AS doc, s AS lbl FROM edges
-           UNION
-           SELECT e.t2, r.lbl FROM reach r JOIN edges e ON e.s = r.doc),
-         comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+      s"""WITH $dupClusterCtes
          SELECT doc AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS n_members
          FROM comp ORDER BY doc_id""",

@@ -467,4 +467,95 @@ object Dedup {
                 .as("dup_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** q78 — blocked, THRESHOLDED edit-distance near-dup: doc pairs
+    * whose Levenshtein distance over the first 128 characters is
+    * ≤ 16, within the same (source × length-bucket × sub-split)
+    * blocks q23 uses — the same O(n·maxBlock) bound on the quadratic
+    * pair space. The prefix caps the DP's input; the threshold caps
+    * its WIDTH: Spark's banded levenshtein(l, r, t) runs the
+    * O(len·t) diagonal band and returns -1 past t, so per-pair cost
+    * drops ~8× vs the full O(len²) table while surviving distances
+    * stay exact — an integer DP with identical unit-cost semantics
+    * in both engines (the oracle computes the full DP and applies
+    * the same ≤ 16 filter). sim_micro = floor((1 − lev/max_len)·1e6
+    * + 0.5) is one correctly-rounded division — bit-stable.
+    *
+    * Scale shape: one map pass to the (block, prefix) frame, a
+    * block-keyed self-join with enforced ≤ maxBlock blocks, then an
+    * explicit round-robin repartition of the candidate-pair stream
+    * BEFORE the DP: pair rows are tiny (two ids + two prefixes) but
+    * DP cost per row is huge, so AQE's size-based coalescing would
+    * otherwise pack the whole compute onto one or two cores — the
+    * classic compute-bound-not-byte-bound stage where bytes are the
+    * wrong load metric. Then a global top-20 (TakeOrdered, no full
+    * sort). */
+  def q78EditDistancePairs(s: SparkSession, dir: String,
+                           maxBlock: Int = 1024,
+                           maxDist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              floor(col("n_chars") / 64).as("bucket"),
+              substring(col("text"), 1, 128).as("pfx"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("bucket"))))
+      .withColumn("sub",
+        pmod(col("doc_id"), ceil(col("cnt") / lit(maxBlock.toDouble))))
+      .select(col("doc_id"), col("source"), col("bucket"), col("sub"), col("pfx"))
+    val a = d.toDF("doc_a", "source_a", "bucket_a", "sub_a", "pfx_a")
+    val b = d.toDF("doc_b", "source_b", "bucket_b", "sub_b", "pfx_b")
+    val lev = levenshtein(col("pfx_a"), col("pfx_b"), maxDist)
+    a.join(b, col("source_a") === col("source_b") &&
+              col("bucket_a") === col("bucket_b") &&
+              col("sub_a") === col("sub_b") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pfx_a"), col("pfx_b"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_a"), col("doc_b"), lev.cast("long").as("lev"),
+              greatest(length(col("pfx_a")), length(col("pfx_b")))
+                .cast("long").as("max_len"))
+      // beyond-threshold pairs (-1) are SENTINELED, not filtered, and
+      // dropped only after the limit: a Filter here would inline the
+      // aliased DP into its condition and get pushed below the
+      // repartition (the round-1 Filter-over-Project trap), running
+      // the whole DP twice in the wrong stage. Valid rows always sort
+      // before the -1s, so top-20-then-drop ≡ filter-then-top-20.
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+              when(col("lev") < 0, lit(-1L))
+                .otherwise(floor(
+                  (lit(1.0) - col("lev").cast("double") / col("max_len")) *
+                  lit(1000000.0) + lit(0.5)).cast("long")).as("sim_micro"))
+      .orderBy(col("sim_micro").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+      .filter(col("sim_micro") >= 0)
+  }
+
+  /** q80 — canonical-document selection per duplicate cluster: given
+    * q60's transitive dup clusters, keep ONE survivor per cluster —
+    * the longest member (token count), doc_id ascending on ties (the
+    * "keep the most complete duplicate" heuristic every dedup
+    * pipeline ends with). Output is one row per cluster with the
+    * survivor and the count of dropped members.
+    *
+    * Scale shape: adds exactly one broadcast-joinable (doc_id →
+    * n_tokens) map pass and one per-cluster window (keyed shuffle on
+    * cluster_id, cluster-sized partitions) on top of the q60
+    * machinery — survivor choice never touches text again. */
+  def q80CanonicalPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = q60DedupClusters(s, dir)
+    val toksLen = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    clusters.join(toksLen, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canon_doc_id"),
+              col("n_tokens").as("canon_tokens"),
+              (col("n_members") - 1L).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -215,12 +215,14 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** DuckDB oracle for q27, generated so the Lloyd iterations unroll
-    * into CTE pairs that mirror [[learnCentroids]] exactly: same seed,
-    * same cosine argmax with (csim DESC, c_id) tie-break, same
-    * round-to-6 element-wise mean, same empty-cell carry-forward. */
-  def q27OracleSql(C: Int = 16, nprobe: Int = 4, iters: Int = 2,
-                   dim: Int = 64, trainSample: Int = 65536): String = {
+  /** Shared DuckDB CTE chain replaying [[learnCentroids]] +
+    * [[assignCells]]: Lloyd iterations unrolled into CTE pairs (same
+    * seed, same cosine argmax with (csim DESC, c_id) tie-break, same
+    * round-to-6 element-wise mean, same empty-cell carry-forward),
+    * ending in `asg(vec_id, embedding, nrm, cell)`. Used by the q27
+    * and q81 oracles so both replay ONE learn+assign definition. */
+  private def ivfLearnAssignCtes(C: Int, iters: Int, dim: Int,
+                                 trainSample: Int): String = {
     def withNrm(cte: String) =
       s"(SELECT c_id, c_emb, sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm FROM $cte)"
     val iterCtes = (1 to iters).map { i =>
@@ -237,7 +239,7 @@ object Similarity {
          cent$i AS (SELECT p.c_id, coalesce(m.m_emb, p.c_emb) AS c_emb
            FROM cent${i - 1} p LEFT JOIN mean$i m USING (c_id))"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""e AS (SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          FROM embeddings),
        et AS (SELECT * FROM e WHERE vec_id < $trainSample),
@@ -253,7 +255,15 @@ object Similarity {
        asg AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY csim DESC, c_id) AS rn FROM asg0)
-         WHERE rn = 1),
+         WHERE rn = 1)"""
+  }
+
+  /** DuckDB oracle for q27 — replays learn+assign via
+    * [[ivfLearnAssignCtes]], then the nprobe probe and exact
+    * re-rank. */
+  def q27OracleSql(C: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                   dim: Int = 64, trainSample: Int = 65536): String = {
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
        probes AS (SELECT q_id, q_emb, q_nrm, c_id AS cell FROM (
          SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm, c.c_id,
            list_sum(list_transform(list_zip(q.embedding, c.c_emb),
@@ -644,4 +654,61 @@ object Similarity {
            round(avg(col("nrm")), 6).as("avg_norm"),
            round(avg(col("d0")), 6).as("avg_dim0"))
       .orderBy(col("label"))
+
+  /** q81 — SemDeDup (Abbas et al., 2023): semantic deduplication by
+    * clustering embeddings with the learned IVF quantizer
+    * ([[learnCentroids]], C=16) and dropping, within each cell, every
+    * vector that has a ≥ τ cosine neighbor with a smaller vec_id —
+    * the keep-the-first-seen rule made deterministic. Emits one row
+    * per vector: (vec_id, cell, keep). Fully oracle-checkable because
+    * the quantizer is the same deterministic learn+assign pipeline
+    * q27 replays in SQL.
+    *
+    * Scale shape: the pairwise similarity runs ONLY within cells — a
+    * cell-keyed self-join, never corpus × corpus; cells are the
+    * C-way partition a 100 TB corpus would bucket its embedding store
+    * by (the LayoutDemo partition-by-cell layout), so each executor
+    * scores its own cell locally. The assignment frame is persisted:
+    * it feeds both join sides and the final verdict, and without the
+    * cache the crossJoin-against-centroids assignment would run
+    * three times. */
+  def q81SemDedup(s: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    val C = 16
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cent = centroidsWithNorm(e, C, iters = 2)
+    val asg = assignCells(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aa = asg.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+                        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val bb = asg.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+                        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val sim = dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+    val dropped = aa.join(bb, col("cell_a") === col("cell_b") &&
+                              col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"), sim.as("s"))
+      .filter(col("s") >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+              when(col("hit").isNotNull, 0L).otherwise(1L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for q81 — replays learn+assign via
+    * [[ivfLearnAssignCtes]], then the within-cell smaller-id
+    * neighbor test. */
+  def q81OracleSql(C: Int = 16, iters: Int = 2, dim: Int = 64,
+                   trainSample: Int = 65536, tau: Double = 0.45): String =
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
+       drops AS (SELECT DISTINCT b.vec_id
+         FROM asg a JOIN asg b
+         ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm) >= $tau)
+       SELECT g.vec_id, g.cell,
+         CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM asg g LEFT JOIN drops d USING (vec_id)
+       ORDER BY g.vec_id"""
 }

@@ -379,4 +379,93 @@ object TextOps {
            count(when(col("verdict") === 4, 1)).as("n_rej_token_len"))
       .orderBy(col("source"))
   }
+
+  /** Fixed retrieval terms for q77 — the query side of a relevance
+    * scan is always a tiny literal set; the corpus side is what
+    * scales. */
+  private[ops] val bm25Terms = Seq("spark", "join", "window", "hash")
+
+  /** q77 — BM25 relevance scoring of every document against a fixed
+    * term set (k1=1.2, b=0.75), with the RATIONAL idf
+    * (N - df + 0.5)/(df + 0.5) instead of its log — the q54 lesson:
+    * a transcendental ln can differ in the last ulp across engines,
+    * while +,-,×,÷ are correctly rounded IEEE ops that both engines
+    * compute bit-identically. The per-document score is an explicit
+    * four-term expression (fixed evaluation order — never a
+    * groupBy-sum of doubles, whose partition-dependent order would
+    * unpin the bits), and surfaces as a micro-int.
+    *
+    * Scale shape: corpus statistics (N, Σdl, per-term df) reduce to
+    * ONE row via a map-side partial agg and re-enter the plan as a
+    * broadcast (single-row cross join — the aggregate-then-broadcast
+    * pattern, SURVEY §7.4); scoring is then a pure map pass. Two
+    * scans of documents (stats + scoring), no wide shuffle
+    * anywhere. */
+  def q77Bm25(s: SparkSession, dir: String): DataFrame = {
+    // constants appear ONLY as parsed literals (1.2, 2.2, 0.25, 0.75)
+    // — never as computed sums like k1+1, whose double result can
+    // differ from the parsed literal the SQL oracle uses
+    val toksOf = tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toksOf.as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val statAggs = sum(col("dl")).as("sdl") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n"), statAggs: _*)
+    val avgdl = col("sdl").cast("double") / col("n")
+    val score = bm25Terms.indices.map { i =>
+      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+              floor(score * lit(1000000.0) + lit(0.5)).cast("long")
+                .as("bm25_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79 — unigram-LM quality proxy (the CCNet-style "does this text
+    * look like the corpus" signal, rationalized): per document, the
+    * fraction of total corpus-token mass its tokens account for —
+    * Σ_tok corpusFreq(tok) over the doc's token POSITIONS, divided by
+    * n_tokens·N_corpus_tokens, as a floor'd micro-int. Frequencies
+    * are restricted to the top-V vocabulary (V=64, ties broken by
+    * token text); out-of-vocabulary tokens contribute zero — exactly
+    * how a real LM-quality filter scores against a fixed vocab.
+    * Every intermediate is an INTEGER (counts, integer sums, integer
+    * floor-division), so no accumulation order can unpin a bit —
+    * safe under any partitioning.
+    *
+    * Scale shape: the vocabulary is a top-V aggregate
+    * (TakeOrdered — map-side partial top-V per partition, V rows to
+    * the driver) broadcast into a per-token hash join; the per-doc
+    * sum is one partial+final aggregation. The token explode is the
+    * corpus-linear stage, identical in shape to the word-count
+    * canonical plan. Overflow headroom: sum_freq·1e6 needs
+    * sum_freq < 9.2e12 — at larger corpora, scale the micro factor
+    * down or widen to DECIMAL. */
+  def q79LmQuality(s: SparkSession, dir: String, v: Int = 64): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = docToks.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(v)
+    val ntok = docs.agg(sum(size(tokens(col("text")))).cast("long").as("n_corpus"))
+    val perDoc = docToks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
+    perDoc.crossJoin(broadcast(ntok))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+              expr("(sum_freq * 1000000) div (n_tokens * n_corpus)")
+                .as("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -110,6 +110,50 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(1)) == 2)
   }
 
+  test("pq_encode equals the slice + HOF-distance + argmin formulation") {
+    val M = 2; val K = 4; val subDim = 3
+    // codebook: cb(m)(k) distinct enough to make argmins unambiguous,
+    // plus one exact tie (k=1 and k=2 equal in subspace 1) to pin the
+    // first-minimum rule
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0),
+            Array(2.0, 2.0, 2.0), Array(3.0, 3.0, 3.0)),
+      Array(Array(5.0, 0.0, 0.0), Array(0.0, 5.0, 0.0),
+            Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 5.0)))
+    val vecs = Seq(
+      (0L, Seq(0.9f, 1.2f, 1.0f, 0.1f, 4.9f, 0.2f)),  // -> k=1, tie k=1(not 2)
+      (1L, Seq(3.2f, 2.8f, 3.0f, 4.8f, 0.0f, 0.1f)),  // -> k=3, k=0
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)))  // -> k=0, first min
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val hofCodes = array((0 until M).map { m =>
+      val sub = slice($"embedding", m * subDim + 1, subDim)
+      val dists = array((0 until K).map { k =>
+        aggregate(zip_with(sub, typedLit(cb(m)(k).toSeq),
+                    (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+                  lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val rows = vecs.select($"vec_id",
+        VectorFunctions.pqEncode($"embedding", cb, subDim).as("fast"),
+        hofCodes.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"codes diverge for vec ${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(0L) == Seq(1, 1))
+    assert(byId(1L) == Seq(3, 0))
+    assert(byId(2L) == Seq(0, 0))
+    // short input nulls out, mirroring the HOF chain's null-padded zip
+    val shortIn = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    assert(shortIn.select(VectorFunctions.pqEncode($"embedding", cb, subDim))
+      .collect().head.isNullAt(0))
+  }
+
   test("registered SQL function and extensions builder") {
     VectorFunctions.register(spark)
     df.createOrReplaceTempView("vex")

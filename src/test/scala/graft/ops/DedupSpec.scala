@@ -180,4 +180,41 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((6L, 6L, 1000000L)))
     assert(got(4L) == ((0L, 0L, 0L)))
   }
+
+  test("q78 surfaces a one-edit pair and prunes past the threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("lev").toString
+    val base = ("w " * 70).trim                  // 139 chars -> bucket 2
+    val oneEdit = "x" + base.substring(1)        // lev = 1 on the 128-prefix
+    val farOff = ("z " * 70).trim                // lev = 64 > 16: pruned
+    Seq((1L, base), (2L, oneEdit), (3L, farOff))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q78EditDistancePairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)),
+      s"expected only the one-edit pair, got ${got.toSeq}")
+  }
+
+  test("q80 keeps the longest member of a duplicate cluster") {
+    val tmp = java.nio.file.Files.createTempDirectory("canon").toString
+    // docs 1/2 are exact dups; doc 3 is ≥0.5-Jaccard near 1 but longer,
+    // so the transitive cluster {1,2,3} keeps 3
+    val t1 = "a b c d e f g h i j a b c d e f g h i j"
+    val t3 = t1 + " k l"
+    Seq((1L, t1), (2L, t1), (3L, t3), (9L, "totally different text here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q80CanonicalPick(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1)
+    val (cluster, canon, toks, dropped) = got.head
+    assert(cluster == 1L)                  // min reachable doc_id labels it
+    assert(canon == 3L, "longest member must survive")
+    assert(toks == 22L)
+    assert(dropped == 2L)
+  }
 }

@@ -88,4 +88,32 @@ class SimilaritySpec extends SparkSpec {
     info(s"PQ recall@5 = $recall (${(truth intersect pq).size}/${truth.size})")
     assert(recall >= 0.6, s"PQ recall@5 $recall below floor")
   }
+
+  test("q81 SemDeDup drops the larger id of a planted duplicate pair") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim corpus; vec 40 is an exact
+    // copy of vec 23, so they share a cell and cos = 1 ≥ τ
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Seq.tabulate(64) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+      }
+    }
+    val rows = (0L until 48L).map(i =>
+      (i, if (i == 40L) vec(23L) else vec(i), i.toInt % 3))
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // τ = 0.8: far above what independent random vectors reach
+    // (pairwise cos concentrates near 0 at dim 64), so only the
+    // planted copy can drop
+    val keep = Similarity.q81SemDedup(spark, tmp, tau = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep(23L) == 1L, "smaller id of the dup pair must survive")
+    assert(keep(40L) == 0L, "larger id of the dup pair must be dropped")
+    // independent random vectors are near-orthogonal: nothing else drops
+    assert(keep.count(_._2 == 0L) == 1, s"unexpected drops: ${keep.filter(_._2 == 0L)}")
+  }
 }

@@ -92,4 +92,38 @@ class TextOpsSpec extends SparkSpec {
     // s2: 2 docs — 1 repetitive, 1 degenerate token length
     assert(got("s2") == ((2L, 0L, 0L, 0L, 1L, 1L)))
   }
+
+  test("q77 BM25: zero-hit docs score 0; more hits outrank fewer at equal length") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    Seq(
+      (1L, "spark join window hash aa bb"), // all four terms
+      (2L, "spark aa bb cc dd ee"),         // one term, same length
+      (3L, "aa bb cc dd ee ff")             // no terms
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q77Bm25(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(3L) == 0L, "no query term -> zero score")
+    assert(got(1L) > got(2L), "four hits must outrank one at equal dl")
+    assert(got(2L) > 0L)
+  }
+
+  test("q79 LM quality: hand-computed micro scores on a tiny corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("lmq").toString
+    // corpus tokens: aa×3, bb×2, cc×1 -> n_corpus = 6, all in top-64
+    Seq((1L, "aa aa bb"), (2L, "aa bb cc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q79LmQuality(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: freqs 3+3+2 = 8 -> 8e6 div (3*6) = 444444
+    assert(got(1L) == ((3L, 8L, 444444L)))
+    // doc 2: freqs 3+2+1 = 6 -> 6e6 div 18 = 333333
+    assert(got(2L) == ((3L, 6L, 333333L)))
+  }
 }

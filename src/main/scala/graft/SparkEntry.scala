@@ -100,6 +100,7 @@ object SparkEntry {
     "q79_lm_quality"       -> ((s, d) => TextOps.q79LmQuality(s, d)),
     "q80_canonical_pick"   -> Dedup.q80CanonicalPick,
     "q81_semdedup"         -> ((s, d) => Similarity.q81SemDedup(s, d)),
+    "q82_pagerank"         -> ((s, d) => graft.ops.GraphOps.q82PageRank(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -427,6 +428,7 @@ object SparkEntry {
            (n_members - 1)::BIGINT AS n_dropped
          FROM cm WHERE rn = 1 ORDER BY cluster_id""",
     "q81_semdedup" -> Similarity.q81OracleSql(),
+    "q82_pagerank" -> graft.ops.GraphOps.q82OracleSql(),
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

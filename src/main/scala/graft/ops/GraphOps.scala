@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph computation over the events click graph — the
+  * operator class (alongside Dedup.connectedComponents) that a
+  * DataFrame engine expresses as a fixed number of join+aggregate
+  * rounds, each one shuffle on the destination key.
+  */
+object GraphOps {
+
+  /** q82 — PageRank in 64-bit FIXED-POINT arithmetic over the
+    * user↔item click graph (nodes = users ∪ items from
+    * `events.props.k`, edges both directions so every node has
+    * out-degree ≥ 1 and no rank dangles). Ranks live as micro-ints:
+    * r₀ = 1,000,000 per node, and each of the `iters` rounds computes
+    *   r' = 150000 + (850 · Σ_incoming (r div out_deg)) div 1000
+    * — damping 0.85 as the rational 850/1000, every operation an
+    * integer `div`/`+`/`×`. A float PageRank's per-node sum depends
+    * on partition-dependent accumulation order; integer sums are
+    * associative-exact under ANY partitioning, which is what lets a
+    * DuckDB oracle replay all three unrolled rounds bit-for-bit
+    * ([[q82OracleSql]]).
+    *
+    * Scale shape: the classic DataFrame PageRank — edges and
+    * (edge ⋈ out-degree) are computed once and persisted; each round
+    * is one hash join of the rank vector against the edge list plus
+    * one partial+final aggregation on dst (rank rows are 2 columns,
+    * so the shuffle carries the minimum possible bytes). Iteration
+    * count is fixed, so the plan is a finite unrolled DAG — no
+    * driver-side convergence loop, no collect. At 100 TB the edge
+    * list would be bucketed by src so the per-round join is
+    * co-located; the rank vector reshuffles each round regardless
+    * (it is the data that changes). */
+  def q82PageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+    val edges = clicks
+      .select(concat(lit("u"), col("user_id")).as("src"),
+              concat(lit("i"), col("k")).as("dst"))
+      .unionByName(clicks
+        .select(concat(lit("i"), col("k")).as("src"),
+                concat(lit("u"), col("user_id")).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, src-out-degree): joined once, reused every round
+    val ed = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("node"),
+                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for q82 — the same fixed-point rounds unrolled
+    * into CTEs; HUGEINT-widening sums are cast back to BIGINT so the
+    * value representation matches Spark's longs (the q63 lesson). */
+  def q82OracleSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node,
+           CAST(150000 + (850 * sum(r // d)) // 1000 AS BIGINT) AS r
+           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
+           GROUP BY dst)"""
+    }.mkString(",\n         ")
+    s"""WITH clicks AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+         edges AS (SELECT 'u' || user_id AS src, 'i' || k AS dst FROM clicks
+                   UNION ALL
+                   SELECT 'i' || k, 'u' || user_id FROM clicks),
+         deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+         ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
+         r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+         $rounds
+         SELECT node, r AS rank_micro FROM r$iters ORDER BY node"""
+  }
+}

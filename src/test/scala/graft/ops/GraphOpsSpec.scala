@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** q82's fixed-point PageRank on a hand-computable 4-node graph:
+  * u1—i1, u2—i1, u2—i2 (bidirectional). Every round is pure integer
+  * arithmetic, so the expected ranks are exact, not approximate.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q82 fixed-point PageRank matches the hand-unrolled rounds") {
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq(
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 2L, t0, "click", 1.0, """{"k": 1}"""),
+      (3L, 2L, t0, "click", 1.0, """{"k": 2}"""),
+      (4L, 2L, t0, "click", 1.0, """{"k": 2}"""),  // dup edge: dropped by distinct
+      (5L, 1L, t0, "view",  1.0, """{"k": 9}""")   // non-click: ignored
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q82PageRank(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-unrolled: deg u1=1 u2=2 i1=2 i2=1, r0=1e6 each;
+    // r1 = (1425000, 575000) hub/leaf; r2 = (1244375, 755625);
+    // r3: hub in-sum 1377812 -> 1321140, leaf in-sum 622187 -> 678858
+    assert(got == Map("u1" -> 678858L, "u2" -> 1321140L,
+                      "i1" -> 1321140L, "i2" -> 678858L))
+    // fixed-point conservation sanity: symmetric nodes tie exactly
+    assert(got("u1") == got("i2") && got("u2") == got("i1"))
+  }
+}

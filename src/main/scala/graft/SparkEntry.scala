@@ -101,6 +101,7 @@ object SparkEntry {
     "q80_canonical_pick"   -> Dedup.q80CanonicalPick,
     "q81_semdedup"         -> ((s, d) => Similarity.q81SemDedup(s, d)),
     "q82_pagerank"         -> ((s, d) => graft.ops.GraphOps.q82PageRank(s, d)),
+    "q83_cell_topics"      -> Similarity.q83CellTopics,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -429,6 +430,7 @@ object SparkEntry {
          FROM cm WHERE rn = 1 ORDER BY cluster_id""",
     "q81_semdedup" -> Similarity.q81OracleSql(),
     "q82_pagerank" -> graft.ops.GraphOps.q82OracleSql(),
+    "q83_cell_topics" -> Similarity.q83OracleSql(),
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

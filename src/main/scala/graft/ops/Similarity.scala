@@ -696,6 +696,56 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q83 — cell topics: the cluster-then-inspect loop of corpus
+    * curation. Documents join their embedding's IVF cell
+    * (doc_id = vec_id, inner — docs without an embedding don't
+    * participate), then each cell reports its top-5 tokens by count
+    * (ties broken by token text). The cross-modal join is the point:
+    * the text table and the embedding index meet on the id key, and
+    * every downstream aggregate is keyed by the semantic cell.
+    *
+    * Scale shape: cell assignment is the broadcast-centroid map pass
+    * q27 uses; the doc↔cell join is a hash join on the id (both
+    * sides corpus-sized, shuffle on the key — at warehouse scale
+    * both would be bucketed by id and the join co-located); token
+    * counts reduce map-side before the (cell, token) shuffle; top-5
+    * per cell is a bounded window. */
+  def q83CellTopics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cent = centroidsWithNorm(e, C = 16, iters = 2)
+    val asg = assignCells(e, cent).select(col("vec_id"), col("cell"))
+    val docToks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val counts = docToks
+      .join(asg, docToks("doc_id") === asg("vec_id"))
+      .groupBy(col("cell"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("cell"), col("rk"), col("token"), col("cnt"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  /** DuckDB oracle for q83 — learn+assign via [[ivfLearnAssignCtes]],
+    * then the doc⋈cell token rollup. */
+  def q83OracleSql(C: Int = 16, iters: Int = 2, dim: Int = 64,
+                   trainSample: Int = 65536): String =
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
+       dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+       cnts AS (SELECT a.cell, t.token, count(*)::BIGINT AS cnt
+                FROM dt t JOIN asg a ON a.vec_id = t.doc_id
+                GROUP BY a.cell, t.token),
+       r AS (SELECT cell, token, cnt,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY cnt DESC, token) AS rk
+             FROM cnts)
+       SELECT cell, rk, token, cnt FROM r WHERE rk <= 5
+       ORDER BY cell, rk"""
+
   /** DuckDB oracle for q81 — replays learn+assign via
     * [[ivfLearnAssignCtes]], then the within-cell smaller-id
     * neighbor test. */

@@ -116,4 +116,24 @@ class SimilaritySpec extends SparkSpec {
     // independent random vectors are near-orthogonal: nothing else drops
     assert(keep.count(_._2 == 0L) == 1, s"unexpected drops: ${keep.filter(_._2 == 0L)}")
   }
+
+  test("q83 cell topics: dense ranks, non-increasing counts, cells from the quantizer") {
+    val rows = Similarity.q83CellTopics(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cell, rs) =>
+      assert(cell >= 0 && cell < 16)
+      val byRk = rs.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1 to byRk.length).toSeq,
+        s"cell $cell ranks not dense: ${byRk.map(_._2).toSeq}")
+      assert(byRk.length <= 5)
+      val cnts = byRk.map(_._4).toSeq
+      assert(cnts == cnts.sorted.reverse, s"cell $cell counts not sorted: $cnts")
+      // ties must break by token text
+      byRk.toSeq.sliding(2).foreach {
+        case Seq(a, b) => if (a._4 == b._4) assert(a._3 < b._3)
+        case _ =>
+      }
+    }
+  }
 }

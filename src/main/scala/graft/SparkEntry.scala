@@ -102,6 +102,8 @@ object SparkEntry {
     "q81_semdedup"         -> ((s, d) => Similarity.q81SemDedup(s, d)),
     "q82_pagerank"         -> ((s, d) => graft.ops.GraphOps.q82PageRank(s, d)),
     "q83_cell_topics"      -> Similarity.q83CellTopics,
+    "q84_temperature_mix"  -> ((s, d) => graft.ops.Sampling.q84TemperatureMix(s, d)),
+    "q85_inverted_index"   -> ((s, d) => graft.ops.Sampling.q85InvertedIndex(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -431,6 +433,28 @@ object SparkEntry {
     "q81_semdedup" -> Similarity.q81OracleSql(),
     "q82_pagerank" -> graft.ops.GraphOps.q82OracleSql(),
     "q83_cell_topics" -> Similarity.q83OracleSql(),
+    "q84_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY source),
+         mx AS (SELECT max(n_docs)::BIGINT AS n_max FROM c),
+         v AS (SELECT d.source, c.n_docs,
+           CAST(floor(sqrt(c.n_docs::DOUBLE) / sqrt(mx.n_max::DOUBLE)
+                      * 1048576.0::DOUBLE) AS BIGINT) AS threshold,
+           CASE WHEN (('0x' || substr(md5(d.text), 28, 5))::BIGINT % 1048576)
+                     < CAST(floor(sqrt(c.n_docs::DOUBLE) / sqrt(mx.n_max::DOUBLE)
+                                  * 1048576.0::DOUBLE) AS BIGINT)
+                THEN 1 ELSE 0 END AS keep
+           FROM documents d JOIN c USING (source), mx)
+         SELECT source, any_value(n_docs) AS n_docs,
+           any_value(threshold) AS threshold, sum(keep)::BIGINT AS n_kept
+         FROM v GROUP BY source ORDER BY source""",
+    "q85_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+           FROM documents)
+         SELECT token, count(*)::BIGINT AS df,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+         FROM dt GROUP BY token ORDER BY token""",
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

@@ -97,4 +97,64 @@ object Sampling {
                 .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** q84 — temperature-weighted source mixing (the pretraining
+    * mixture-sampling recipe): each source's keep probability is
+    * proportional to n_s^α with α = 0.5 — sources smaller than the
+    * largest are UP-weighted relative to proportional sampling, the
+    * standard move to keep a mixture from being swamped by its
+    * biggest source. p_s = sqrt(n_s)/sqrt(max_s n_s) lands in
+    * (0, 1]; a doc survives iff its 20-bit content-hash bucket <
+    * floor(p_s · 2^20). sqrt is a correctly-rounded IEEE operation
+    * (unlike ln/exp), so both engines compute the identical
+    * threshold and the identical survivor set — selection is by
+    * CONTENT hash, reproducible under any layout or engine.
+    *
+    * Scale shape: per-source counts are one map-side agg broadcast
+    * back onto the stream (aggregate-then-broadcast); the verdict is
+    * then a pure map pass. Emitted per source: total, threshold,
+    * kept — the mixture audit a corpus build logs. */
+  def q84TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val maxN = counts.agg(max(col("n_docs")).as("n_max"))
+    val thr = floor(sqrt(col("n_docs").cast("double")) /
+                    sqrt(col("n_max").cast("double")) *
+                    lit(1048576.0)).cast("long")
+    val bucket20 = pmod(conv(substring(md5(col("text")), 28, 5), 16, 10)
+                          .cast("long"), lit(1048576L))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(maxN))
+      .select(col("source"), col("n_docs"), thr.as("threshold"),
+              (bucket20 < thr).cast("long").as("keep"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+           first(col("threshold")).as("threshold"),
+           sum(col("keep")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** q85 — inverted-index build: per token, the document frequency
+    * and the full posting list (doc_id ascending), surfaced as
+    * (first, last, md5-of-list) so the gate compares the exact list
+    * without hauling arrays through the comparison. The core
+    * retrieval-side structure a text corpus ships with.
+    *
+    * Scale shape: the canonical groupBy-token shape — the explode
+    * reduces map-side to distinct (token, doc) pairs before the
+    * shuffle (dropDuplicates' partial agg), postings assemble once
+    * per token. At 100 TB posting lists for stopword-class tokens
+    * are the skew risk: the df column is exactly the signal a real
+    * build uses to split those into blocked postings. */
+  def q85InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"), col("doc_id"))
+      .dropDuplicates("token", "doc_id")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"),
+           md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+             .as("postings_md5"))
+      .orderBy(col("token"))
 }

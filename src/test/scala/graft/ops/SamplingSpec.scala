@@ -126,4 +126,52 @@ class SamplingSpec extends SparkSpec {
       assert(r.getLong(2) >= 1 && r.getLong(3) >= 1) // tf, df sane
     }
   }
+
+  test("q84 temperature mixing up-weights the small source, halves nothing big") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tmix").toString
+    // big: 4 docs -> threshold 2^20 (keep all); small: 1 doc ->
+    // sqrt(1/4) = 0.5 -> threshold 524288. "petit doc" has 20-bit
+    // content bucket 776318 ≥ 524288, so it must be DROPPED; swap in
+    // "tiny one" (bucket 141790) and it must be KEPT.
+    def write(smallText: String): Unit =
+      (Seq((1L, "aa bb", "big"), (2L, "cc dd", "big"), (3L, "ee ff", "big"),
+           (4L, "gg hh", "big"), (5L, smallText, "small")))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def kept(): Map[String, (Long, Long, Long)] =
+      Sampling.q84TemperatureMix(spark, tmp).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    write("petit doc")
+    val a = kept()
+    assert(a("big") == ((4L, 1048576L, 4L)))
+    assert(a("small") == ((1L, 524288L, 0L)), s"got ${a("small")}")
+    write("tiny one")
+    val b = kept()
+    assert(b("small") == ((1L, 524288L, 1L)), s"got ${b("small")}")
+  }
+
+  test("q85 inverted index: hand-computed postings on a tiny corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("invidx").toString
+    Seq((1L, "a b"), (2L, "b c b"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def md5s(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+        .map("%02x".format(_)).mkString
+    val got = Sampling.q85InvertedIndex(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got("a") == ((1L, 1L, 1L, md5s("1"))))
+    assert(got("b") == ((2L, 1L, 2L, md5s("1,2")))) // within-doc repeat collapses
+    assert(got("c") == ((1L, 2L, 2L, md5s("2"))))
+  }
 }

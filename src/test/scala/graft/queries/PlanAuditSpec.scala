@@ -83,4 +83,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.isDefined && read.get.split(",").length <= 2,
       s"q19 should read only doc_id+text: ${read.getOrElse("")}")
   }
+
+  test("q77 corpus stats re-enter as a broadcast, never a shuffled join") {
+    val p = plan("q77_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"single-row stats must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join found:\n${p.take(1200)}")
+  }
+
+  test("q79 joins the top-V vocab by broadcast") {
+    val p = plan("q79_lm_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab probe must be a broadcast hash join:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocab must be TakeOrdered, not a global sort")
+  }
+
+  test("q78 repartitions the pair stream before the DP stage") {
+    val p = plan("q78_edit_distance")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"candidate pairs must round-robin repartition before the DP:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+  }
+
+  test("q82 reuses the persisted edge frame across rank rounds") {
+    val p = plan("q82_pagerank")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"each PageRank round must read the cached (edge x degree) frame:\n${p.take(1200)}")
+  }
 }

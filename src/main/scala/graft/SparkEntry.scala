@@ -104,6 +104,8 @@ object SparkEntry {
     "q83_cell_topics"      -> Similarity.q83CellTopics,
     "q84_temperature_mix"  -> ((s, d) => graft.ops.Sampling.q84TemperatureMix(s, d)),
     "q85_inverted_index"   -> ((s, d) => graft.ops.Sampling.q85InvertedIndex(s, d)),
+    "q86_interval_join"    -> EventOps.q86IntervalJoin,
+    "q87_snapshot_diff"    -> Relational.q87SnapshotDiff,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -433,6 +435,35 @@ object SparkEntry {
     "q81_semdedup" -> Similarity.q81OracleSql(),
     "q82_pagerank" -> graft.ops.GraphOps.q82OracleSql(),
     "q83_cell_topics" -> Similarity.q83OracleSql(),
+    "q86_interval_join" ->
+      """WITH iv AS (SELECT user_id AS u, CAST(ts AS DATE) AS day,
+           min(ts) AS w_start, max(ts) AS w_end, count(*)::BIGINT AS n_views
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(iv.w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+           strftime(iv.w_end, '%Y-%m-%d %H:%M:%S.%f') AS w_end,
+           iv.n_views
+         FROM events e JOIN iv
+         ON e.user_id = iv.u AND CAST(e.ts AS DATE) = iv.day
+            AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+    "q87_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS fp_old FROM documents
+           WHERE doc_id % 7 <> 0),
+         nxt AS (SELECT doc_id,
+           md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS fp_new
+           FROM documents WHERE doc_id % 5 <> 0),
+         j AS (SELECT coalesce(prev.doc_id, nxt.doc_id) AS doc_id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old <> fp_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+           FROM prev FULL OUTER JOIN nxt USING (doc_id))
+         SELECT status, count(*)::BIGINT AS n,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM j GROUP BY status ORDER BY status""",
     "q84_temperature_mix" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
            FROM documents GROUP BY source),

@@ -150,4 +150,40 @@ object EventOps {
                        + col("t_purchase").isNotNull.cast("long")).as("stage"))
       .orderBy(col("user_id"))
   }
+
+  /** q86 — point-in-interval join, the scale-correct way: purchases
+    * matched to the purchasing user's same-day VIEW window
+    * [first view, last view]. A naive range join is a nested-loop
+    * (every probe against every interval); here the equi part of the
+    * predicate — (user_id, day) — drives a plain hash join and the
+    * range test rides along as a residual filter, which is exactly
+    * how warehouse engines make interval joins scale: bucket the
+    * intervals so equality carries the join, and only bucket-local
+    * rows meet the range test. Intervals that could span buckets
+    * would be exploded to one row per covered bucket (not needed
+    * here — a day window is inside its day by construction).
+    *
+    * 100 TB shape: both sides shuffle once on (user, day) — or not
+    * at all if events are already bucketed by user — and no
+    * nested-loop pair ever materializes. */
+  def q86IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.events(s, dir)
+    val iv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("u"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"),
+           count(lit(1)).as("n_views"))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    probe.join(iv, probe("user_id") === iv("u") &&
+                   to_date(probe("ts")) === iv("day") &&
+                   probe("ts") >= iv("w_start") &&
+                   probe("ts") <= iv("w_end"))
+      .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), fmt).as("ts"),
+              date_format(col("w_start"), fmt).as("w_start"),
+              date_format(col("w_end"), fmt).as("w_end"),
+              col("n_views"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -322,4 +322,38 @@ object Relational {
       .filter(col("rn") === 1).drop("rn")
       .orderBy(col("o_orderkey"))
   }
+
+  /** q87 — corpus snapshot diff: the reconciliation pass an
+    * incremental corpus build runs between two crawls — which docs
+    * were added, removed, changed (content fingerprint differs), or
+    * untouched. Here both snapshots derive deterministically from the
+    * one documents table (old = doc_id % 7 ≠ 0 as-is; new =
+    * doc_id % 5 ≠ 0, uppercased when doc_id % 11 = 0) so the oracle
+    * replays them exactly; against real snapshots the derivations
+    * are just two scans.
+    *
+    * Scale shape: one full-outer hash join on the id and an md5
+    * compare — fingerprints computed map-side so the join carries
+    * (id, 32-byte hash), never text; the rollup is a 4-group
+    * aggregate. */
+  def q87SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val next = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"),
+              md5(when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
+                    .otherwise(col("text"))).as("fp_new"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+              when(col("fp_old").isNull, "added")
+                .when(col("fp_new").isNull, "removed")
+                .when(col("fp_old") =!= col("fp_new"), "changed")
+                .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
 }

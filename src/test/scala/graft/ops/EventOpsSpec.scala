@@ -55,4 +55,24 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("q86 matches purchases inside the same-day view window only") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivj").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("12:00"), "view", 0.0, "{}"),      // window [10:00, 12:00]
+      (3L, 1L, ts("11:00"), "purchase", 5.0, "{}"),  // inside -> matched
+      (4L, 1L, ts("13:00"), "purchase", 5.0, "{}"),  // after window -> no match
+      (5L, 2L, ts("11:30"), "purchase", 5.0, "{}"),  // user 2 never views -> no match
+      (6L, 3L, ts("09:00"), "view", 0.0, "{}"),
+      (7L, 3L, ts("09:00"), "purchase", 5.0, "{}")   // boundary: inclusive
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q86IntervalJoin(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(5)))
+    assert(got.toSeq == Seq((3L, 2L), (7L, 1L)),
+      s"expected events 3 (2 views) and 7 (boundary), got ${got.toSeq}")
+  }
 }

@@ -95,4 +95,20 @@ class RelationalSpec extends SparkSpec {
     val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).head.getLong(3)
     assert(total == 6000)
   }
+
+  test("q87 snapshot-diff statuses partition the id space correctly") {
+    val got = Relational.q87SnapshotDiff(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc_id 0..499: added = %7=0 && %5!=0; removed = %7!=0 && %5=0;
+    // changed = %11=0 && in both; unchanged = the rest of the overlap
+    val ids = 0L until 500L
+    def inOld(i: Long) = i % 7 != 0
+    def inNew(i: Long) = i % 5 != 0
+    val expect = Map(
+      "added" -> ids.count(i => !inOld(i) && inNew(i)).toLong,
+      "removed" -> ids.count(i => inOld(i) && !inNew(i)).toLong,
+      "changed" -> ids.count(i => inOld(i) && inNew(i) && i % 11 == 0).toLong,
+      "unchanged" -> ids.count(i => inOld(i) && inNew(i) && i % 11 != 0).toLong)
+    assert(got == expect, s"got $got expected $expect")
+  }
 }

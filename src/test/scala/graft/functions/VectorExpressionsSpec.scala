@@ -154,6 +154,46 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("pq_encode: seeded-random sweep, codegen == interpreted == HOF") {
+    val rnd = new scala.util.Random(42)
+    val M = 4; val K = 8; val subDim = 4
+    val cb: Array[Array[Array[Double]]] = Array.fill(M, K, subDim) {
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6
+    }
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(M * subDim)(
+        (math.rint(rnd.nextGaussian() * 1e6) / 1e6).toFloat))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val hofCodes = array((0 until M).map { m =>
+      val sub = slice($"embedding", m * subDim + 1, subDim)
+      val dists = array((0 until K).map { k =>
+        aggregate(zip_with(sub, typedLit(cb(m)(k).toSeq),
+                    (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+                  lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val rows = vecs.select($"vec_id",
+        VectorFunctions.pqEncode($"embedding", cb, subDim).as("fast"),
+        hofCodes.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+      s"codegen vs HOF diverge at vec ${r.getLong(0)}"))
+    // interpreted path (nullSafeEval via a Literal child, no codegen)
+    val flat = cb.flatten.flatten
+    vecs.collect().foreach { r =>
+      val emb = r.getSeq[Float](1).toArray
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(emb, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))
+      val interp = PqEncode(lit, flat, M, K, subDim).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray.toSeq
+      val fromDf = rows.find(_.getLong(0) == r.getLong(0)).get.getSeq[Int](1)
+      assert(interp == fromDf,
+        s"interpreted vs codegen diverge at vec ${r.getLong(0)}")
+    }
+  }
+
   test("registered SQL function and extensions builder") {
     VectorFunctions.register(spark)
     df.createOrReplaceTempView("vex")

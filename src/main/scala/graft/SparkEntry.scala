@@ -106,6 +106,15 @@ object SparkEntry {
     "q85_inverted_index"   -> ((s, d) => graft.ops.Sampling.q85InvertedIndex(s, d)),
     "q86_interval_join"    -> EventOps.q86IntervalJoin,
     "q87_snapshot_diff"    -> Relational.q87SnapshotDiff,
+    "q88_segment_dedup"    -> ((s, d) => Dedup.q88SegmentDedup(s, d)),
+    "q89_scd2"             -> EventOps.q89Scd2,
+    "q90_length_histogram" -> TextOps.q90LengthHistogram,
+    "q91_sparse_cosine"    -> ((s, d) => Dedup.q91SparseCosinePairs(s, d)),
+    "q92_outlier_lengths"  -> ((s, d) => TextOps.q92OutlierLengths(s, d)),
+    "q93_decile_bins"      -> graft.ops.Sampling.q93DecileBins,
+    "q94_stream_sliding"   -> graft.streaming.StreamQueries.q94StreamSliding,
+    "q95_cross_source_dups" -> ((s, d) => Dedup.q95CrossSourceDups(s, d)),
+    "q96_percentile_rank"  -> EventOps.q96PercentileRank,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -114,7 +123,7 @@ object SparkEntry {
     * next to the registrations, rather than by name-matching. */
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
-        "q67_stream_dedup")
+        "q67_stream_dedup", "q94_stream_sliding")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -486,6 +495,119 @@ object SparkEntry {
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
            md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
          FROM dt GROUP BY token ORDER BY token""",
+    "q88_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s0 AS (SELECT doc_id,
+             list_transform(generate_series(1, CAST(ceil(len(toks) / 16.0) AS BIGINT)),
+               j -> struct_pack(i := j,
+                      s := array_to_string(toks[((j-1)*16+1):(j*16)], ' '))) AS lst
+           FROM t),
+         segs AS (SELECT doc_id, unnest(lst).i AS seg_idx, unnest(lst).s AS seg FROM s0),
+         k AS (SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+               FROM segs),
+         kept AS (SELECT doc_id, seg_idx, seg FROM k WHERE rn = 1),
+         per AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   md5(array_to_string(list(seg ORDER BY seg_idx), ' ')) AS clean_md5
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*)::BIGINT AS n_segs FROM segs GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(tot.n_segs, 0) AS n_segs,
+           coalesce(per.n_kept, 0) AS n_kept,
+           coalesce(per.clean_md5, md5('')) AS clean_md5
+         FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q89_scd2" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, event_type,
+             CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           FROM x),
+         v AS (SELECT user_id, version, min(event_type) AS event_type,
+                 min(ts) AS valid_from_ts, count(*)::BIGINT AS n_events
+               FROM y GROUP BY user_id, version),
+         z AS (SELECT *, lead(valid_from_ts) OVER (PARTITION BY user_id
+                 ORDER BY version) AS valid_to_ts FROM v)
+         SELECT user_id, version, event_type,
+           strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           n_events,
+           (CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+         FROM z ORDER BY user_id, version""",
+    "q90_length_histogram" ->
+      """SELECT source, (length(bin(n_chars)) - 1)::BIGINT AS bucket,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY source, bucket ORDER BY source, bucket""",
+    "q91_sparse_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END)) AS gram FROM t),
+         rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+         p AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+         norms AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS dot
+                  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT doc_a, doc_b, dot, na.n AS n_a, nb.n AS n_b,
+           (dot * dot * 1000000) // (na.n * nb.n) AS cos2_micro
+         FROM dots JOIN norms na ON na.doc_id = doc_a
+                   JOIN norms nb ON nb.doc_id = doc_b
+         ORDER BY cos2_micro DESC, doc_a, doc_b LIMIT 20""",
+    "q92_outlier_lengths" ->
+      """WITH st AS (SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+                       sum(n_chars * n_chars)::BIGINT AS q
+                     FROM documents GROUP BY source),
+         f AS (SELECT d.source, d.doc_id,
+                 CASE WHEN (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
+                           > 4 * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END AS is_outlier,
+                 st.n, st.s
+               FROM documents d JOIN st USING (source))
+         SELECT source, min(n) AS n_docs, (min(s) * 1000000) // min(n) AS mean_micro,
+           sum(is_outlier)::BIGINT AS n_outliers,
+           min(CASE WHEN is_outlier = 1 THEN doc_id END) AS first_outlier,
+           max(CASE WHEN is_outlier = 1 THEN doc_id END) AS last_outlier
+         FROM f GROUP BY source ORDER BY source""",
+    "q93_decile_bins" ->
+      """WITH b AS (SELECT source, doc_id, n_chars,
+             ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS decile
+           FROM documents)
+         SELECT source, decile, count(*)::BIGINT AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           sum(n_chars)::BIGINT AS total_chars
+         FROM b GROUP BY source, decile ORDER BY source, decile""",
+    // q94's oracle is q44's batch SQL verbatim — the streaming twin must
+    // finalize to exactly the batch sliding-window result
+    "q94_stream_sliding" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, event_type, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events)
+         SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start, event_type,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM b GROUP BY b.w_start, event_type
+         ORDER BY w_start, event_type""",
+    "q95_cross_source_dups" ->
+      """WITH g AS (SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+                      source, count(*)::BIGINT AS cnt
+                    FROM documents GROUP BY 1, 2)
+         SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_texts, sum(a.cnt * b.cnt)::BIGINT AS n_pairs
+         FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q96_percentile_rank" ->
+      """WITH x AS (SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_id, event_type,
+           (CASE WHEN n = 1 THEN 0 ELSE ((rn - 1) * 1000000) // (n - 1) END)::BIGINT AS pr_micro
+         FROM x ORDER BY event_id""",
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

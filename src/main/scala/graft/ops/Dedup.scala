@@ -531,6 +531,138 @@ object Dedup {
       .filter(col("sim_micro") >= 0)
   }
 
+  /** q88 — segment-level exact dedup with reassembly (the C4/RefinedWeb
+    * "remove repeated passages, keep the rest of the document" shape,
+    * at sub-document granularity): each doc is cut into consecutive
+    * 16-token segments; a segment POSITION survives iff it is the
+    * globally first occurrence of that segment text (min doc_id, then
+    * min seg_idx — a total deterministic keeper rule); the survivors
+    * are stitched back in order and fingerprinted. Output per doc:
+    * segment counts and the md5 of the cleaned text.
+    *
+    * Scale shape: one map pass to (doc, seg_idx, seg), then the keeper
+    * choice is ONE aggregate keyed by segment text — min(struct) gets
+    * map-side partial aggregation, so only one candidate row per
+    * distinct segment per map partition crosses the wire (duplicates
+    * are pre-collapsed exactly where they are found). The join back is
+    * segment-keyed, the reassembly is one doc-keyed aggregate. Nothing
+    * quadratic, no windows over the full corpus; at 100 TB the segment
+    * table is the word-count shape and the heaviest key (a boilerplate
+    * segment repeated millions of times) still reduces map-side. */
+  def q88SegmentDedup(s: SparkSession, dir: String, segLen: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val segs = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+              transform(
+                sequence(lit(1),
+                         ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int")),
+                j => concat_ws(" ",
+                  slice(col("toks"), (j - lit(1)) * segLen + lit(1), lit(segLen))))
+                .as("segs"))
+      .select(col("doc_id"), posexplode(col("segs")))
+      .select(col("doc_id"), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
+    // keeper per distinct segment text: global min (doc_id, seg_idx)
+    val first = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
+    val kept = segs.join(first, Seq("seg"))
+      .filter(col("doc_id") === col("keep.doc_id") &&
+              col("seg_idx") === col("keep.seg_idx"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"))
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           md5(concat_ws(" ",
+             transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+                       x => x.getField("seg")))).as("clean_md5"))
+    val totals = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"))
+    // left joins: a doc whose every segment is owned elsewhere keeps
+    // zero segments and reassembles to the empty string
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q91 — sparse-cosine near-dup pairs driven through an inverted
+    * index (the scale path for feature-weighted similarity): each doc
+    * is a binary vector over its distinct 3-gram shingles, but only
+    * grams with df ≤ dfCap participate — exactly the stop-feature
+    * pruning production sparse-similarity systems apply, because a
+    * gram shared by everything carries no signal AND generates df²
+    * candidate pairs. Score = cos² in integer micros:
+    * (dot² · 1e6) div (|A|·|B|) — monotone in cosine, all-integer
+    * arithmetic (the q63 cross-engine lesson), top-k pairs.
+    *
+    * Scale shape: the postings table (gram → docs) is the q85
+    * inverted index restricted to rare grams, so the pair generation
+    * is Σ_g df(g)² ≤ dfCap · Σ_g df(g) — LINEAR in corpus size with
+    * the cap as the constant, never all-pairs. One persisted shingle
+    * scan feeds postings, norms, and df counts; the dot products are
+    * one gram-keyed self-join + pair-keyed count; the final top-k is
+    * a TakeOrdered, no global sort. */
+  def q91SparseCosinePairs(s: SparkSession, dir: String,
+                           dfCap: Int = 20, k: Int = 20): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("gram"))
+    val postings = grams.join(rare, Seq("gram"))
+    val norms = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = postings.select(col("gram"), col("doc_id").as("doc_a"))
+    val b = postings.select(col("gram"), col("doc_id").as("doc_b"))
+    val dots = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("n_a"), col("n_b"),
+              expr("(dot * dot * 1000000L) div (n_a * n_b)").as("cos2_micro"))
+      .orderBy(col("cos2_micro").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  /** q95 — cross-source duplication matrix (corpus-governance report):
+    * for every pair of sources, how many shared PREFIX fingerprints
+    * (md5 of the first 8 tokens — the coarse head-dedup key crawls
+    * use to catch syndicated/mirrored content whose tails diverge)
+    * they have in common: `n_texts` distinct shared fingerprints,
+    * `n_pairs` doc-level pairs = Σ cnt_a·cnt_b. The provenance-level
+    * view of dedup that feeds licensing/attribution decisions and
+    * mixture re-weighting.
+    *
+    * Scale shape: texts collapse to (fingerprint, source, count) in
+    * ONE map-side-combined aggregate — the self-join then runs on the
+    * collapsed fingerprint table (tiny vs the corpus), keyed by
+    * fingerprint. Per-fingerprint fan-out is (#sources sharing it)²,
+    * bounded by the source count, not the corpus. */
+  def q95CrossSourceDups(s: SparkSession, dir: String,
+                         prefixTokens: Int = 8): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(md5(concat_ws(" ",
+                slice(TextOps.tokens(col("text")), 1, prefixTokens))).as("fp"),
+              col("source"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("cnt"))
+    val a = g.toDF("fp", "source_a", "cnt_a")
+    val b = g.toDF("fp", "source_b", "cnt_b")
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_texts"),
+           sum(col("cnt_a") * col("cnt_b")).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q80 — canonical-document selection per duplicate cluster: given
     * q60's transitive dup clusters, keep ONE survivor per cluster —
     * the longest member (token count), doc_id ascending on ties (the

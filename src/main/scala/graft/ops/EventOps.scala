@@ -186,4 +186,74 @@ object EventOps {
               col("n_views"))
       .orderBy(col("event_id"))
   }
+
+  /** q96 — percentile-rank feature normalization in integer micros:
+    * each event's value mapped to its within-type rank position
+    * (rn−1)·1e6 div (n−1) — the distribution-free normalization
+    * (equalized histograms) feature pipelines apply before mixing
+    * heterogeneous signals. The order is total (value, then event_id)
+    * so ranks are deterministic; the emitted number is exact integer
+    * division (ties in `value` get distinct ranks from the tiebreak —
+    * a rank transform, not a dense percentile).
+    *
+    * Scale shape: one shuffle on event_type, one sort per partition
+    * shared by both window frames (row_number and the count both ride
+    * the same partitioning; Catalyst plans a single exchange+sort).
+    * Single-key skew at 100 TB would switch to a two-pass
+    * aggregate-then-broadcast CDF; the windowed form is the exact
+    * oracle-able contract. */
+  def q96PercentileRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .select(col("event_id"), col("event_type"),
+              when(col("n") === 1, 0L)
+                .otherwise(expr("((rn - 1) * 1000000L) div (n - 1)"))
+                .as("pr_micro"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q89 — SCD2 (slowly-changing-dimension type 2) history build from
+    * a change log: per user, CONSECUTIVE runs of the same event_type
+    * collapse into one version row (real SCD2 semantics — only a
+    * change opens a new version), with [valid_from, valid_to) validity
+    * intervals chained so each version closes exactly when the next
+    * one opens, and the open-ended last run flagged current. The
+    * gaps-and-islands shape: lag → change flag → running sum → group.
+    *
+    * Scale shape: both windows and the run aggregation share ONE
+    * hash partitioning on user_id — Catalyst plans a single exchange
+    * and sorts once per partition; state per key is a row, not a
+    * buffer. At 100 TB this is the canonical CDC-to-dimension pass:
+    * everything is per-key sequential scan after one shuffle. */
+  def q89Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("new_run",
+        (col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .cast("long"))
+      .withColumn("version", sum(col("new_run")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = runs.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+           min(col("ts")).as("valid_from_ts"),
+           count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn("valid_to_ts", lead(col("valid_from_ts"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type"),
+              date_format(col("valid_from_ts"), fmt).as("valid_from"),
+              date_format(col("valid_to_ts"), fmt).as("valid_to"),
+              col("n_events"),
+              col("valid_to_ts").isNull.cast("long").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

@@ -157,4 +157,31 @@ object Sampling {
            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
              .as("postings_md5"))
       .orderBy(col("token"))
+
+  /** q93 — equi-depth decile binning per source (the feature-binning
+    * pass before stratified splits or curriculum bucketing): ntile(10)
+    * over a TOTAL order (n_chars, then doc_id — the tiebreak makes
+    * bin membership deterministic, not layout-dependent), reported as
+    * per-bin occupancy and bounds. ntile is SQL-standard and agrees
+    * bit-for-bit across engines once the order is total.
+    *
+    * Scale shape: one range-partitioned sort per source partition —
+    * the same machinery as a global orderBy — then a tiny aggregate.
+    * At 100 TB you'd swap the exact window for approx_percentile
+    * fences at a 10⁻³ error budget; the exact form is the oracle-able
+    * contract. */
+  def q93DecileBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"),
+           sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
 }

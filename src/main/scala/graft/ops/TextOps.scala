@@ -468,4 +468,64 @@ object TextOps {
                 .as("lm_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** q90 — log2-bucketed length histogram per source (the corpus
+    * shape report every pipeline run prints: how document sizes are
+    * distributed, per provenance). The bucket is floor(log2(n_chars))
+    * computed INTEGER-exactly as the bit length of the value —
+    * `length(bin(x)) - 1` — identical in Spark and DuckDB, with none
+    * of the float-log boundary instability at exact powers of two
+    * (the q63 cross-engine lesson applied to logarithms).
+    *
+    * Scale shape: pure map pass + one partial/final aggregation on
+    * (source, bucket) — cardinality is tiny (sources × ~60 buckets)
+    * so the final reduce is trivial no matter the corpus size. */
+  /** q92 — z-score outlier detection with ALL-INTEGER algebra: a doc
+    * is a length outlier in its source iff |x − μ| > k·σ. Both sides
+    * squared and cleared of denominators: (n·x − S)² > k²·(n·Q − S²)
+    * with S = Σx, Q = Σx² — every quantity a BIGINT, so the boundary
+    * is decided by exact integer comparison in both engines (no
+    * float μ/σ whose last ulp flips a doc across the fence; the q63
+    * lesson applied to variance). mean_micro is emitted as integer
+    * division for the report.
+    *
+    * Scale shape: per-source (S, Q, n) is one partial+final aggregate
+    * over a tiny key space, broadcast back into a pure map-side flag
+    * pass — the two-phase aggregate-then-expression pattern F8 uses
+    * for the year clamp. Overflow headroom: (n·x)² needs n·x_max
+    * < 3e9, fine here; a 100 TB corpus widens S/Q to DECIMAL(38,0)
+    * with the same comparison. */
+  def q92OutlierLengths(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).as("s"),
+           sum(col("n_chars") * col("n_chars")).as("q"))
+    val flagged = docs.join(broadcast(stats), Seq("source"))
+      .withColumn("dev", col("n") * col("n_chars") - col("s"))
+      .withColumn("is_outlier",
+        (col("dev") * col("dev") >
+         lit(k.toLong * k) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("long"))
+    flagged.groupBy(col("source"))
+      .agg(min(col("n")).as("n_docs"),
+           expr("(min(s) * 1000000L) div min(n)").as("mean_micro"),
+           sum(col("is_outlier")).as("n_outliers"),
+           min(when(col("is_outlier") === 1, col("doc_id"))).as("first_outlier"),
+           max(when(col("is_outlier") === 1, col("doc_id"))).as("last_outlier"))
+      .orderBy(col("source"))
+  }
+
+  def q90LengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+              (length(bin(col("n_chars"))) - 1).cast("long").as("bucket"),
+              col("n_chars"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("total_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("bucket"))
 }

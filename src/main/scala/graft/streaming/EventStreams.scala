@@ -63,6 +63,22 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING windows (overlapping buckets): each event is
+    * expanded map-side into len/slide window instances (an Expand
+    * node — no extra shuffle), then aggregated exactly like the
+    * tumbling form. State per key finalizes when the watermark passes
+    * the window end, so the overlap multiplies state width by
+    * len/slide, not by data volume. */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
   /** Running per-user lifetime stats via mapGroupsWithState (exactly
     * one output row per user per batch, Update mode): the
     * monotonically-accumulating counterpart to the session operator.

@@ -172,6 +172,19 @@ object StreamQueries {
               round(col("total_value"), 4).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** q94 — streaming SLIDING windows (1 h length, 30 min slide) over
+    * the whole events table: the overlapping-window stateful shape
+    * (every event feeds two window instances). Same oracle as batch
+    * q44; one sentinel drop finalizes the tail windows. */
+  def q94StreamSliding(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q94")(
+      EventStreams.slidingCounts(_, "1 hour", "30 minutes", "1 hour"))
+      .filter(col("event_type") =!= sentinelType)
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+              col("event_type"), col("n_events"),
+              round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** q57 — watermarked stream-stream join over the whole events
     * table: view → purchase attribution within 30 minutes per user.
     * Sentinels pass BOTH side filters (they must flow through both

@@ -217,4 +217,58 @@ class DedupSpec extends SparkSpec {
     assert(toks == 22L)
     assert(dropped == 2L)
   }
+
+  test("q88 drops repeated segments, keeps first occurrence, reassembles in order") {
+    val tmp = java.nio.file.Files.createTempDirectory("segdd").toString
+    Seq(
+      (1L, "x y z"),   // segLen=2 -> segs ["x y", "z"]; both first occurrences
+      (2L, "x y w"),   // "x y" owned by doc 1 -> only "w" survives
+      (3L, "x y")      // single seg, fully duplicated -> empty doc
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q88SegmentDedup(spark, tmp, segLen = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got == Seq(
+      (1L, 2L, 2L, m("x y z")),
+      (2L, 2L, 1L, m("w")),
+      (3L, 1L, 0L, m(""))))
+  }
+
+  test("q91 sparse cosine ranks the planted near-pair first, exact micros") {
+    val tmp = java.nio.file.Files.createTempDirectory("spcos").toString
+    Seq(
+      (1L, "a b c d e f"),  // grams: {a b c, b c d, c d e, d e f}
+      (2L, "a b c d e g"),  // shares 3 of 4 grams with doc 1
+      (3L, "p q r s t u")   // disjoint
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q91SparseCosinePairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // dot = 3, |A| = |B| = 4 -> (9 * 1e6) div 16 = 562500; no other pair
+    assert(got == Seq((1L, 2L, 3L, 4L, 4L, 562500L)))
+  }
+
+  test("q95 counts shared prefix fingerprints across sources, not within") {
+    val tmp = java.nio.file.Files.createTempDirectory("xsrc").toString
+    val head = "a b c d e f g h" // 8-token prefix key
+    Seq(
+      (1L, s"$head tail one", "srcA"),
+      (2L, s"$head tail two", "srcB"),   // same prefix, other source
+      (3L, s"$head tail three", "srcB"), // same prefix, same source as 2
+      (4L, "z y x w v u t s different", "srcB")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q95CrossSourceDups(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // one shared fingerprint; 1 doc in srcA × 2 docs in srcB = 2 pairs
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L, 2L)))
+  }
 }

@@ -75,4 +75,53 @@ class EventOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 2L), (7L, 1L)),
       s"expected events 3 (2 views) and 7 (boundary), got ${got.toSeq}")
   }
+
+  test("q96 percentile ranks span 0..1e6 inside a type, ties broken by id") {
+    val tmp = java.nio.file.Files.createTempDirectory("prk").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 30.0, "{}"),
+      (2L, 1L, ts("10:01"), "view", 10.0, "{}"),
+      (3L, 1L, ts("10:02"), "view", 20.0, "{}"),
+      (4L, 1L, ts("10:03"), "view", 20.0, "{}"),  // tie with 3 -> later rank
+      (5L, 1L, ts("10:04"), "click", 7.0, "{}")   // singleton type -> 0
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q96PercentileRank(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 0L, 3L -> 333333L,
+                      4L -> 666666L, 5L -> 0L))
+  }
+
+  test("q89 SCD2 collapses runs, chains validity, flags the open version") {
+    val tmp = java.nio.file.Files.createTempDirectory("scd").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:05"), "view", 0.0, "{}"),   // same type -> same version
+      (3L, 1L, ts("10:10"), "click", 0.0, "{}"),  // change -> version 2
+      (4L, 1L, ts("10:15"), "view", 0.0, "{}"),   // back -> NEW version 3 (SCD2)
+      (5L, 2L, ts("09:00"), "view", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q89Scd2(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(4)), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "view",  Some("2024-01-01 10:10:00.000000"), 2L, 0L),
+      (1L, 2L, "click", Some("2024-01-01 10:15:00.000000"), 1L, 0L),
+      (1L, 3L, "view",  None, 1L, 1L),
+      (2L, 1L, "view",  None, 1L, 1L)))
+    // validity chains: each version closes exactly when the next opens
+    val byUser = EventOps.q89Scd2(spark, tmp).collect()
+      .groupBy(_.getLong(0)).values
+    byUser.foreach { vs =>
+      vs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(4) == b.getString(3))
+        case _ =>
+      }
+    }
+  }
 }

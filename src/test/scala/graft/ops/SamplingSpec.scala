@@ -174,4 +174,18 @@ class SamplingSpec extends SparkSpec {
     assert(got("b") == ((2L, 1L, 2L, md5s("1,2")))) // within-doc repeat collapses
     assert(got("c") == ((1L, 2L, 2L, md5s("2"))))
   }
+
+  test("q93 deciles are equi-depth and ordered by length") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dec").toString
+    // 10 docs, lengths 1..10 -> one per decile, min == max == length
+    (1L to 10L).map(i => (i, "t")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", $"doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.q93DecileBins(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == (1L to 10L).map(i => (i, 1L, i, i)))
+  }
 }

@@ -126,4 +126,35 @@ class TextOpsSpec extends SparkSpec {
     // doc 2: freqs 3+2+1 = 6 -> 6e6 div 18 = 333333
     assert(got(2L) == ((3L, 6L, 333333L)))
   }
+
+  test("q92 flags the planted length outlier by exact integer algebra") {
+    val tmp = java.nio.file.Files.createTempDirectory("outl").toString
+    // 10 docs of 100 chars + one of 500: n=11, S=1500, Q=350000
+    // dev(500) = 11*500-1500 = 4000; 4000^2 = 16e6 > 4*(11*Q - S^2) = 6.4e6
+    // dev(100) = -400; 160000 < 6.4e6 -> only the long doc is an outlier
+    val rows = (1L to 10L).map(i => (i, 100L)) :+ (99L, 500L)
+    rows.toDF("doc_id", "n_chars")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q92OutlierLengths(spark, tmp).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 11L)
+    assert(r.getLong(2) == 1500L * 1000000L / 11L)
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 99L && r.getLong(5) == 99L)
+  }
+
+  test("q90 buckets are exact bit lengths, counts partition the corpus") {
+    val rows = TextOps.q90LengthHistogram(spark, sf0001).collect()
+    // buckets partition: totals equal the corpus
+    assert(rows.map(_.getLong(2)).sum == 500)
+    // every bucket's [min, max] stays inside [2^b, 2^(b+1))
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds chars outside [${1L << b}, ${1L << (b + 1)})")
+    }
+  }
 }

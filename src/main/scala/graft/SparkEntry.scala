@@ -115,6 +115,9 @@ object SparkEntry {
     "q94_stream_sliding"   -> graft.streaming.StreamQueries.q94StreamSliding,
     "q95_cross_source_dups" -> ((s, d) => Dedup.q95CrossSourceDups(s, d)),
     "q96_percentile_rank"  -> EventOps.q96PercentileRank,
+    "q97_frame_dedup"      -> Multimodal.q97FrameDedup,
+    "q98_stream_enrich"    -> graft.streaming.StreamQueries.q98StreamEnrich,
+    "q99_label_prop"       -> ((s, d) => graft.ops.GraphOps.q99LabelProp(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -123,7 +126,7 @@ object SparkEntry {
     * next to the registrations, rather than by name-matching. */
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
-        "q67_stream_dedup", "q94_stream_sliding")
+        "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -608,6 +611,42 @@ object SparkEntry {
          SELECT event_id, event_type,
            (CASE WHEN n = 1 THEN 0 ELSE ((rn - 1) * 1000000) // (n - 1) END)::BIGINT AS pr_micro
          FROM x ORDER BY event_id""",
+    // q97 replays q66's byte-slice framing, then the q74-shaped
+    // collapse/total/join-back in lists
+    "q97_frame_dedup" ->
+      """WITH b AS (SELECT doc_id, text,
+           CAST(floor(strlen(text) / 128.0) AS BIGINT) AS nf FROM documents),
+         f AS (SELECT doc_id, text,
+           unnest(generate_series(0, nf - 1)) AS frame_no
+           FROM b WHERE nf >= 1),
+         fr AS (SELECT doc_id,
+           md5(substring(text, CAST(frame_no * 128 + 1 AS INT), 64)) AS h FROM f),
+         pd AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM fr GROUP BY 1, 2),
+         tot AS (SELECT h, sum(c)::BIGINT AS tot FROM pd GROUP BY h),
+         per AS (SELECT doc_id, sum(c)::BIGINT AS n_frames,
+                   sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup
+                 FROM pd JOIN tot USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(per.n_frames, 0) AS n_frames,
+           coalesce(per.n_dup, 0) AS n_dup,
+           CASE WHEN per.n_frames IS NULL OR per.n_frames = 0 THEN 0
+                ELSE (per.n_dup * 1000000) // per.n_frames END AS dup_micro
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q98_stream_enrich" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         prof AS (SELECT user_id,
+             min(CASE WHEN rn = 1 THEN event_type END) AS u_first_type,
+             count(*)::BIGINT AS u_n_events
+           FROM r GROUP BY user_id)
+         SELECT e.event_id, e.user_id, e.event_type,
+           prof.u_first_type, prof.u_n_events
+         FROM events e JOIN prof USING (user_id)
+         ORDER BY e.event_id""",
+    "q99_label_prop" -> graft.ops.GraphOps.q99OracleSql(),
     "q35_embedding_neardup" -> Similarity.q35OracleSql(),
     "q36_rolling_hash" ->
       """SELECT doc_id,

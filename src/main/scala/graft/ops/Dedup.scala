@@ -599,33 +599,44 @@ object Dedup {
     * arithmetic (the q63 cross-engine lesson), top-k pairs.
     *
     * Scale shape: the postings table (gram → docs) is the q85
-    * inverted index restricted to rare grams, so the pair generation
-    * is Σ_g df(g)² ≤ dfCap · Σ_g df(g) — LINEAR in corpus size with
-    * the cap as the constant, never all-pairs. One persisted shingle
-    * scan feeds postings, norms, and df counts; the dot products are
-    * one gram-keyed self-join + pair-keyed count; the final top-k is
-    * a TakeOrdered, no global sort. */
+    * inverted index restricted to rare grams, so the pair volume is
+    * Σ_g df(g)² ≤ dfCap · Σ_g df(g) — LINEAR in corpus size with the
+    * cap as the constant, never all-pairs. Pairs are expanded
+    * MAP-SIDE from each posting list (a codegen'd HOF, no self-join
+    * shuffle of the postings), the dot is one pair-keyed count with
+    * map-side combine, norms broadcast into the score, and the final
+    * top-k is a TakeOrdered, no global sort. */
   def q91SparseCosinePairs(s: SparkSession, dir: String,
                            dfCap: Int = 20, k: Int = 20): DataFrame = {
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"),
               explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("gram"))
+    // one gram-keyed aggregate builds the posting list AND the df cap;
+    // candidate pairs are then generated MAP-SIDE from each ≤ dfCap
+    // list (codegen'd HOF expansion, ≤ dfCap²/2 rows per gram) instead
+    // of a gram-keyed self-join — the corpus pays one shuffle of
+    // (gram, doc) and one of (a, b), never a joined pair stream
+    val postings = grams.groupBy(col("gram"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= dfCap)
+      .select(col("docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("gram"))
-    val postings = grams.join(rare, Seq("gram"))
-    val norms = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = postings.select(col("gram"), col("doc_id").as("doc_a"))
-    val b = postings.select(col("gram"), col("doc_id").as("doc_b"))
-    val dots = a.join(b, Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+    val norms = postings
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dots = postings
+      .select(explode(expr(
+        """flatten(transform(docs,
+             x -> transform(filter(docs, y -> y > x),
+                            y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("dot"))
     dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("n").as("n_a"))),
+            Seq("doc_a"))
+      .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("n").as("n_b"))),
+            Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("dot"), col("n_a"), col("n_b"),
               expr("(dot * dot * 1000000L) div (n_a * n_b)").as("cos2_micro"))
       .orderBy(col("cos2_micro").desc, col("doc_a"), col("doc_b"))

@@ -34,18 +34,23 @@ object GraphOps {
     * list would be bucketed by src so the per-round join is
     * co-located; the rank vector reshuffles each round regardless
     * (it is the data that changes). */
-  def q82PageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** Bidirectional user↔item click edge list (shared by q82/q99). */
+  private def clickEdges(s: SparkSession, dir: String): DataFrame = {
     val clicks = Tables.events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"),
               get_json_object(col("props"), "$.k").cast("long").as("k"))
       .distinct()
-    val edges = clicks
+    clicks
       .select(concat(lit("u"), col("user_id")).as("src"),
               concat(lit("i"), col("k")).as("dst"))
       .unionByName(clicks
         .select(concat(lit("i"), col("k")).as("src"),
                 concat(lit("u"), col("user_id")).as("dst")))
+  }
+
+  def q82PageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val edges = clickEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // (src, dst, src-out-degree): joined once, reused every round
     val ed = edges.join(deg, "src")
@@ -85,5 +90,63 @@ object GraphOps {
          r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
          $rounds
          SELECT node, r AS rank_micro FROM r$iters ORDER BY node"""
+  }
+
+  /** q99 — synchronized label propagation (community detection) over
+    * the click graph: every node starts labeled with itself; each
+    * round, a node adopts the most frequent label among its neighbors,
+    * ties broken by smallest label — a TOTAL deterministic update
+    * rule, unlike classic async LP whose result depends on visit
+    * order. A fixed number of rounds keeps the plan a finite unrolled
+    * DAG that a DuckDB oracle replays exactly.
+    *
+    * Scale shape: per round, one hash join (edges ⋈ labels on src) +
+    * one partial-aggregated count on (dst, label) + one per-dst
+    * window over label-count rows (partition size = a node's distinct
+    * neighbor labels, shrinking every round). Same bucketable-by-src
+    * posture as q82. */
+  def q99LabelProp(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = clickEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    // edges stays persisted for the query's lifetime; the harness
+    // clears caches between queries (Bench/Verify clearCache), same
+    // as the other persisted lineages (q24, q74, q97)
+    labels.orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for q99 — the same synchronized rounds unrolled. */
+  def q99OracleSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, l.label, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           GROUP BY 1, 2),
+         l$i AS (SELECT dst AS node, label FROM (
+           SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH clicks AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+         edges AS (SELECT 'u' || user_id AS src, 'i' || k AS dst FROM clicks
+                   UNION ALL
+                   SELECT 'i' || k, 'u' || user_id FROM clicks),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         $rounds
+         SELECT node, label FROM l$iters ORDER BY node"""
   }
 }

@@ -138,6 +138,47 @@ object Multimodal {
               md5(col("frame")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** q97 — frame-level dedup across videos: sample frames exactly as
+    * q66, fingerprint each, and report per video how many of its
+    * frames also occur elsewhere in the corpus (same video or
+    * another) — the keyframe-dedup signal a video-heavy training
+    * pipeline uses to drop intros/outros/test-cards before paying
+    * for feature extraction. `dup_micro` = (n_dup · 1e6) div n_frames
+    * — exact integer division, no float share.
+    *
+    * Scale shape: identical to q74's word-gram coverage but over
+    * binary frame hashes: ONE map pass samples + fingerprints (only
+    * (doc, md5) ever leave the scan — never frame bytes), collapse to
+    * per-(video, hash) counts with map-side combine, corpus totals as
+    * a second aggregate over the collapsed set, hash-keyed join back.
+    * The persisted set is the collapsed counts, not the frames. */
+  def q97FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perVideoFrame = sampleFrames(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "doc_id", frameBytes = 64, stride = 2)
+      .select(col("doc_id"), md5(col("frame")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perVideoFrame.groupBy(col("h")).agg(sum(col("c")).as("tot"))
+    val perVideo = perVideoFrame
+      .join(totals, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_frames"),
+           sum(when(col("tot") >= 2, col("c")).otherwise(0L))
+             .cast("long").as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(perVideo, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+              when(col("n_frames").isNull || col("n_frames") === 0, 0L)
+                .otherwise(expr("(n_dup * 1000000L) div n_frames"))
+                .as("dup_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   def decodeImages(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._

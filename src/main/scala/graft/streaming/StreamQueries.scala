@@ -223,6 +223,31 @@ object StreamQueries {
       .filter(col("event_type") =!= sentinelType)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** q98 — stream-static enrichment join: the streaming events feed
+    * joined against a STATIC per-user profile dimension (computed
+    * batch-side before the stream starts — first event type by time,
+    * lifetime event count). The standard "enrich the firehose with the
+    * dimension table" deployment: the join is STATELESS (each
+    * micro-batch hash-joins against the static relation, typically
+    * broadcast), needs no watermark and no sentinels, and the
+    * sentinel rows drop out through the inner join (user −1 has no
+    * profile). Oracle: the identical batch join. */
+  def q98StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val profile = graft.Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("u_first_type"),
+           count(lit(1)).as("u_n_events"))
+    runStream(s, dir, "q98", drops = 0) { src =>
+      src.join(broadcast(profile), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("u_first_type"), col("u_n_events"))
+    }
+      .orderBy(col("event_id"))
+  }
+
   /** q52 — streaming sessionization over the whole events table; same
     * oracle as batch q30. session_id is reconstructed as the per-user
     * time rank (sessions never overlap, so this equals the batch

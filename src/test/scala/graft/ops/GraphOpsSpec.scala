@@ -33,4 +33,29 @@ class GraphOpsSpec extends SparkSpec {
     // fixed-point conservation sanity: symmetric nodes tie exactly
     assert(got("u1") == got("i2") && got("u2") == got("i1"))
   }
+
+  test("q99 label propagation converges per component, min label wins ties") {
+    val tmp = java.nio.file.Files.createTempDirectory("lp").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq(
+      // component A: u1-i1, u2-i1 (star on i1)
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 2L, t0, "click", 1.0, """{"k": 1}"""),
+      // component B: u3-i2 (isolated pair)
+      (3L, 3L, t0, "click", 1.0, """{"k": 2}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q99LabelProp(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-unrolled sync rounds, neighbors-only update, min-label ties:
+    // A: l1 = {u1->i1, u2->i1, i1->u1}; l2 = {u1->u1, u2->u1, i1->i1};
+    //    l3 = {u1->i1, u2->i1, i1->u1} (2-cycle of the bipartite star)
+    // B: u3<->i2 swap every round; after 3 rounds u3->i2, i2->u3
+    assert(got == Map("u1" -> "i1", "u2" -> "i1", "i1" -> "u1",
+                      "u3" -> "i2", "i2" -> "u3"))
+    // labels never cross components
+    assert(Set("u1", "u2", "i1").flatMap(got.get) == Set("i1", "u1"))
+    assert(Set("u3", "i2").flatMap(got.get) == Set("i2", "u3"))
+  }
 }

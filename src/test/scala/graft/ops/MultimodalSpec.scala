@@ -41,6 +41,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.contains((100, 2000, 51, 1024)))
   }
 
+  test("q97 frame dedup flags shared frames across videos") {
+    val tmp = java.nio.file.Files.createTempDirectory("fdd").toString
+    val shared = "A" * 64
+    Seq(
+      (1L, shared + ("B" * 64)),  // 128 chars -> 1 frame = the shared block
+      (2L, shared + ("C" * 64)),  // same frame content -> both dup
+      (3L, ("D" * 64) + ("E" * 64)), // unique frame
+      (4L, "short")               // no full stride -> 0 frames
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Multimodal.q97FrameDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1000000L),
+      (2L, 1L, 1L, 1000000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
   test("sampleFrames: one row per sampled frame, empty payloads drop") {
     val frames = Multimodal.sampleFrames(docs, "payload", "doc_id",
       frameBytes = 256, stride = 4)

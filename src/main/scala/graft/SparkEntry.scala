@@ -118,6 +118,10 @@ object SparkEntry {
     "q97_frame_dedup"      -> Multimodal.q97FrameDedup,
     "q98_stream_enrich"    -> graft.streaming.StreamQueries.q98StreamEnrich,
     "q99_label_prop"       -> ((s, d) => graft.ops.GraphOps.q99LabelProp(s, d)),
+    "q100_gap_fill"        -> EventOps.q100GapFill,
+    "q101_stream_outer_join" -> graft.streaming.StreamQueries.q101StreamJoinOuter,
+    "q102_ann_recall"      -> Similarity.q102AnnRecall,
+    "q103_token_budget"    -> ((s, d) => graft.ops.Sampling.q103TokenBudget(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -126,7 +130,8 @@ object SparkEntry {
     * next to the registrations, rather than by name-matching. */
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
-        "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich")
+        "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
+        "q101_stream_outer_join")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -1217,5 +1222,48 @@ object SparkEntry {
          round((count(*) FILTER (WHERE ('0x' || substr(md5(text), 32, 1))::BIGINT < 2))::DOUBLE
                / count(*), 6) AS rate
          FROM documents GROUP BY source ORDER BY source""",
+    "q100_gap_fill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_micro,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                  FROM hourly GROUP BY 1),
+         spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                   FROM span)
+         SELECT s.user_id,
+           strftime(s.h, '%Y-%m-%d %H:%M') AS hour,
+           coalesce(hh.n_events, 0) AS n_events,
+           last_value(hh.value_micro IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_micro,
+           hh.value_micro IS NULL AS is_gap
+         FROM spine s LEFT JOIN hourly hh
+           ON hh.user_id = s.user_id AND hh.h = s.h
+         ORDER BY s.user_id, hour""",
+    "q101_stream_outer_join" ->
+      """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+         strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts,
+         strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts
+         FROM (SELECT * FROM events WHERE event_type = 'view') a
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY view_id, purchase_id""",
+    "q102_ann_recall" -> Similarity.q102OracleSql(),
+    "q103_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+           FROM t)
+         SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 1500 ORDER BY source, cum_tokens""",
   )
 }

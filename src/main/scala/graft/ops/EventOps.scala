@@ -256,4 +256,44 @@ object EventOps {
               col("valid_to_ts").isNull.cast("long").as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** q100 — hourly resample with gap fill + forward fill per user:
+    * events are aggregated into hourly buckets, each user's
+    * [first, last] hour span is densified into a spine
+    * (`sequence` + `explode`, generated map-side so no row carries
+    * more than its own span), the observed buckets are left-joined
+    * back, and the last observed value is carried across gaps with
+    * `last(ignoreNulls)` — the standard telemetry/feature resample
+    * before windowed training joins.
+    *
+    * Scale shape: every stage is keyed by user_id — the hourly agg,
+    * the span agg, the spine join and the fill window reuse one hash
+    * partitioning, so AQE collapses this to a single exchange; state
+    * per key is one row. Values are summed as integer micros
+    * (`floor(v*1e6+0.5)`), so no cross-engine float accumulation
+    * exists anywhere. No reference analogue (§2.7 absence). */
+  def q100GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value") * lit(1e6d) + lit(0.5d)).cast("long"))
+             .as("value_micro"),
+           count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+              explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+                .as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_micro",
+                  last(col("value_micro"), ignoreNulls = true).over(fill))
+      .select(col("user_id"),
+              date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              col("filled_micro"),
+              col("value_micro").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
 }

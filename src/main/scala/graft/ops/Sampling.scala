@@ -184,4 +184,31 @@ object Sampling {
            sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy(col("source"), col("decile"))
   }
+
+  /** q103 — greedy token-budget selection per source: order each
+    * source's docs by a quality proxy (longest first, doc_id
+    * tiebreak) and keep the prefix whose cumulative whitespace-token
+    * count fits the budget — the "fill the training mix to N tokens
+    * per source" step that follows dedup/quality filtering in a
+    * corpus build.
+    *
+    * Scale shape: one shuffle (hash by source), one running-sum
+    * window per source partition, all-integer arithmetic. cum_tokens
+    * is strictly increasing within a source (every doc has ≥ 1
+    * token), so (source, cum_tokens) is a total order. At 100 TB the
+    * per-source sort is the only cost and is exactly the sort a
+    * budgeted selection needs; nothing global exists. */
+  def q103TokenBudget(s: SparkSession, dir: String,
+                      budget: Long = 1500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("source"), col("cum_tokens"))
+  }
 }

@@ -761,4 +761,60 @@ object Similarity {
          CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        FROM asg g LEFT JOIN drops d USING (vec_id)
        ORDER BY g.vec_id"""
+
+  /** q102 — index quality evaluation: recall@5 of the IVF index
+    * (q27's probe path) against the exact brute-force neighbors
+    * (q26), per query — the metric every ANN deployment tracks
+    * before trading exactness for speed. Both top-k frames are k
+    * rows per query, so the comparison join is broadcast-sized
+    * regardless of corpus size; recall is emitted as an integer
+    * percentage (k=5 → steps of 20) so the metric is bit-stable
+    * across engines. */
+  def q102AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = q26AnnTopK(s, dir).select(col("q_id"), col("n_id"))
+    val ivf = q27IvfTopK(s, dir)
+      .select(col("q_id").as("i_q"), col("n_id").as("i_n"))
+    brute
+      .join(ivf, col("q_id") === col("i_q") && col("n_id") === col("i_n"),
+            "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("i_n")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+              (col("n_hits") * lit(20L)).as("recall_pct"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB oracle for q102 — one WITH chain holding both the exact
+    * brute-force top-5 (q26's definition) and the IVF top-5 (q27's
+    * learn+assign+probe replay), reduced to hits per query. */
+  def q102OracleSql(C: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                    dim: Int = 64, trainSample: Int = 65536): String =
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
+       bsims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+           p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q.nrm * c.nrm) AS sim_exact
+         FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 8),
+       brute AS (SELECT q_id, n_id FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY sim_exact DESC, n_id) AS rn FROM bsims) WHERE rn <= 5),
+       probes AS (SELECT q_id, q_emb, q_nrm, c_id AS cell FROM (
+         SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm, c.c_id,
+           list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+             p -> p[1]::DOUBLE * p[2])) / (q.nrm * c.c_nrm) AS csim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY csim DESC, c.c_id) AS pr
+         FROM e q CROSS JOIN cent c WHERE q.vec_id < 8)
+         WHERE pr <= $nprobe),
+       scored AS (SELECT p.q_id, a.vec_id AS n_id,
+         list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (p.q_nrm * a.nrm) AS sim_exact
+         FROM probes p JOIN asg a ON p.cell = a.cell
+         WHERE a.vec_id <> p.q_id),
+       ivf AS (SELECT q_id, n_id FROM (
+         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY sim_exact DESC, n_id) AS rn FROM scored) WHERE rn <= 5)
+       SELECT b.q_id, count(i.n_id) AS n_hits,
+         count(i.n_id) * 20 AS recall_pct
+       FROM brute b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
+       GROUP BY b.q_id ORDER BY b.q_id"""
 }

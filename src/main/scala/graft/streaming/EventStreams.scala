@@ -112,7 +112,8 @@ object EventStreams {
     * matches as soon as both sides have arrived. */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       gap: String = "30 minutes",
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
                          col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", watermark)
@@ -121,7 +122,8 @@ object EventStreams {
       .withWatermark("p_ts", watermark)
     v.join(p, col("v_user") === col("p_user") &&
               col("p_ts") >= col("v_ts") &&
-              col("p_ts") <= col("v_ts") + expr(s"INTERVAL $gap"))
+              col("p_ts") <= col("v_ts") + expr(s"INTERVAL $gap"),
+           joinType)
   }
 
   /** Streaming exact dedup: drop rows whose content fingerprint was

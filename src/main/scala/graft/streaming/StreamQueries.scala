@@ -203,6 +203,30 @@ object StreamQueries {
               date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
       .orderBy(col("view_id"), col("purchase_id"))
 
+  /** q101 — watermarked stream-stream LEFT OUTER join: the same
+    * view → purchase attribution as q57, but views with no purchase
+    * within the gap ALSO emit (with null purchase columns) — the
+    * shape that needs the watermark for output, not just eviction:
+    * an unmatched left row can only finalize once the watermark
+    * proves no future right row can match. The sentinel drop
+    * advances both side watermarks past every real view's horizon,
+    * so the no-data batch emits all null-matched rows; the
+    * sentinel's own pairing (user −1) is dropped from the result.
+    * Oracle: the plain batch LEFT JOIN. */
+  def q101StreamJoinOuter(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q101") { src =>
+      EventStreams.attributionJoin(
+        src.filter(col("event_type").isin("view", sentinelType)),
+        src.filter(col("event_type").isin("purchase", sentinelType)),
+        joinType = "leftOuter")
+    }
+      .filter(col("v_user") >= 0)
+      .select(col("view_id"), col("purchase_id"),
+              col("v_user").as("user_id"),
+              date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_ts"),
+              date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
+      .orderBy(col("view_id"), col("purchase_id"))
+
   /** q67 — streaming exact dedup: first-occurrence distinct over
     * (user_id, event_type) via streaming `dropDuplicates` state — the
     * online form of q22's batch dedup, and the standard

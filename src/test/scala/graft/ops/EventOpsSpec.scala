@@ -124,4 +124,26 @@ class EventOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q100 densifies each user's span and forward-fills across gaps") {
+    val tmp = java.nio.file.Files.createTempDirectory("gap").toString
+    Seq(
+      (1L, 7L, ts("10:00"), "view", 1.5, "{}"),
+      (2L, 7L, ts("10:30"), "view", 2.0, "{}"), // same hour: micro-sum
+      (3L, 7L, ts("13:20"), "click", 4.0, "{}"), // hours 11,12 are gaps
+      (4L, 8L, ts("09:15"), "view", 9.0, "{}")   // single-hour span
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q100GapFill(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (7L, "2024-01-01 10:00", 2L, 3500000L, false),
+      (7L, "2024-01-01 11:00", 0L, 3500000L, true),
+      (7L, "2024-01-01 12:00", 0L, 3500000L, true),
+      (7L, "2024-01-01 13:00", 1L, 4000000L, false),
+      (8L, "2024-01-01 09:00", 1L, 9000000L, false)))
+  }
 }

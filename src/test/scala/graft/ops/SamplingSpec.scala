@@ -188,4 +188,23 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == (1L to 10L).map(i => (i, 1L, i, i)))
   }
+
+  test("q103 keeps the longest-first prefix that fits the token budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tb").toString
+    Seq(
+      (1L, "a b c d e f"),   // 6 tokens
+      (2L, "a b c d e"),     // 5 tokens -> cum 11 > 10, dropped
+      (3L, "a b"),           // 2 tokens -> greedy is prefix-only: still dropped
+      (4L, "x y z")          // other source: kept (3 <= 10)
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" === 4L, "s2").otherwise("s1"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.q103TokenBudget(spark, tmp, budget = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("s1", 1L, 6L, 6L), ("s2", 4L, 3L, 3L)))
+  }
 }

@@ -136,4 +136,20 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q102 recall metric equals the independently computed intersection") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("n_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.q26AnnTopK(spark, sf0001))
+    val ivf = pairs(Similarity.q27IvfTopK(spark, sf0001))
+    val expected = (truth intersect ivf).groupBy(_._1).view.mapValues(_.size).toMap
+    val got = Similarity.q102AnnRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 8)
+    got.foreach { case (q, hits, pct) =>
+      assert(hits == expected.getOrElse(q, 0).toLong, s"q$q hits")
+      assert(pct == hits * 20)
+    }
+  }
 }

@@ -182,6 +182,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer attribution join emits unmatched views once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val src = in.toDF()
+    val q = EventStreams.attributionJoin(
+        src.filter($"event_type" === "view"),
+        src.filter($"event_type" === "purchase"),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, 1, "10:00", typ = "view"),
+        ev(2, 1, "10:20", typ = "purchase"), // within 30 min → match
+        ev(4, 2, "10:10", typ = "view"))     // no purchase → null row later
+      q.processAllAvailable()
+      // advance both watermarks well past 10:40 (view horizon) on both sides
+      in.addData(ev(8, 9, "14:00", typ = "view"),
+                 ev(9, 9, "14:00", typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)), s"match lost: $rows")
+      assert(rows.contains((4L, -1L)), s"unmatched view not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("userStats: mapGroupsWithState accumulates across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

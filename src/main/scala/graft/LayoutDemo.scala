@@ -157,12 +157,74 @@ object LayoutDemo {
     val bloomPlan = selJoin().queryExecution.executedPlan.toString
     val bloomInPlan = bloomPlan.contains("might_contain")
 
+    // ---- E: Z-order clustering (multi-dimension min/max pruning) ----
+    // A single-column sort makes parquet min/max stats tight on that
+    // column ONLY: a filter on any other key still touches every
+    // file. The Morton key (functions.ZOrder2) interleaves two keys,
+    // tiling the (l_partkey, l_suppkey) plane so every file covers a
+    // small rectangle — range filters on EITHER column then skip most
+    // files on their stats. The locality metric below counts the
+    // part-files that actually contain matching rows: the by-partkey
+    // layout scatters a suppkey filter's rows across ~every file,
+    // the z-ordered layout confines both filters to a small subset.
+    // Scale BOTH keys to the full 16-bit window first: raw domains
+    // (partkey ~15 bits, suppkey ~10 bits here) would leave the top
+    // interleaved bits partkey-only, and file boundaries would then
+    // discriminate almost exclusively on partkey — the balanced key
+    // gives each dimension alternating influence at every prefix
+    // depth (the same normalize-then-interleave step production
+    // z-order writers apply).
+    val (maxP, maxS) = {
+      val r = Tables.lineitem(spark, sfDir)
+        .agg(max(col("l_partkey")), max(col("l_suppkey"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val lz = Tables.lineitem(spark, sfDir)
+      .withColumn("z_key", graft.functions.VectorFunctions
+        .zorder2(((col("l_partkey") * 65535L) / maxP).cast("long"),
+                 ((col("l_suppkey") * 65535L) / maxS).cast("long")))
+    val perFile = 16384
+    lz.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.option("maxRecordsPerFile", perFile.toString)
+      .mode("overwrite").parquet(s"$wh/l_bypart")
+    lz.repartitionByRange(32, col("z_key"))
+      .sortWithinPartitions("z_key")
+      .write.option("maxRecordsPerFile", perFile.toString)
+      .mode("overwrite").parquet(s"$wh/l_byz")
+    def rangeAgg(path: String, cond: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(path).filter(cond)
+        .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
+             count(lit(1)).as("n"))
+    val partCond = col("l_partkey").between(5000, 5500)
+    val suppCond = col("l_suppkey").between(400, 425)
+    val zPartSec = timeIt(run(rangeAgg(s"$wh/l_byz", partCond)))
+    val zSuppSec = timeIt(run(rangeAgg(s"$wh/l_byz", suppCond)))
+    val linPartSec = timeIt(run(rangeAgg(s"$wh/l_bypart", partCond)))
+    val linSuppSec = timeIt(run(rangeAgg(s"$wh/l_bypart", suppCond)))
+    def filesWithRows(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+    def filesAll(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+    val zFiles = filesAll(s"$wh/l_byz")
+    val zoPart = filesWithRows(s"$wh/l_byz", partCond)
+    val zoSupp = filesWithRows(s"$wh/l_byz", suppCond)
+    val linFiles = filesAll(s"$wh/l_bypart")
+    val linPart = filesWithRows(s"$wh/l_bypart", partCond)
+    val linSupp = filesWithRows(s"$wh/l_bypart", suppCond)
+
     println(s"""{"partition_pruning":{"flat_sec":$flatScan,"pruned_sec":$prunedScan,"partition_filter_in_plan":$pruned},""" +
       s""""bucketed_join":{"flat_sec":$flatJoin,"bucketed_sec":$bucketJoin,""" +
       s""""flat_exchanges":$flatExchanges,"bucketed_exchanges":$exchanges},""" +
       s""""ivf_cell_layout":{"flat_probe_sec":$flatProbe,"cell_probe_sec":$cellProbe,""" +
       s""""partition_filter_in_plan":$cellPruned,"files_total":$filesTotal,"files_probed":$filesProbed},""" +
-      s""""runtime_bloom_filter":{"off_sec":$noBloom,"on_sec":$withBloom,"might_contain_in_plan":$bloomInPlan}}""")
+      s""""runtime_bloom_filter":{"off_sec":$noBloom,"on_sec":$withBloom,"might_contain_in_plan":$bloomInPlan},""" +
+      s""""zorder_clustering":{"files":{"zorder":$zFiles,"by_partkey":$linFiles},""" +
+      s""""files_with_matches":{"zorder_partkey_q":$zoPart,"zorder_suppkey_q":$zoSupp,""" +
+      s""""by_partkey_partkey_q":$linPart,"by_partkey_suppkey_q":$linSupp},""" +
+      s""""sec":{"zorder_partkey_q":$zPartSec,"zorder_suppkey_q":$zSuppSec,""" +
+      s""""by_partkey_partkey_q":$linPartSec,"by_partkey_suppkey_q":$linSuppSec}}}""")
     spark.stop()
   }
 }

@@ -122,6 +122,7 @@ object SparkEntry {
     "q101_stream_outer_join" -> graft.streaming.StreamQueries.q101StreamJoinOuter,
     "q102_ann_recall"      -> Similarity.q102AnnRecall,
     "q103_token_budget"    -> ((s, d) => graft.ops.Sampling.q103TokenBudget(s, d)),
+    "q104_zorder_key"      -> Relational.q104ZOrderKey,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1254,6 +1255,7 @@ object SparkEntry {
             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
          ORDER BY view_id, purchase_id""",
     "q102_ann_recall" -> Similarity.q102OracleSql(),
+    "q104_zorder_key" -> Relational.q104OracleSql(),
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -445,6 +445,57 @@ case class PqEncode(child: Expression, codebook: Array[Double],
     copy(child = newChild)
 }
 
+/** Morton (Z-order) interleave of two long keys' low 16 bits — the
+  * multi-column clustering key (q104, LayoutDemo §E): bit i of `a`
+  * lands at output bit 2i and bit i of `b` at bit 2i+1, so rows
+  * sorted by the key tile the (a, b) plane with locality in BOTH
+  * dimensions, and parquet min/max row-group pruning works for
+  * filters on EITHER column — the property a single-column sort
+  * cannot give. The 16-bit window is the documented contract (keys
+  * are masked to it; both bench key domains fit with 3 bits spare);
+  * the spread uses the standard public Morton shift/mask ladder, so
+  * the key is branchless in codegen and exactly replayable as 32
+  * unrolled shift/AND terms in ANSI SQL (the q104 oracle). */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"zorder2 requires (bigint, bigint), got $other")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.key(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrder2.key($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  /** Spread the low 16 bits of v to even bit positions (static so
+    * generated code can call it directly). */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+
+  def key(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -471,6 +522,11 @@ object VectorFunctions {
   /** Packed (total<<32 | distinct) word-trigram counts of a token array. */
   def trigramStats(toks: Column): Column =
     ColumnBridge.column(TrigramStats(ColumnBridge.expression(toks)))
+
+  /** Morton key over two long columns' low 16 bits. */
+  def zorder2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** PQ codes (array<int>, length M) of a float vector against
     * codebooks(m)(k)(d), flattened row-major internally. */

@@ -356,4 +356,32 @@ object Relational {
            max(col("doc_id")).as("max_doc"))
       .orderBy(col("status"))
   }
+
+  /** q104 — Morton (Z-order) clustering keys over (l_partkey,
+    * l_suppkey) via the codegen'd [[graft.functions.ZOrder2]]
+    * expression: the key a warehouse writer sorts by so parquet
+    * min/max pruning serves range filters on EITHER column
+    * (LayoutDemo §E measures the file-skipping effect; this query
+    * oracle-gates the key computation itself — the oracle replays
+    * the interleave as 32 unrolled shift/AND terms). Pure map pass,
+    * zero shuffles before the output sort. */
+  def q104ZOrderKey(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"),
+              graft.functions.VectorFunctions
+                .zorder2(col("l_partkey"), col("l_suppkey")).as("z_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** DuckDB oracle for q104 — the Morton interleave as unrolled
+    * shift/AND arithmetic (bits are disjoint, so OR == sum). */
+  def q104OracleSql(bits: Int = 16): String = {
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((l_partkey >> $i) & 1) << ${2 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST($terms AS BIGINT) AS z_key
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+  }
 }

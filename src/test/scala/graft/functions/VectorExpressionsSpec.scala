@@ -194,6 +194,37 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("zorder2: seeded-random sweep, codegen == interpreted == unrolled shifts") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val keys = Seq.tabulate(256)(i =>
+      (i.toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)) ++
+      Seq((256L, 0L, 0L), (257L, 0xFFFFL, 0xFFFFL), // corners
+          (258L, 0x12345L, 7L))                     // beyond 16 bits: masked
+    val df2 = keys.toDF("id", "a", "b")
+    // unrolled Column formulation (what the DuckDB oracle replays)
+    val unrolled = (0 until 16).map { i =>
+      shiftleft(shiftright($"a", i).bitwiseAND(1), 2 * i).cast("long") +
+      shiftleft(shiftright($"b", i).bitwiseAND(1), 2 * i + 1).cast("long")
+    }.reduce(_ + _)
+    val rows = df2.select($"id", $"a", $"b",
+        VectorFunctions.zorder2($"a", $"b").as("fast"), unrolled.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"codegen vs unrolled diverge at id ${r.getLong(0)}")
+      val interp = ZOrder2(
+        org.apache.spark.sql.catalyst.expressions.Literal(r.getLong(1)),
+        org.apache.spark.sql.catalyst.expressions.Literal(r.getLong(2)))
+        .eval(null).asInstanceOf[Long]
+      assert(interp == r.getLong(3),
+        s"interpreted vs codegen diverge at id ${r.getLong(0)}")
+    }
+    // adjacent keys in z-order space share a quadrant: spot geometry
+    assert(ZOrder2.key(0L, 0L) == 0L && ZOrder2.key(1L, 0L) == 1L &&
+           ZOrder2.key(0L, 1L) == 2L && ZOrder2.key(1L, 1L) == 3L)
+  }
+
   test("registered SQL function and extensions builder") {
     VectorFunctions.register(spark)
     df.createOrReplaceTempView("vex")

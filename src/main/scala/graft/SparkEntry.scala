@@ -123,6 +123,9 @@ object SparkEntry {
     "q102_ann_recall"      -> Similarity.q102AnnRecall,
     "q103_token_budget"    -> ((s, d) => graft.ops.Sampling.q103TokenBudget(s, d)),
     "q104_zorder_key"      -> Relational.q104ZOrderKey,
+    "q105_weighted_sample" -> ((s, d) => graft.ops.Sampling.q105WeightedSample(s, d)),
+    "q106_knn_classify"    -> Similarity.q106KnnClassify,
+    "q107_incremental_dedup" -> ((s, d) => Dedup.q107IncrementalDedup(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1256,6 +1259,49 @@ object SparkEntry {
          ORDER BY view_id, purchase_id""",
     "q102_ann_recall" -> Similarity.q102OracleSql(),
     "q104_zorder_key" -> Relational.q104OracleSql(),
+    "q105_weighted_sample" ->
+      """WITH t AS (SELECT source, doc_id,
+           ('0x' || substr(md5(text), 1, 13))::BIGINT // n_chars AS prio
+           FROM documents),
+         r AS (SELECT source, doc_id, prio,
+           row_number() OVER (PARTITION BY source
+             ORDER BY prio, doc_id) AS rk FROM t)
+         SELECT source, doc_id, prio, rk FROM r WHERE rk <= 10
+         ORDER BY source, rk""",
+    "q106_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+         sims AS (SELECT q_id, c.vec_id AS n_id,
+           list_sum(list_transform(list_zip(q_emb, c.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q_nrm * c.nrm) AS sim_exact
+           FROM q JOIN e c ON c.vec_id <> q_id),
+         r AS (SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, n_id) AS rn
+           FROM sims),
+         nn AS (SELECT q_id, n_id FROM r WHERE rn <= 5),
+         v AS (SELECT nn.q_id, emb.label, count(*) AS votes
+               FROM nn JOIN embeddings emb ON emb.vec_id = nn.n_id
+               GROUP BY nn.q_id, emb.label),
+         p AS (SELECT q_id, label, votes,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY votes DESC, label) AS rk FROM v)
+         SELECT q_id, label AS pred_label, votes FROM p WHERE rk = 1
+         ORDER BY q_id""",
+    "q107_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp_exact,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_prefix
+           FROM documents),
+         ex AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+         inc AS (SELECT * FROM f WHERE doc_id % 5 = 0)
+         SELECT i.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM ex WHERE ex.fp_exact = i.fp_exact)
+                  THEN 'dup_exact'
+                WHEN EXISTS (SELECT 1 FROM ex WHERE ex.fp_prefix = i.fp_prefix)
+                  THEN 'dup_prefix'
+                ELSE 'new' END AS status
+         FROM inc i ORDER BY i.doc_id""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

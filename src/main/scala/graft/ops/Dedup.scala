@@ -701,4 +701,45 @@ object Dedup {
               (col("n_members") - 1L).as("n_dropped"))
       .orderBy(col("cluster_id"))
   }
+
+  /** q107 — incremental ingest dedup: an incoming batch (doc_id ≡ 0
+    * mod 5 stands in for today's crawl) is screened against the
+    * EXISTING corpus (the rest) — the shape every production corpus
+    * build runs daily, where re-deduplicating the whole corpus per
+    * batch would be quadratic in history. Each incoming doc gets a
+    * verdict: `dup_exact` (md5 matches an existing doc),
+    * `dup_prefix` (8-token prefix fingerprint matches — q95's
+    * cross-source near signal), else `new`.
+    *
+    * Scale shape: both screens are hash joins on 16-byte
+    * fingerprints computed map-side — text never crosses a shuffle;
+    * the incoming batch is the small side (broadcastable
+    * day-to-corpus), and the corpus side ships one row per DISTINCT
+    * fingerprint (pre-aggregated), so state is corpus-distinct-sized,
+    * not corpus-sized. At warehouse scale the existing-fingerprint
+    * frames persist as bucketed tables and the daily screen becomes
+    * a co-located join — cf. the bucketing levers in LayoutDemo §B. */
+  def q107IncrementalDedup(s: SparkSession, dir: String,
+                           prefixTokens: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("fp_exact"),
+                md5(concat_ws(" ",
+                  slice(TextOps.tokens(col("text")), 1, prefixTokens)))
+                  .as("fp_prefix"))
+    val existing = fps(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val incoming = fps(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val exacts = existing.select(col("fp_exact")).distinct()
+      .withColumn("hit_exact", lit(1))
+    val prefixes = existing.select(col("fp_prefix")).distinct()
+      .withColumn("hit_prefix", lit(1))
+    incoming
+      .join(exacts, Seq("fp_exact"), "left")
+      .join(prefixes, Seq("fp_prefix"), "left")
+      .select(col("doc_id"),
+              when(col("hit_exact") === 1, "dup_exact")
+                .when(col("hit_prefix") === 1, "dup_prefix")
+                .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
 }

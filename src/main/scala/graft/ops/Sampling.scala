@@ -198,6 +198,44 @@ object Sampling {
     * token), so (source, cum_tokens) is a total order. At 100 TB the
     * per-source sort is the only cost and is exactly the sort a
     * budgeted selection needs; nothing global exists. */
+  /** q105 — weighted priority sampling per source: the k docs with
+    * the smallest `hash52(text) div weight` priorities (weight =
+    * n_chars), so heavier docs draw proportionally smaller
+    * priorities — the integer-deterministic analogue of
+    * exponential-race / A-Res weighted reservoir sampling, whose
+    * `-ln(u)/w` priorities would hang cross-engine correctness on
+    * float logs (the same reason q54 uses a rational idf). Selection
+    * depends only on content + weight: reproducible across engines,
+    * re-runs, and layouts.
+    *
+    * Scale shape: identical to q72 — the bounded
+    * [[graft.functions.TopK]] aggregator combines map-side and ships
+    * ≤ k rows per source per partition; no per-source full sort
+    * exists (the window formulation the oracle replays would
+    * one-partition-per-source collapse at corpus scale). Priorities
+    * are ≤ 2^52 so the aggregator's double scores stay exact. */
+  def q105WeightedSample(s: SparkSession, dir: String,
+                         k: Int = 10): DataFrame = {
+    val d = Tables.documents(s, dir)
+    import d.sparkSession.implicits._
+    import graft.functions.TopK
+    d.select(col("source"), col("doc_id"),
+             hashRank52(col("text")).as("h"), col("n_chars"))
+      .withColumn("prio", expr("h div n_chars")) // exact integer floor-div
+      .select(col("source"), col("doc_id"), col("prio"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      // TopK keeps score DESC with id-asc ties; negate so the k
+      // smallest priorities win
+      .mapValues { case (_, id, p) => TopK.Scored(id, -p.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case (sc, i) =>
+          (src, sc.id, -sc.score.toLong, (i + 1).toLong) } }
+      .toDF("source", "doc_id", "prio", "rk")
+      .orderBy(col("source"), col("rk"))
+  }
+
   def q103TokenBudget(s: SparkSession, dir: String,
                       budget: Long = 1500): DataFrame = {
     import org.apache.spark.sql.expressions.Window

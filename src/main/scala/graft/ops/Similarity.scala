@@ -784,6 +784,28 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q106 — k-NN label classification: each query vector takes the
+    * majority label of its 5 exact nearest neighbors (q26's truth
+    * set), votes tied by smaller label — the standard
+    * embedding-space weak-labeling / eval step. The vote frame is k
+    * rows per query, so everything after the NN search is
+    * broadcast-sized; the label lookup is a hash join on the id key
+    * (bucketable at corpus scale). */
+  def q106KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = q26AnnTopK(s, dir).select(col("q_id"), col("n_id"))
+    val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = nn.join(lbl, nn("n_id") === lbl("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** DuckDB oracle for q102 — one WITH chain holding both the exact
     * brute-force top-5 (q26's definition) and the IVF top-5 (q27's
     * learn+assign+probe replay), reduced to hits per query. */

@@ -271,4 +271,24 @@ class DedupSpec extends SparkSpec {
     // one shared fingerprint; 1 doc in srcA × 2 docs in srcB = 2 pairs
     assert(got.toSeq == Seq(("srcA", "srcB", 1L, 2L)))
   }
+
+  test("q107 screens an incoming batch: exact dup, prefix dup, new") {
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      // existing corpus: doc_id % 5 != 0
+      (1L, base),
+      (2L, "completely different corpus text here"),
+      // incoming batch: doc_id % 5 == 0
+      (5L, base),                                             // exact copy
+      (10L, "alpha beta gamma delta epsilon zeta eta theta OTHER tail"), // same 8-token prefix
+      (15L, "nothing like anything in the corpus at all")     // new
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q107IncrementalDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((5L, "dup_exact"), (10L, "dup_prefix"), (15L, "new")))
+  }
 }

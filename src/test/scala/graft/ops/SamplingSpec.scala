@@ -207,4 +207,27 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("s1", 1L, 6L, 6L), ("s2", 4L, 3L, 3L)))
   }
+
+  test("q105 weighted sample agrees with the window form; weight lowers priority") {
+    import org.apache.spark.sql.functions._
+    // TopK-aggregator result == window replay on the real corpus
+    val agg = Sampling.q105WeightedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))
+    val win = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"),
+              Sampling.hashRank52(col("text")).as("h"), col("n_chars"))
+      .withColumn("prio", expr("h div n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("source", "doc_id", "prio", "rk")
+      .orderBy("source", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(agg.toSeq == win.toSeq)
+    // the weighting itself: same text hash, 100x weight -> 100x smaller prio
+    val h = graft.Tables.documents(spark, sf0001).limit(1)
+      .select(Sampling.hashRank52(col("text"))).first().getLong(0)
+    assert(h / 100 < h, "priority must shrink with weight")
+  }
 }

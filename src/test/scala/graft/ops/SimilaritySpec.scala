@@ -152,4 +152,26 @@ class SimilaritySpec extends SparkSpec {
       assert(pct == hits * 20)
     }
   }
+
+  test("q106 prediction equals the independently tallied neighbor majority") {
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = Similarity.q26AnnTopK(spark, sf0001)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = nn.groupBy(_._1).map { case (q, ps) =>
+      val tally = ps.map(p => labels(p._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.size) }
+      // majority, ties to the smaller label
+      q -> tally.toSeq.sortBy { case (l, n) => (-n, l) }.head
+    }
+    val got = Similarity.q106KnnClassify(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 8)
+    got.foreach { case (q, pred, votes) =>
+      val (el, en) = expected(q)
+      assert(pred == el && votes == en.toLong, s"q$q: got ($pred,$votes) want ($el,$en)")
+    }
+  }
 }

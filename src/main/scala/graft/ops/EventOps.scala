@@ -279,21 +279,29 @@ object EventOps {
       .agg(sum(floor(col("value") * lit(1e6d) + lit(0.5d)).cast("long"))
              .as("value_micro"),
            count(lit(1)).as("n_events"))
-    val spine = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-      .select(col("user_id"),
-              explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-                .as("hour"))
-    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("filled_micro",
-                  last(col("value_micro"), ignoreNulls = true).over(fill))
+    // Each observed bucket OWNS the gap hours up to (exclusive) the
+    // next observed bucket, so gap rows are generated by exploding
+    // [hour, next_hour) from their predecessor — which also carries
+    // the forward-filled value positionally. Two shuffles total
+    // (hourly agg; the lead window re-keyed by user), no join, no
+    // dense-spine build: the formulation a 100 TB resample wants,
+    // since gap rows never exist before the map-side explode.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    hourly
+      .withColumn("next_hour", lead(col("hour"), 1).over(byUser))
+      .select(col("user_id"), col("n_events"), col("value_micro"),
+              col("hour").as("obs_hour"),
+              explode(sequence(
+                col("hour"),
+                coalesce(col("next_hour") - expr("INTERVAL 1 HOUR"),
+                         col("hour")),
+                expr("INTERVAL 1 HOUR"))).as("hour"))
       .select(col("user_id"),
               date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
-              coalesce(col("n_events"), lit(0L)).as("n_events"),
-              col("filled_micro"),
-              col("value_micro").isNull.as("is_gap"))
+              when(col("hour") === col("obs_hour"), col("n_events"))
+                .otherwise(lit(0L)).as("n_events"),
+              col("value_micro").as("filled_micro"),
+              (col("hour") =!= col("obs_hour")).as("is_gap"))
       .orderBy(col("user_id"), col("hour"))
   }
 }

@@ -126,6 +126,7 @@ object SparkEntry {
     "q105_weighted_sample" -> ((s, d) => graft.ops.Sampling.q105WeightedSample(s, d)),
     "q106_knn_classify"    -> Similarity.q106KnnClassify,
     "q107_incremental_dedup" -> ((s, d) => Dedup.q107IncrementalDedup(s, d)),
+    "q108_source_similarity" -> Dedup.q108SourceSimilarity,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1302,6 +1303,27 @@ object SparkEntry {
                   THEN 'dup_prefix'
                 ELSE 'new' END AS status
          FROM inc i ORDER BY i.doc_id""",
+    "q108_source_similarity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END) AS gram
+               FROM t),
+         n AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_inter
+               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, p.n_inter,
+           na.n_grams AS n_a, nb.n_grams AS n_b,
+           CAST(p.n_inter * 1000000 // (na.n_grams + nb.n_grams - p.n_inter)
+                AS BIGINT) AS jac_micro
+         FROM p
+         JOIN n na ON na.source = p.source_a
+         JOIN n nb ON nb.source = p.source_b
+         ORDER BY source_a, source_b""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -702,6 +702,43 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q108 — source-pair similarity matrix: exact 3-gram-shingle
+    * Jaccard between every pair of sources that share at least one
+    * shingle — the corpus-composition audit run before mixing
+    * sources (high overlap means double-counted data; q95's prefix
+    * matrix is the cheap screen, this is the content-level measure).
+    * Jaccard is emitted in integer micros (`inter*1e6 div union`) so
+    * the matrix is bit-stable across engines.
+    *
+    * Scale shape: the per-source shingle sets are never
+    * materialized as sets — the distinct (source, gram) frame (grams
+    * as xxhash64 longs, map-side partial distinct) feeds an
+    * inverted-index self-join keyed by gram (q91's pattern): each
+    * gram contributes its source-pair co-occurrences, bounded by
+    * S²/2 per gram with S = #sources (sources are few by
+    * definition). One gram-keyed shuffle + one S²-sized rollup;
+    * set sizes are a broadcast-sized side agg. */
+  def q108SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.shingleHashes(
+        TextOps.tokens(col("text")))).as("gram"))
+      .distinct()
+    val n = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = g.toDF("source_a", "gram")
+      .join(g.toDF("source_b", "gram"), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(n.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(n.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+              col("n_a"), col("n_b"),
+              expr("n_inter * 1000000L div (n_a + n_b - n_inter)")
+                .as("jac_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q107 — incremental ingest dedup: an incoming batch (doc_id ≡ 0
     * mod 5 stands in for today's crawl) is screened against the
     * EXISTING corpus (the rest) — the shape every production corpus

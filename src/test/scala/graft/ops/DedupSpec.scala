@@ -291,4 +291,20 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((5L, "dup_exact"), (10L, "dup_prefix"), (15L, "new")))
   }
+
+  test("q108 source Jaccard on a hand-computed shingle overlap") {
+    val tmp = java.nio.file.Files.createTempDirectory("ssim").toString
+    Seq(
+      (1L, "w1 w2 w3 w4", "srcA"),  // grams {w1w2w3, w2w3w4}
+      (2L, "w2 w3 w4 w5", "srcB"),  // grams {w2w3w4, w3w4w5}: inter 1, union 3
+      (3L, "z1 z2 z3", "srcC")      // gram {z1z2z3}: no overlap -> absent
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q108SourceSimilarity(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L, 2L, 2L, 333333L)))
+  }
 }

@@ -127,6 +127,7 @@ object SparkEntry {
     "q106_knn_classify"    -> Similarity.q106KnnClassify,
     "q107_incremental_dedup" -> ((s, d) => Dedup.q107IncrementalDedup(s, d)),
     "q108_source_similarity" -> Dedup.q108SourceSimilarity,
+    "q109_token_drift"     -> ((s, d) => TextOps.q109TokenDrift(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1324,6 +1325,27 @@ object SparkEntry {
          JOIN n na ON na.source = p.source_a
          JOIN n nb ON nb.source = p.source_b
          ORDER BY source_a, source_b""",
+    "q109_token_drift" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         c AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         vocab AS (SELECT token, c FROM c ORDER BY c DESC, token LIMIT 32),
+         ns AS (SELECT source, count(*) AS n_s FROM tk GROUP BY 1),
+         tot AS (SELECT count(*) AS n_corpus FROM tk),
+         o AS (SELECT source, token, count(*) AS o
+               FROM tk JOIN vocab USING (token) GROUP BY 1, 2),
+         grid AS (SELECT ns.source, ns.n_s, v.token, v.c,
+                    coalesce(o.o, 0) AS o
+                  FROM ns CROSS JOIN vocab v
+                  LEFT JOIN o ON o.source = ns.source AND o.token = v.token),
+         r AS (SELECT source, n_s,
+                 o * 1000000 // n_s AS r_s,
+                 c * 1000000 // (SELECT n_corpus FROM tot) AS r_c
+               FROM grid)
+         SELECT source, min(n_s) AS n_tokens,
+           CAST(sum((r_s - r_c) * (r_s - r_c) // (r_c + 1)) AS BIGINT)
+             AS drift_micro
+         FROM r GROUP BY source ORDER BY source""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -469,6 +469,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q109 — token-distribution drift per source: how far each
+    * source's top-V token frequencies sit from the corpus-wide
+    * distribution — the composition-monitoring statistic a corpus
+    * build tracks per ingest (a drifting source means its content
+    * changed character). Per token, both frequencies become integer
+    * ratios in micros (`count*1e6 div total`); the drift is
+    * Σ (r_src − r_corpus)² div (r_corpus + 1) over the vocab — a
+    * χ²-shaped statistic kept ALL-INTEGER (the q63/q92 lesson:
+    * never let a float log/division decide an oracle-checked value).
+    * Absent vocab tokens count with r_src = 0.
+    *
+    * Scale shape: one token-keyed count (map-side combine), a top-V
+    * TakeOrdered broadcast (q79's vocab move), per-(source, token)
+    * counts on the vocab-filtered stream only, and an S×V grid
+    * rollup — nothing global but two scalar aggs. Overflow: ratio
+    * diffs ≤ 1e6, squared ≤ 1e12, summed over V ≪ long range. */
+  def q109TokenDrift(s: SparkSession, dir: String, v: Int = 32): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = broadcast(corpus.orderBy(col("c").desc, col("token")).limit(v))
+    val perSrc = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = toks.agg(count(lit(1)).as("n_corpus"))
+    val obs = toks.join(vocab.select(col("token")), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("o"))
+    perSrc.crossJoin(vocab)
+      .join(obs, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+              expr("o * 1000000L div n_s").as("r_s"),
+              expr("c * 1000000L div n_corpus").as("r_c"))
+      .groupBy(col("source"))
+      .agg(min(col("n_s")).as("n_tokens"), // constant within the group
+           sum(expr("(r_s - r_c) * (r_s - r_c) div (r_c + 1L)"))
+             .cast("long").as("drift_micro"))
+      .orderBy(col("source"))
+  }
+
   /** q90 — log2-bucketed length histogram per source (the corpus
     * shape report every pipeline run prints: how document sizes are
     * distributed, per provenance). The bucket is floor(log2(n_chars))

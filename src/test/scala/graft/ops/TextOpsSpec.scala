@@ -146,6 +146,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(4) == 99L && r.getLong(5) == 99L)
   }
 
+  test("q109 drift: zero for corpus-identical sources, grows with skew") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def corpus(docs: Seq[(Long, String, String)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // both sources match the corpus distribution exactly -> drift 0
+    val even = corpus(Seq((1L, "x y", "a"), (2L, "x y", "b")))
+    val evenGot = TextOps.q109TokenDrift(spark, even).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(evenGot == Map("a" -> 0L, "b" -> 0L))
+    // c is all-x skewed: same-distribution a and b drift equally
+    // (and nonzero, since c shifts the corpus), c drifts strictly more
+    val skew = corpus(Seq(
+      (1L, "x y", "a"), (2L, "x y", "b"), (3L, "x x", "c")))
+    val got = TextOps.q109TokenDrift(spark, skew).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("a") == got("b") && got("a") > 0L, s"got $got")
+    assert(got("c") > got("a"), s"got $got")
+  }
+
   test("q90 buckets are exact bit lengths, counts partition the corpus") {
     val rows = TextOps.q90LengthHistogram(spark, sf0001).collect()
     // buckets partition: totals equal the corpus

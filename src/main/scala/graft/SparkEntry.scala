@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_incremental_dedup" -> ((s, d) => Dedup.q107IncrementalDedup(s, d)),
     "q108_source_similarity" -> Dedup.q108SourceSimilarity,
     "q109_token_drift"     -> ((s, d) => TextOps.q109TokenDrift(s, d)),
+    "q110_session_paths"   -> ((s, d) => EventOps.q110SessionPaths(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1346,6 +1347,24 @@ object SparkEntry {
            CAST(sum((r_s - r_c) * (r_s - r_c) // (r_c + 1)) AS BIGINT)
              AS drift_micro
          FROM r GROUP BY source ORDER BY source""",
+    "q110_session_paths" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM x),
+         p AS (SELECT user_id, session_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+             AS path
+           FROM y GROUP BY user_id, session_id),
+         c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path),
+         r AS (SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c)
+         SELECT rk, path, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

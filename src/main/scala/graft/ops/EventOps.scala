@@ -257,6 +257,47 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q110 — session path mining: the most common event-type
+    * sequences (first 5 events per session, joined with ">") across
+    * all q30-style gap sessions — the navigation-pattern report a
+    * product-analytics pipeline derives from a sessionized stream.
+    * Paths truncate at 5 events BEFORE aggregation (a row_number
+    * filter), so no collected array ever exceeds 5 entries no matter
+    * how long a session runs — the bound that keeps per-group state
+    * fixed at 100 TB. Two user-keyed windows share one shuffle (the
+    * (user, session) window's clustering is satisfied by the user
+    * hash partitioning); the path rollup and the top-20 are
+    * tiny-cardinality aggregates.
+    *
+    * Array order inside a group is forced by sorting on the
+    * in-session rank (array_sort over (rn, type) structs) — never by
+    * collect order, which Spark does not define. */
+  def q110SessionPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(w).isNull ||
+      col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1L)
+      .otherwise(0L)
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, dir)
+      .withColumn("session_id", sum(newSession).over(w))
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+             transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+                       x => x.getField("event_type")),
+             ">").as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    val wTop = Window.orderBy(col("n_sessions").desc, col("path"))
+    counts.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("path"), col("n_sessions"))
+      .orderBy(col("rk"))
+  }
+
   /** q100 — hourly resample with gap fill + forward fill per user:
     * events are aggregated into hourly buckets, each user's
     * [first, last] hour span is densified into a spine

@@ -125,6 +125,31 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q110 paths truncate at 5 events and split on the session gap") {
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    Seq(
+      // user 7, one session of 6 events: path truncates to the first 5
+      (1L, 7L, ts("10:00"), "a", 0.0, "{}"),
+      (2L, 7L, ts("10:01"), "b", 0.0, "{}"),
+      (3L, 7L, ts("10:02"), "c", 0.0, "{}"),
+      (4L, 7L, ts("10:03"), "d", 0.0, "{}"),
+      (5L, 7L, ts("10:04"), "e", 0.0, "{}"),
+      (6L, 7L, ts("10:05"), "f", 0.0, "{}"),
+      // 31-minute gap: a NEW session for the same user
+      (7L, 7L, ts("10:40"), "a", 0.0, "{}"),
+      (8L, 7L, ts("10:41"), "b", 0.0, "{}"),
+      // user 8 repeats the same short path
+      (9L, 8L, ts("09:00"), "a", 0.0, "{}"),
+      (10L, 8L, ts("09:01"), "b", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q110SessionPaths(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a>b", 2L), (2L, "a>b>c>d>e", 1L)))
+  }
+
   test("q100 densifies each user's span and forward-fills across gaps") {
     val tmp = java.nio.file.Files.createTempDirectory("gap").toString
     Seq(

@@ -129,6 +129,7 @@ object SparkEntry {
     "q108_source_similarity" -> Dedup.q108SourceSimilarity,
     "q109_token_drift"     -> ((s, d) => TextOps.q109TokenDrift(s, d)),
     "q110_session_paths"   -> ((s, d) => EventOps.q110SessionPaths(s, d)),
+    "q111_normalize"       -> TextOps.q111Normalize,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1365,6 +1366,15 @@ object SparkEntry {
          r AS (SELECT path, n_sessions,
            row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c)
          SELECT rk, path, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""",
+    "q111_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+             AS norm
+           FROM documents)
+         SELECT doc_id, md5(norm) AS norm_fp,
+           length(norm) AS n_chars_norm,
+           norm <> text AS changed
+         FROM n ORDER BY doc_id""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

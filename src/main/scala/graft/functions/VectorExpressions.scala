@@ -445,6 +445,54 @@ case class PqEncode(child: Expression, codebook: Array[Double],
     copy(child = newChild)
 }
 
+/** Unicode NFC canonical normalization (q111's text-canonicalization
+  * step): composes decomposed sequences (e + U+0301 → é) so
+  * byte-level dedup fingerprints agree across sources that encode
+  * the same text differently — without it, exact dedup silently
+  * misses canonically-equal duplicates. Spark has no built-in;
+  * a Scala UDF would serialize through the row encoder, while this
+  * expression stays inside whole-stage codegen and calls the JDK's
+  * `java.text.Normalizer` (the Unicode-standard NFC algorithm, the
+  * same normalization DuckDB's `nfc_normalize` implements — the
+  * oracle bridge). ASCII input short-circuits: NFC is the identity
+  * on ASCII, so the common case never allocates. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static so generated code can call it directly. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // pure-ASCII fast path: NFC is the identity, return the input buffer
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Morton (Z-order) interleave of two long keys' low 16 bits — the
   * multi-column clustering key (q104, LayoutDemo §E): bit i of `a`
   * lands at output bit 2i and bit i of `b` at bit 2i+1, so rows
@@ -527,6 +575,10 @@ object VectorFunctions {
   def zorder2(a: Column, b: Column): Column =
     ColumnBridge.column(
       ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Unicode NFC canonical normalization of a string column. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   /** PQ codes (array<int>, length M) of a float vector against
     * codebooks(m)(k)(d), flattened row-major internally. */

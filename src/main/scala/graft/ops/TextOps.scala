@@ -469,6 +469,27 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q111 — canonical text normalization: NFC-compose (the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — Spark has no
+    * built-in), lowercase, collapse whitespace runs, trim — the
+    * canonicalization pass run before fingerprinting so
+    * byte-different spellings of the same text dedup together
+    * (decomposed accents and whitespace variants are the classic
+    * silent dedup misses). Emits the canonical fingerprint, the
+    * normalized length, and whether normalization changed the doc.
+    * Pure map pass — one codegen'd expression chain per row, no
+    * shuffle before the gate's ORDER BY. */
+  def q111Normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(graft.functions.VectorFunctions.nfcNormalize(col("text"))),
+      "\\s+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("norm_fp"),
+              length(norm).cast("long").as("n_chars_norm"),
+              (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q109 — token-distribution drift per source: how far each
     * source's top-V token frequencies sit from the corpus-wide
     * distribution — the composition-monitoring statistic a corpus

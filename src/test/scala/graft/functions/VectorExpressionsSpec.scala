@@ -225,6 +225,29 @@ class VectorExpressionsSpec extends SparkSpec {
            ZOrder2.key(0L, 1L) == 2L && ZOrder2.key(1L, 1L) == 3L)
   }
 
+  test("nfc_normalize composes decomposed sequences; ASCII is identity") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (1L, "plain ascii stays"),          // fast path
+      (2L, "café"),            // cafe + combining acute -> café
+      (3L, "é already composed"),    // composed input unchanged
+      (4L, "Å ring")                // A + combining ring -> Å
+    ).toDF("id", "t")
+    val got = cases
+      .select($"id", VectorFunctions.nfcNormalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "plain ascii stays")
+    assert(got(2L) == "café", s"got ${got(2L).map(_.toInt)}")
+    assert(got(3L) == "é already composed")
+    assert(got(4L) == "Å ring")
+    // matches the JDK reference implementation on every case
+    cases.collect().foreach { r =>
+      val s = r.getString(1)
+      assert(got(r.getLong(0)) ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   test("registered SQL function and extensions builder") {
     VectorFunctions.register(spark)
     df.createOrReplaceTempView("vex")

@@ -130,6 +130,8 @@ object SparkEntry {
     "q109_token_drift"     -> ((s, d) => TextOps.q109TokenDrift(s, d)),
     "q110_session_paths"   -> ((s, d) => EventOps.q110SessionPaths(s, d)),
     "q111_normalize"       -> TextOps.q111Normalize,
+    "q112_attribution"     -> EventOps.q112Attribution,
+    "q113_cooccurrence"    -> ((s, d) => TextOps.q113CooccurrenceLift(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1375,6 +1377,37 @@ object SparkEntry {
            length(norm) AS n_chars_norm,
            norm <> text AS changed
          FROM n ORDER BY doc_id""",
+    "q112_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                 CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS p_micro
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT v.view_id, p.purchase_id, p.p_micro,
+                 count(*) OVER (PARTITION BY p.purchase_id) AS n_views
+               FROM v JOIN p ON v.user_id = p.user_id
+                 AND v.v_ts <= p.p_ts
+                 AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE)
+         SELECT view_id,
+           CAST(sum(p_micro // n_views) AS BIGINT) AS credit_micro,
+           count(*) AS n_purchases
+         FROM t GROUP BY view_id ORDER BY view_id""",
+    "q113_cooccurrence" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+         vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 32),
+         iv AS (SELECT dt.doc_id, dt.token, v.df FROM dt JOIN vocab v USING (token)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         pr AS (SELECT a.token AS token_a, b.token AS token_b,
+                  count(*) AS c_ab, min(a.df) AS df_a, min(b.df) AS df_b
+                FROM iv a JOIN iv b
+                ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2)
+         SELECT token_a, token_b, c_ab, df_a, df_b,
+           CAST(c_ab * (SELECT n_docs FROM nd) * 1000000 // (df_a * df_b)
+                AS BIGINT) AS lift_micro
+         FROM pr ORDER BY token_a, token_b""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -257,6 +257,45 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q112 — linear multi-touch attribution: every purchase's value
+    * (integer micros) splits EQUALLY across the same user's views in
+    * the 30 minutes before it, and each view reports its total
+    * credited micros — the multi-touch counterpart of q57's
+    * last-touch-style attribution join. All arithmetic is integer
+    * (`p_micro div n_views`, truncation per purchase), so credits
+    * are bit-stable across engines.
+    *
+    * Scale shape: one user-keyed band join (the q57/q86 shape — at
+    * stream scale the same join runs watermarked), one
+    * purchase-keyed count window over join output bounded by the
+    * band width, one view-keyed rollup. Nothing global; every stage
+    * is keyed. */
+  def q112Attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"),
+              floor(col("value") * lit(1e6d) + lit(0.5d)).cast("long")
+                .as("p_micro"))
+    val touches = v.join(p,
+      col("user_id") === col("p_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    touches
+      .withColumn("n_views", count(lit(1)).over(perPurchase))
+      .select(col("view_id"),
+              expr("p_micro div n_views").as("credit"))
+      .groupBy(col("view_id"))
+      .agg(sum(col("credit")).cast("long").as("credit_micro"),
+           count(lit(1)).as("n_purchases"))
+      .orderBy(col("view_id"))
+  }
+
   /** q110 — session path mining: the most common event-type
     * sequences (first 5 events per session, joined with ">") across
     * all q30-style gap sessions — the navigation-pattern report a

@@ -469,6 +469,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q113 — token co-occurrence lift over the top-V vocabulary:
+    * for vocab tokens a < b, how much more often they share a
+    * document than independence predicts —
+    * `lift_micro = c_ab * n_docs * 1e6 div (df_a * df_b)` — the
+    * integer-rational stand-in for PMI (whose log would be
+    * float-unstable across engines; the q54/q79 lesson). The
+    * phrase/topic-discovery signal a corpus report includes.
+    *
+    * Scale shape: the pair space is generated PER DOCUMENT from the
+    * vocab-filtered distinct token set (≤ V tokens per doc, so ≤
+    * V(V−1)/2 pairs per doc — bounded map-side fan-out, never a
+    * corpus-wide cross join); pair counts reduce map-side into a ≤
+    * V² final rollup; document frequencies are a broadcast side agg.
+    * Scalars (n_docs) ride a 1-row broadcast, never a collect. */
+  def q113CooccurrenceLift(s: SparkSession, dir: String,
+                           v: Int = 32): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val docTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val vocab = broadcast(
+      docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(v))
+    val inVocab = docTok.join(vocab, Seq("token"))
+    val pairs = inVocab.toDF("token_a", "doc_id", "df_a")
+      .join(inVocab.toDF("token_b", "doc_id", "df_b"), Seq("doc_id"))
+      .filter(col("token_a") < col("token_b"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("c_ab"),
+           first(col("df_a")).as("df_a"), first(col("df_b")).as("df_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("c_ab"),
+              col("df_a"), col("df_b"),
+              expr("c_ab * n_docs * 1000000L div (df_a * df_b)")
+                .as("lift_micro"))
+      .orderBy(col("token_a"), col("token_b"))
+  }
+
   /** q111 — canonical text normalization: NFC-compose (the codegen'd
     * [[graft.functions.NfcNormalize]] expression — Spark has no
     * built-in), lowercase, collapse whitespace runs, trim — the

@@ -125,6 +125,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 splits purchase value equally across in-window views") {
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:10"), "view", 0.0, "{}"),
+      (3L, 1L, ts("10:20"), "purchase", 3.0, "{}"), // credits views 1+2
+      (4L, 1L, ts("10:45"), "view", 0.0, "{}"),
+      (5L, 1L, ts("10:50"), "purchase", 1.0, "{}"), // only view 4 in window
+      (6L, 2L, ts("10:00"), "purchase", 9.0, "{}")  // no views: no credit row
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q112Attribution(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1500000L, 1L), (2L, 1500000L, 1L), (4L, 1000000L, 1L)))
+  }
+
   test("q110 paths truncate at 5 events and split on the session gap") {
     val tmp = java.nio.file.Files.createTempDirectory("paths").toString
     Seq(

@@ -172,6 +172,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got("c") > got("a"), s"got $got")
   }
 
+  test("q113 lift: hand-computed doc-frequency ratios") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cooc").toString
+    Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // df: x=3, y=3, z=2; n_docs=4
+    val got = TextOps.q113CooccurrenceLift(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("x", "y", 2L, 2L * 4 * 1000000L / (3 * 3)),
+      ("x", "z", 1L, 1L * 4 * 1000000L / (3 * 2)),
+      ("y", "z", 1L, 1L * 4 * 1000000L / (3 * 2))))
+  }
+
   test("q90 buckets are exact bit lengths, counts partition the corpus") {
     val rows = TextOps.q90LengthHistogram(spark, sf0001).collect()
     // buckets partition: totals equal the corpus

@@ -132,6 +132,8 @@ object SparkEntry {
     "q111_normalize"       -> TextOps.q111Normalize,
     "q112_attribution"     -> EventOps.q112Attribution,
     "q113_cooccurrence"    -> ((s, d) => TextOps.q113CooccurrenceLift(s, d)),
+    "q114_rolling_distinct" -> EventOps.q114RollingDistinct,
+    "q115_retention"       -> EventOps.q115RetentionCohorts,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1408,6 +1410,31 @@ object SparkEntry {
            CAST(c_ab * (SELECT n_docs FROM nd) * 1000000 // (df_a * df_b)
                 AS BIGINT) AS lift_micro
          FROM pr ORDER BY token_a, token_b""",
+    "q114_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         sp AS (SELECT max(day) AS d1 FROM du),
+         f AS (SELECT DISTINCT user_id,
+                 unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                        INTERVAL 1 DAY)) AS w_end
+               FROM du)
+         SELECT strftime(w_end, '%Y-%m-%d') AS day,
+           count(*) AS n_users
+         FROM f WHERE w_end <= (SELECT d1 FROM sp)
+         GROUP BY w_end ORDER BY day""",
+    "q115_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         st AS (SELECT min(day) AS d0 FROM ev),
+         wk AS (SELECT DISTINCT user_id,
+                  CAST(datediff('day', (SELECT d0 FROM st), day) AS BIGINT) // 7
+                    AS week
+                FROM ev),
+         ch AS (SELECT user_id, min(week) AS cohort_week FROM wk
+                GROUP BY user_id)
+         SELECT ch.cohort_week, wk.week - ch.cohort_week AS week_offset,
+           count(*) AS n_users
+         FROM wk JOIN ch USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

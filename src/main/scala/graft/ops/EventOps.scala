@@ -257,6 +257,67 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q114 — rolling 7-day distinct users (the WAU curve): for every
+    * day, how many distinct users were active in the trailing 7-day
+    * window. Distinct-over-sliding-windows can't use a running sum
+    * (users recur), so each (day, user) pair fans out map-side to
+    * the ≤ 7 window-end days it supports and is deduped there — the
+    * explode-to-window trick that keeps the computation one
+    * distinct + one count, no self-join of the raw stream.
+    *
+    * Scale shape: the raw stream reduces FIRST to distinct
+    * (day, user) (map-side partial), so the 7× fan-out applies to
+    * the deduped frame, not the event volume; both dedups are
+    * keyed aggregations. */
+  def q114RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val dayUser = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val span = dayUser.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    dayUser
+      .select(col("user_id"), col("day"),
+              explode(sequence(col("day"), date_add(col("day"), 6),
+                               expr("INTERVAL 1 DAY"))).as("w_end"))
+      .select(col("user_id"), col("w_end"))
+      .distinct()
+      .groupBy(col("w_end"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(span))
+      // trailing windows only fully exist inside the observed span
+      .filter(col("w_end") <= col("d1"))
+      .select(date_format(col("w_end"), "yyyy-MM-dd").as("day"),
+              col("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** q115 — retention cohort matrix: users grouped by first-seen
+    * week (the cohort), counted as retained in each later week they
+    * were active — the table every growth dashboard opens with.
+    * Week indexes are integer day-diffs div 7 from the corpus start,
+    * so bucketing is exact in both engines.
+    *
+    * Scale shape: first-seen is one user-keyed min-agg; the join
+    * back to (user, week) activity is user-keyed; the matrix rollup
+    * has cohorts × weeks cells. The first-seen frame is corpus-wide
+    * but 2 columns (at warehouse scale it IS the user dimension,
+    * bucketed by user like q98's profile). */
+  def q115RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val start = ev.agg(min(col("day")).as("d0"))
+    val weekly = ev.crossJoin(broadcast(start))
+      .select(col("user_id"),
+              expr("CAST(datediff(day, d0) AS BIGINT) div 7").as("week"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+               (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** q112 — linear multi-touch attribution: every purchase's value
     * (integer micros) splits EQUALLY across the same user's views in
     * the 30 minutes before it, and each view reports its total

@@ -125,6 +125,43 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q114 trailing-7-day distinct users counts each user once per window") {
+    val tmp = java.nio.file.Files.createTempDirectory("wau").toString
+    def dts(d: String) = Timestamp.valueOf(s"2024-01-0$d 12:00:00")
+    Seq(
+      (1L, 1L, dts("1"), "view", 0.0, "{}"),
+      (2L, 1L, dts("1"), "click", 0.0, "{}"), // same user+day: one support
+      (3L, 2L, dts("1"), "view", 0.0, "{}"),
+      (4L, 1L, dts("9"), "view", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q114RollingDistinct(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // day-1 activity supports windows ending 01-01..01-07 (2 users);
+    // day-9 supports 01-09 only (capped at the span end). Day 8's
+    // window holds no activity, so it has no row.
+    val expect = (1 to 7).map(d => (f"2024-01-0$d", 2L)) :+ ("2024-01-09", 1L)
+    assert(got.toSeq == expect)
+  }
+
+  test("q115 cohorts key on first-seen week, offsets on later activity") {
+    val tmp = java.nio.file.Files.createTempDirectory("coh").toString
+    def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    Seq(
+      (1L, 1L, dts(1), "view", 0.0, "{}"),  // user 1: week 0
+      (2L, 1L, dts(9), "view", 0.0, "{}"),  // ...retained in week 1
+      (3L, 2L, dts(10), "view", 0.0, "{}")  // user 2: cohort week 1
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q115RetentionCohorts(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
   test("q112 splits purchase value equally across in-window views") {
     val tmp = java.nio.file.Files.createTempDirectory("attr").toString
     Seq(

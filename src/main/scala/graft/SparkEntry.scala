@@ -134,6 +134,9 @@ object SparkEntry {
     "q113_cooccurrence"    -> ((s, d) => TextOps.q113CooccurrenceLift(s, d)),
     "q114_rolling_distinct" -> EventOps.q114RollingDistinct,
     "q115_retention"       -> EventOps.q115RetentionCohorts,
+    "q116_triangles"       -> ((s, d) => graft.ops.GraphOps.q116Triangles(s, d)),
+    "q117_ols"             -> TextOps.q117OlsCharsPerToken,
+    "q118_daily_anomalies" -> ((s, d) => EventOps.q118DailyAnomalies(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1435,6 +1438,34 @@ object SparkEntry {
            count(*) AS n_users
          FROM wk JOIN ch USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    "q116_triangles" -> graft.ops.GraphOps.q116OracleSql(),
+    "q117_ols" ->
+      """WITH a AS (SELECT source, count(*) AS n,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sx,
+           CAST(sum(n_chars) AS BIGINT) AS sy,
+           CAST(sum(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS BIGINT) AS sxx,
+           CAST(sum(len(string_split(text, ' ')) * n_chars) AS BIGINT) AS sxy
+           FROM documents GROUP BY source)
+         SELECT source, n,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000 //
+                 (n * sxx - sx * sx)) * sx) // n AS BIGINT) AS intercept_micro
+         FROM a ORDER BY source""",
+    "q118_daily_anomalies" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS c
+                    FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS n,
+                  CAST(sum(c) AS BIGINT) AS ss,
+                  CAST(sum(c * c) AS BIGINT) AS qq
+                FROM d GROUP BY 1)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           d.c AS n_events,
+           (st.n * d.c - st.ss) * (st.n * d.c - st.ss) >
+             4 * (st.n * st.qq - st.ss * st.ss) AS is_anomaly
+         FROM d JOIN st USING (event_type)
+         ORDER BY d.event_type, day""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -257,6 +257,35 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q118 — daily volume anomalies per event type: a day is anomalous
+    * for a type iff its count sits more than k = 2 standard
+    * deviations from the type's daily mean — decided by q92's
+    * denominator-cleared integer test (n·c − S)² > k²·(n·Q − S²)
+    * with S = Σ counts, Q = Σ counts², so the pipeline-health alert
+    * every ingest monitors is bit-stable across engines (no float
+    * μ/σ boundary).
+    *
+    * Scale shape: daily counts are one (type, day) aggregation;
+    * (S, Q, n) per type is a second tiny rollup broadcast back as a
+    * window-free join; the flag is a map-side comparison. */
+  def q118DailyAnomalies(s: SparkSession, dir: String, k: Long = 2): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("c")).cast("long").as("ss"),
+           sum(col("c") * col("c")).cast("long").as("qq"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("c").as("n_events"),
+              ((col("n") * col("c") - col("ss")) * (col("n") * col("c") - col("ss")) >
+               lit(k * k) * (col("n") * col("qq") - col("ss") * col("ss")))
+                .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q114 — rolling 7-day distinct users (the WAU curve): for every
     * day, how many distinct users were active in the trailing 7-day
     * window. Distinct-over-sliding-windows can't use a running sum

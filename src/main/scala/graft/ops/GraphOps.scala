@@ -149,4 +149,58 @@ object GraphOps {
          $rounds
          SELECT node, label FROM l$iters ORDER BY node"""
   }
+
+  /** q116 — triangle counting on the item co-click projection: items
+    * are adjacent iff some user clicked both (the bipartite graph
+    * projected onto items), and each item reports how many triangles
+    * it participates in — the local clustering signal recommender
+    * pipelines compute. The click graph itself is bipartite
+    * (triangle-free by construction), so the projection is where
+    * clique structure lives.
+    *
+    * Scale shape: the standard oriented enumeration — every edge is
+    * kept once as (a < b), wedges come from one self-join on the
+    * middle vertex, and the closing edge check is a second hash
+    * join, so each triangle is found exactly once as a < b < c (no
+    * 6× duplication, no orientation fix-up). The projection join is
+    * user-keyed; at real scale hot users (who click everything)
+    * would be capped before pairing — the q23 maxBlock move. */
+  def q116Triangles(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+    val e = clicks.toDF("user_id", "a")
+      .join(clicks.toDF("user_id", "b"), Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val wedges = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), Seq("b"))
+    val tris = wedges
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("item"))
+  }
+
+  /** DuckDB oracle for q116 — the same oriented enumeration. */
+  def q116OracleSql(): String =
+    s"""WITH c AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+       e AS (SELECT DISTINCT x.k AS a, y.k AS b
+             FROM c x JOIN c y ON x.user_id = y.user_id AND x.k < y.k),
+       t AS (SELECT e1.a, e1.b, e2.b AS c2
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       u AS (SELECT a AS item FROM t
+             UNION ALL SELECT b FROM t
+             UNION ALL SELECT c2 FROM t)
+       SELECT item, count(*) AS n_triangles FROM u
+       GROUP BY item ORDER BY item"""
 }

@@ -469,6 +469,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q117 — per-source OLS regression of chars on tokens, ALL-INTEGER:
+    * slope_micro = (n·Σxy − Σx·Σy)·1e6 div (n·Σx² − (Σx)²) and
+    * intercept_micro = (Σy·1e6 − slope_micro·Σx) div n — the q92
+    * denominator-clearing move applied to least squares, so the
+    * fitted "chars per token" trend (a data-profiling signal: a
+    * source whose slope shifts changed tokenization or language) is
+    * bit-stable across engines with no float covariance anywhere.
+    *
+    * Scale shape: one partial+final aggregation per source over
+    * five integer sums; the fit itself is arithmetic on S-sized
+    * rows. Overflow headroom at bench scale ~1e17 of the 9.2e18
+    * long range; a 100 TB corpus widens the sums to DECIMAL(38,0)
+    * with the same algebra. */
+  def q117OlsCharsPerToken(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+              size(tokens(col("text"))).cast("long").as("x"),
+              col("n_chars").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).cast("long").as("sx"),
+           sum(col("y")).cast("long").as("sy"),
+           sum(col("x") * col("x")).cast("long").as("sxx"),
+           sum(col("x") * col("y")).cast("long").as("sxy"))
+      .select(col("source"), col("n"),
+              expr("(n * sxy - sx * sy) * 1000000L div (n * sxx - sx * sx)")
+                .as("slope_micro"),
+              expr("(sy * 1000000L - ((n * sxy - sx * sy) * 1000000L div (n * sxx - sx * sx)) * sx) div n")
+                .as("intercept_micro"))
+      .orderBy(col("source"))
+
   /** q113 — token co-occurrence lift over the top-V vocabulary:
     * for vocab tokens a < b, how much more often they share a
     * document than independence predicts —

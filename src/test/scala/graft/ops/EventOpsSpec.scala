@@ -125,6 +125,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q118 flags only the spike day, by exact integer variance algebra") {
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    def dts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // type "a": five days of 1 event, then a day of 11 events
+    val calm = (1 to 5).map(d => (d.toLong, 1L, dts(d, 10), "a", 0.0, "{}"))
+    val spike = (1 to 11).map(i => (100L + i, 1L, dts(6, i), "a", 0.0, "{}"))
+    (calm ++ spike)
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q118DailyAnomalies(spark, tmp).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // (n c - S)^2 > 4 (n Q - S^2): n=6 S=16 Q=126
+    // c=11: 50^2=2500 > 4*(756-256)=2000 -> true; c=1: 100 > 2000 -> false
+    assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 11L)
+    assert(got.length == 6)
+  }
+
   test("q114 trailing-7-day distinct users counts each user once per window") {
     val tmp = java.nio.file.Files.createTempDirectory("wau").toString
     def dts(d: String) = Timestamp.valueOf(s"2024-01-0$d 12:00:00")

@@ -58,4 +58,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(Set("u1", "u2", "i1").flatMap(got.get) == Set("i1", "u1"))
     assert(Set("u3", "i2").flatMap(got.get) == Set("i2", "u3"))
   }
+
+  test("q116 finds each co-click triangle once, per corner") {
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq(
+      // user 1 clicks items 1,2,3 -> projected triangle (1,2,3)
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 1L, t0, "click", 1.0, """{"k": 2}"""),
+      (3L, 1L, t0, "click", 1.0, """{"k": 3}"""),
+      // user 2 clicks 3,4 -> edge (3,4) closes nothing
+      (4L, 2L, t0, "click", 1.0, """{"k": 3}"""),
+      (5L, 2L, t0, "click", 1.0, """{"k": 4}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q116Triangles(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -172,6 +172,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got("c") > got("a"), s"got $got")
   }
 
+  test("q117 OLS recovers an exact linear relation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ols").toString
+    // y = 2x exactly: slope 2e6 micros, intercept 0
+    Seq((1L, "a", 2L), (2L, "a b", 4L), (3L, "a b c", 6L))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q117OlsCharsPerToken(spark, tmp).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2000000L, 0L)))
+  }
+
   test("q113 lift: hand-computed doc-frequency ratios") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

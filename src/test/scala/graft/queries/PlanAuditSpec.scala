@@ -113,4 +113,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
       s"each PageRank round must read the cached (edge x degree) frame:\n${p.take(1200)}")
   }
+
+  test("q104 zorder key is a pure map pass (no shuffle before the sort)") {
+    val p = plan("q104_zorder_key")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"zorder key must add no aggregation/join shuffle:\n${p.take(1200)}")
+    assert(p.contains("zorder2"), "codegen'd zorder2 expression missing")
+  }
+
+  test("q111 normalization is a pure map pass over the scan") {
+    val p = plan("q111_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalize must add no shuffle:\n${p.take(1200)}")
+    assert(p.contains("nfc_normalize"), "codegen'd NFC expression missing")
+  }
+
+  test("q113 broadcasts the vocab and doc-count sides") {
+    val p = plan("q113_cooccurrence")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1 &&
+           "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"vocab and n_docs must ride broadcasts:\n${p.take(1200)}")
+  }
+
+  test("q118 joins the per-type stats as a broadcast, not a window") {
+    val p = plan("q118_daily_anomalies")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats join must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window should exist in q118")
+  }
 }

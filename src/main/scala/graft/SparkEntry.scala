@@ -137,6 +137,8 @@ object SparkEntry {
     "q116_triangles"       -> ((s, d) => graft.ops.GraphOps.q116Triangles(s, d)),
     "q117_ols"             -> TextOps.q117OlsCharsPerToken,
     "q118_daily_anomalies" -> ((s, d) => EventOps.q118DailyAnomalies(s, d)),
+    "q119_key_skew"        -> Relational.q119KeySkewProfile,
+    "q120_winsorize"       -> Relational.q120Winsorize,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1466,6 +1468,31 @@ object SparkEntry {
              4 * (st.n * st.qq - st.ss * st.ss) AS is_anomaly
          FROM d JOIN st USING (event_type)
          ORDER BY d.event_type, day""",
+    "q119_key_skew" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+                    GROUP BY 1),
+         b AS (SELECT length(bin(n)) - 1 AS bucket, n FROM k)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_keys,
+           min(n) AS min_rows, max(n) AS max_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q120_winsorize" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+           CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS p_micro
+           FROM orders),
+         bands AS (SELECT prio,
+           CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY p_micro)
+                AS BIGINT) AS lo,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY p_micro)
+                AS BIGINT) AS hi
+           FROM o GROUP BY prio)
+         SELECT o.prio, count(*) AS n,
+           min(lo) AS lo_micro, min(hi) AS hi_micro,
+           CAST(sum(p_micro) AS BIGINT) AS sum_raw,
+           CAST(sum(greatest(lo, least(hi, p_micro))) AS BIGINT)
+             AS sum_winsorized
+         FROM o JOIN bands USING (prio)
+         GROUP BY o.prio ORDER BY o.prio""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

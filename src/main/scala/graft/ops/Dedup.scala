@@ -723,12 +723,30 @@ object Dedup {
       .select(col("source"), explode(TextOps.shingleHashes(
         TextOps.tokens(col("text")))).as("gram"))
       .distinct()
+      // shared lineage: feeds both the per-source sizes and the
+      // pattern rollup — persist or the shingle scan runs twice
+      // (the q74 lesson); the harness clears caches between queries
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val inter = g.toDF("source_a", "gram")
-      .join(g.toDF("source_b", "gram"), Seq("gram"))
-      .filter(col("source_a") < col("source_b"))
+    // Pattern compression instead of a gram self-join: every gram
+    // reduces to its sorted source SET (bounded by S = #sources,
+    // small by definition), identical sets collapse with a count,
+    // and pairs explode from the compressed patterns — so pair
+    // generation costs Σ C(|set|,2) over DISTINCT co-occurrence
+    // patterns (≤ 2^S, in practice a handful), not over grams.
+    // One gram-keyed shuffle total; the 4× fan-out of the naive
+    // self-join (g shuffled twice, pairs per gram) is gone.
+    val sets = g.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
+    val inter = sets
+      .select(col("cnt"), col("srcs"),
+              posexplode(col("srcs")).as(Seq("i", "source_a")))
+      .select(col("cnt"), col("source_a"), col("i"),
+              posexplode(col("srcs")).as(Seq("j", "source_b")))
+      .filter(col("j") > col("i"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(sum(col("cnt")).cast("long").as("n_inter"))
     inter
       .join(broadcast(n.toDF("source_a", "n_a")), Seq("source_a"))
       .join(broadcast(n.toDF("source_b", "n_b")), Seq("source_b"))

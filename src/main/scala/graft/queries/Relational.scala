@@ -357,6 +357,60 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** q119 — join-key skew profile: the log2 histogram of per-key
+    * group sizes for lineitem's order key — the diagnostic read
+    * BEFORE choosing a join strategy (a fat top bucket says salt or
+    * broadcast; a flat profile says plain shuffle join is safe).
+    * Buckets are exact integer bit lengths (`length(bin(n)) - 1`,
+    * q90's float-free log), so the histogram is bit-stable.
+    *
+    * Scale shape: one key-keyed count (map-side partial) + one
+    * tiny bucket rollup carrying min/max/total per bucket. */
+  def q119KeySkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .select((length(bin(col("n"))) - 1).cast("long").as("bucket"),
+              col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+           min(col("n")).as("min_rows"),
+           max(col("n")).as("max_rows"),
+           sum(col("n")).cast("long").as("total_rows"))
+      .orderBy(col("bucket"))
+
+  /** q120 — percentile winsorization: clamp each order's price into
+    * its priority group's exact [p05, p95] band (percentile_disc —
+    * an exact order statistic, so both engines pick the SAME member
+    * value; no interpolated float percentile crosses the oracle).
+    * The standard feature-robustification step before training
+    * aggregates. Emits per-group totals before/after clamping.
+    *
+    * Scale shape: the two order statistics are one
+    * aggregate-then-broadcast pass (the F8 two-phase pattern);
+    * clamping is map-side; sums are integer micros. */
+  def q120Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+              floor(col("o_totalprice") * lit(1e6d) + lit(0.5d)).cast("long")
+                .as("p_micro"))
+    val bands = o.groupBy(col("prio"))
+      // percentile_disc picks a MEMBER value but returns double;
+      // cast back to the exact integer micro it selected
+      .agg(expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY p_micro) AS BIGINT)")
+             .as("lo"),
+           expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY p_micro) AS BIGINT)")
+             .as("hi"))
+    o.join(broadcast(bands), Seq("prio"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+           min(col("lo")).as("lo_micro"),
+           min(col("hi")).as("hi_micro"),
+           sum(col("p_micro")).cast("long").as("sum_raw"),
+           sum(greatest(col("lo"), least(col("hi"), col("p_micro"))))
+             .cast("long").as("sum_winsorized"))
+      .orderBy(col("prio"))
+  }
+
   /** q104 — Morton (Z-order) clustering keys over (l_partkey,
     * l_suppkey) via the codegen'd [[graft.functions.ZOrder2]]
     * expression: the key a warehouse writer sorts by so parquet

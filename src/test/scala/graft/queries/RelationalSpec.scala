@@ -111,4 +111,30 @@ class RelationalSpec extends SparkSpec {
       "unchanged" -> ids.count(i => inOld(i) && inNew(i) && i % 11 != 0).toLong)
     assert(got == expect, s"got $got expected $expect")
   }
+
+  test("q119 buckets partition the key space with exact bit-length bounds") {
+    val rows = Relational.q119KeySkewProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalRows = graft.Tables.lineitem(spark, sf0001).count()
+    assert(rows.map(_._5).sum == totalRows, "histogram must cover every row")
+    rows.foreach { case (b, _, lo, hi, _) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds sizes outside [${1L << b}, ${1L << (b + 1)})")
+    }
+  }
+
+  test("q120 winsorizes exactly at the discrete p05/p95 members") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("win").toString
+    // one group, values 1..20: percentile_disc picks members 1 and 19
+    (1 to 20).map(i => (i.toLong, "P", i.toDouble))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Relational.q120Winsorize(spark, tmp).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 1000000L, 19000000L)))
+    // raw sum 210; winsorized replaces 20 -> 19: 209
+    assert((r.getLong(4), r.getLong(5)) == ((210000000L, 209000000L)))
+  }
 }

@@ -139,6 +139,7 @@ object SparkEntry {
     "q118_daily_anomalies" -> ((s, d) => EventOps.q118DailyAnomalies(s, d)),
     "q119_key_skew"        -> Relational.q119KeySkewProfile,
     "q120_winsorize"       -> Relational.q120Winsorize,
+    "q121_split_leakage"   -> graft.ops.Sampling.q121SplitLeakage,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1493,6 +1494,23 @@ object SparkEntry {
              AS sum_winsorized
          FROM o JOIN bands USING (prio)
          GROUP BY o.prio ORDER BY o.prio""",
+    "q121_split_leakage" ->
+      """WITH d AS (SELECT md5(text) AS fp,
+           CASE WHEN doc_id % 100 < 80 THEN 'train'
+                WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS s_pos,
+           CASE WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 80
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 90
+                  THEN 'val' ELSE 'test' END AS s_ch
+           FROM documents),
+         g AS (SELECT fp, count(*) AS n_docs,
+                 count(DISTINCT s_pos) AS k_pos,
+                 count(DISTINCT s_ch) AS k_ch
+               FROM d GROUP BY fp HAVING count(*) > 1)
+         SELECT count(*) AS n_dup_groups,
+           count(*) FILTER (WHERE k_pos > 1) AS leaked_positional,
+           count(*) FILTER (WHERE k_ch > 1) AS leaked_content_hash
+         FROM g""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

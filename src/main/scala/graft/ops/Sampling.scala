@@ -236,6 +236,42 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q121 — split-leakage audit: for each split-assignment method,
+    * how many groups of byte-identical documents straddle more than
+    * one of train/val/test — the eval-hygiene check that catches a
+    * benchmark leaking its own training duplicates. Two methods are
+    * audited side by side: POSITIONAL assignment (doc_id mod 100 —
+    * the anti-pattern: identical texts at different positions land
+    * in different splits) and q76's CONTENT-HASH assignment (leakage
+    * structurally zero: identical bytes hash identically). The
+    * second row is the proof the q76 design note claims.
+    *
+    * Scale shape: one md5-keyed aggregation carrying two
+    * count-distincts over 3-valued split labels; the verdict rollup
+    * is 2 rows. Text never moves — only its 16-byte hash. */
+  def q121SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val bucketPos = pmod(col("doc_id"), lit(100L))
+    val bucketCh =
+      pmod(conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"),
+           lit(100L))
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val groups = Tables.documents(s, dir)
+      .select(md5(col("text")).as("fp"),
+              splitOf(bucketPos).as("s_pos"), splitOf(bucketCh).as("s_ch"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("s_pos")).as("k_pos"),
+           countDistinct(col("s_ch")).as("k_ch"))
+      .filter(col("n_docs") > 1)
+    groups.agg(
+        count(lit(1)).as("n_dup_groups"),
+        count(when(col("k_pos") > 1, 1)).as("leaked_positional"),
+        count(when(col("k_ch") > 1, 1)).as("leaked_content_hash"))
+      .select(col("n_dup_groups"), col("leaked_positional"),
+              col("leaked_content_hash"))
+  }
+
   def q103TokenBudget(s: SparkSession, dir: String,
                       budget: Long = 1500): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -208,6 +208,24 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("s1", 1L, 6L, 6L), ("s2", 4L, 3L, 3L)))
   }
 
+  test("q121 flags positional split leakage, never content-hash leakage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("leak").toString
+    Seq(
+      (1L, "duplicated text one"),   // positional: train
+      (85L, "duplicated text one"),  // positional: val -> LEAKED group
+      (2L, "duplicated text two"),   // positional: train
+      (3L, "duplicated text two"),   // positional: train -> same split, clean
+      (4L, "a singleton")            // not a dup group
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Sampling.q121SplitLeakage(spark, tmp).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 0L)))
+  }
+
   test("q105 weighted sample agrees with the window form; weight lowers priority") {
     import org.apache.spark.sql.functions._
     // TopK-aggregator result == window replay on the real corpus

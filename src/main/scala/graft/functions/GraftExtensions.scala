@@ -9,5 +9,5 @@ import org.apache.spark.sql.SparkSessionExtensions
   * registration). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(VectorFunctions.dotF32Info)
+    VectorFunctions.allFunctionInfos.foreach(ext.injectFunction)
 }

@@ -595,10 +595,37 @@ object VectorFunctions {
      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
      (children: Seq[Expression]) => DotF32(children(0), children(1)): Expression)
 
-  /** Register `dot_f32` into an existing session's function registry
-    * (same builder the SparkSessionExtensions path injects). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotF32Info
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  /** Every custom expression as a SQL function: (identifier, info,
+    * builder) triples, the registry's native currency. One list
+    * serves both registration paths (session-local [[register]] and
+    * cluster-wide [[GraftExtensions]]), so the SQL surface can never
+    * drift from the Column surface. */
+  private[functions] val allFunctionInfos: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    dotF32Info,
+    (new FunctionIdentifier("simhash64"),
+     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+     (c: Seq[Expression]) => SimHash64(c.head): Expression),
+    (new FunctionIdentifier("rolling_hash31"),
+     new ExpressionInfo(classOf[RollingHash31].getName, "rolling_hash31"),
+     (c: Seq[Expression]) => RollingHash31(c.head): Expression),
+    (new FunctionIdentifier("trigram_stats"),
+     new ExpressionInfo(classOf[TrigramStats].getName, "trigram_stats"),
+     (c: Seq[Expression]) => TrigramStats(c.head): Expression),
+    (new FunctionIdentifier("zorder2"),
+     new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+     (c: Seq[Expression]) => ZOrder2(c(0), c(1)): Expression),
+    (new FunctionIdentifier("nfc_normalize"),
+     new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+     (c: Seq[Expression]) => NfcNormalize(c.head): Expression))
+
+  /** Register every custom expression into an existing session's
+    * function registry (same builders the SparkSessionExtensions
+    * path injects). MinHashSig/PqEncode stay Column-only: their
+    * k/codebook parameters are constructor arguments, not child
+    * expressions, so they have no direct SQL-call shape. */
+  def register(spark: SparkSession): Unit =
+    allFunctionInfos.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -254,7 +254,18 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = spark.sql("SELECT id, dot_f32(a, b) AS d FROM vex ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(r(1L) == 32.0)
-    // the extensions class wires the same builder without throwing
+    // every registered function is callable from SQL and agrees with
+    // its Column form
+    val sqlRow = spark.sql(
+      """SELECT zorder2(3L, 1L) AS z, nfc_normalize('ok') AS n,
+         rolling_hash31('abc') AS h,
+         simhash64(array(1L, 2L)) AS sh,
+         trigram_stats(array('a', 'b', 'c')) AS ts""").collect().head
+    assert(sqlRow.getLong(0) == ZOrder2.key(3L, 1L))
+    assert(sqlRow.getString(1) == "ok")
+    assert(sqlRow.getLong(2) ==
+      RollingHash31.hash(org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    // the extensions class wires the same builders without throwing
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 }

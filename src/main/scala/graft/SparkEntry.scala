@@ -140,6 +140,8 @@ object SparkEntry {
     "q119_key_skew"        -> Relational.q119KeySkewProfile,
     "q120_winsorize"       -> Relational.q120Winsorize,
     "q121_split_leakage"   -> graft.ops.Sampling.q121SplitLeakage,
+    "q122_running_distinct" -> EventOps.q122RunningDistinct,
+    "q123_bigram_lm"       -> TextOps.q123BigramLm,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1511,6 +1513,43 @@ object SparkEntry {
            count(*) FILTER (WHERE k_pos > 1) AS leaked_positional,
            count(*) FILTER (WHERE k_ch > 1) AS leaked_content_hash
          FROM g""",
+    "q122_running_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+           FROM events)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type,
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS k_types
+         FROM f ORDER BY user_id, ts, event_id""",
+    "q123_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
+                ELSE [] END) AS b
+                FROM t),
+         p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+         vt AS (SELECT count(DISTINCT tok) AS v FROM
+                 (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)),
+         sc AS (SELECT p.doc_id, count(*) AS n_bigrams,
+                  CAST(sum((c12.c12 + 1) * 1000000 //
+                           (c1.c1 + (SELECT v FROM vt))) AS BIGINT)
+                    AS sum_micro
+                FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY p.doc_id)
+         SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.sum_micro // sc.n_bigrams, 0) AS lm_micro
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY d.doc_id""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

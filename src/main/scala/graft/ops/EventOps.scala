@@ -257,6 +257,32 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q122 — running distinct event types per user (the classic
+    * point-in-time feature: "how many distinct actions had this user
+    * taken as of each event", leak-free because it only looks
+    * backward). A distinct-count window is not directly expressible,
+    * so the first occurrence of each (user, type) is flagged by one
+    * window and a running sum of flags by a second — both clustered
+    * by user, so ONE user-keyed shuffle serves the pair (the
+    * subset-clustering rule; the second window adds only a sort).
+    * Emitted per event, ordered by (user, ts, event_id). */
+  def q122RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstOfType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("is_first",
+        (row_number().over(firstOfType) === 1).cast("long"))
+      .withColumn("k_types", sum(col("is_first")).over(byTime))
+      .select(col("user_id"), col("event_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+              col("event_type"), col("k_types"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** q118 — daily volume anomalies per event type: a day is anomalous
     * for a type iff its count sits more than k = 2 standard
     * deviations from the type's daily mean — decided by q92's

@@ -469,6 +469,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q123 — bigram-LM quality score with add-one smoothing, the
+    * conditional upgrade of q79's unigram score: each document
+    * averages `(c(w1,w2)+1)·1e6 div (c(w1·)+V)` over its adjacent
+    * token pairs — corpus-fitted conditional probabilities in
+    * integer micros (float logs never exist, the q54/q79 rule), so
+    * fluent in-distribution text scores high and shuffled/degenerate
+    * text scores low even when its unigrams are common.
+    *
+    * Scale shape: corpus bigram counts and prefix totals are two
+    * keyed aggregations; the per-doc score is two hash joins on the
+    * bigram/prefix keys followed by a doc-keyed rollup. V (distinct
+    * tokens) rides a 1-row broadcast. Docs with <2 tokens emit a 0
+    * score with n_bigrams = 0. */
+  def q123BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = toks.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bi
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(expr("(c12 + 1L) * 1000000L div (c1 + v)")).cast("long")
+             .as("sum_micro"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              coalesce(expr("sum_micro div n_bigrams"), lit(0L))
+                .as("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q117 — per-source OLS regression of chars on tokens, ALL-INTEGER:
     * slope_micro = (n·Σxy − Σx·Σy)·1e6 div (n·Σx² − (Σx)²) and
     * intercept_micro = (Σy·1e6 − slope_micro·Σx) div n — the q92

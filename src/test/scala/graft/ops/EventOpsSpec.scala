@@ -125,6 +125,23 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q122 running distinct increments only at first occurrences") {
+    val tmp = java.nio.file.Files.createTempDirectory("rdist").toString
+    Seq(
+      (1L, 7L, ts("10:00"), "a", 0.0, "{}"),
+      (2L, 7L, ts("10:01"), "b", 0.0, "{}"),
+      (3L, 7L, ts("10:02"), "a", 0.0, "{}"), // repeat: no increment
+      (4L, 7L, ts("10:03"), "c", 0.0, "{}"),
+      (5L, 8L, ts("10:00"), "a", 0.0, "{}")  // other user restarts at 1
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q122RunningDistinct(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
+  }
+
   test("q118 flags only the spike day, by exact integer variance algebra") {
     val tmp = java.nio.file.Files.createTempDirectory("anom").toString
     def dts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")

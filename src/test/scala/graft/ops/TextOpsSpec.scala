@@ -172,6 +172,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got("c") > got("a"), s"got $got")
   }
 
+  test("q123 bigram scores: smoothed conditionals on a hand corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bilm").toString
+    Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // c(a,b)=2 c(a,c)=1 c(a.)=3 V=4
+    val got = TextOps.q123BigramLm(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3000000L / 7), (2L, 1L, 3000000L / 7),
+      (3L, 1L, 2000000L / 7), (4L, 0L, 0L)))
+  }
+
   test("q117 OLS recovers an exact linear relation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

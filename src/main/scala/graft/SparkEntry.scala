@@ -142,6 +142,7 @@ object SparkEntry {
     "q121_split_leakage"   -> graft.ops.Sampling.q121SplitLeakage,
     "q122_running_distinct" -> EventOps.q122RunningDistinct,
     "q123_bigram_lm"       -> TextOps.q123BigramLm,
+    "q124_batch_score"     -> ((s, d) => graft.ops.Inference.q124BatchScore(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1550,6 +1551,10 @@ object SparkEntry {
            coalesce(sc.sum_micro // sc.n_bigrams, 0) AS lm_micro
          FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
+    "q124_batch_score" ->
+      """SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT % 1000000 AS score_micro
+         FROM documents ORDER BY doc_id""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -143,6 +143,7 @@ object SparkEntry {
     "q122_running_distinct" -> EventOps.q122RunningDistinct,
     "q123_bigram_lm"       -> TextOps.q123BigramLm,
     "q124_batch_score"     -> ((s, d) => graft.ops.Inference.q124BatchScore(s, d)),
+    "q125_label_cohesion"  -> Similarity.q125LabelCohesion,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1555,6 +1556,7 @@ object SparkEntry {
       """SELECT doc_id,
          ('0x' || substr(md5(text), 1, 13))::BIGINT % 1000000 AS score_micro
          FROM documents ORDER BY doc_id""",
+    "q125_label_cohesion" -> Similarity.q125OracleSql(),
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

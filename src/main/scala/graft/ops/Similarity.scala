@@ -806,6 +806,75 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q125 — per-label embedding cohesion: every vector's cosine to
+    * its label's centroid, averaged per label — the embedding-space
+    * quality report (a label whose cohesion drops has drifting or
+    * mislabeled members). Cross-engine stability comes from doing
+    * ALL accumulation in integers: vectors quantize to micro-ints,
+    * per-dim centroid sums are exact integer sums (order-free), and
+    * the only float ops are sqrt/multiply/divide on those exact
+    * integers — each correctly-rounded IEEE, so both engines produce
+    * the identical double before the final floor to micros (the q84
+    * sqrt argument extended to cosine).
+    *
+    * Scale shape: centroids via posexplode → (label, dim) integer
+    * sums (map-side partial agg), re-assembled with sort-by-dim
+    * collect and broadcast back; the cosine pass is map-side. */
+  def q125LabelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val micro = transform(col("embedding"),
+      x => floor(x * lit(1e6d) + lit(0.5d)).cast("long"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), micro.as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = e.select(col("label"), posexplode(col("m")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("v")).cast("long").as("sv"), count(lit(1)).as("n"))
+    val cent = sums
+      .select(col("label"), col("d"), expr("sv div n").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
+             .as("cent"))
+    val dot = expr(
+      "aggregate(zip_with(m, cent, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    val nx = expr(
+      "sqrt(CAST(aggregate(zip_with(m, m, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS DOUBLE))")
+    val nc = expr(
+      "sqrt(CAST(aggregate(zip_with(cent, cent, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS DOUBLE))")
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("label"),
+              floor(dot.cast("double") / (nx * nc) * lit(1e6d)).cast("long")
+                .as("coh"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           expr("CAST(sum(coh) AS BIGINT) div count(1)")
+             .as("avg_cohesion_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB oracle for q125 — the same integer-centroid replay. */
+  def q125OracleSql(dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS m
+         FROM embeddings),
+       s AS (SELECT label, t.d,
+               CAST(sum(m[t.d + 1]) AS BIGINT) AS sv, count(*) AS n
+             FROM e, range($dim) t(d) GROUP BY label, t.d),
+       cent AS (SELECT label, list(sv // n ORDER BY d) AS cent FROM s
+                GROUP BY label),
+       coh AS (SELECT e.label,
+         CAST(floor(
+           CAST(list_sum(list_transform(list_zip(e.m, c.cent),
+             p -> p[1] * p[2])) AS DOUBLE) /
+           (sqrt(CAST(list_sum(list_transform(e.m, x -> x * x)) AS DOUBLE)) *
+            sqrt(CAST(list_sum(list_transform(c.cent, x -> x * x)) AS DOUBLE)))
+           * 1e6) AS BIGINT) AS coh
+         FROM e JOIN cent c USING (label))
+       SELECT label, count(*) AS n_vecs,
+         CAST(CAST(sum(coh) AS BIGINT) // count(*) AS BIGINT)
+           AS avg_cohesion_micro
+       FROM coh GROUP BY label ORDER BY label"""
+
   /** DuckDB oracle for q102 — one WITH chain holding both the exact
     * brute-force top-5 (q26's definition) and the IVF top-5 (q27's
     * learn+assign+probe replay), reduced to hits per query. */

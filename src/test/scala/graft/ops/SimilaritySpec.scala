@@ -153,6 +153,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q125 cohesion: identical members max out, mixed labels score lower") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("coh2").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0), // identical pair: cohesion ~ 1.0
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f), 1)  // orthogonal pair: cohesion ~ 0.707
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q125LabelCohesion(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0)._1 == 2L && got(1)._1 == 2L)
+    // identical members: cosine to centroid is 1 up to one float ulp
+    assert(got(0)._2 >= 999999L && got(0)._2 <= 1000000L, s"got ${got(0)}")
+    // orthogonal members sit at cos 45 degrees of their centroid
+    val expect = math.floor(
+      5e11 / (1e6 * math.sqrt(5e11)) * 1e6).toLong
+    assert(got(1)._2 == expect, s"got ${got(1)._2} want $expect")
+    assert(got(1)._2 < got(0)._2)
+  }
+
   test("q106 prediction equals the independently tallied neighbor majority") {
     val labels = graft.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label")).collect()

@@ -144,6 +144,9 @@ object SparkEntry {
     "q123_bigram_lm"       -> TextOps.q123BigramLm,
     "q124_batch_score"     -> ((s, d) => graft.ops.Inference.q124BatchScore(s, d)),
     "q125_label_cohesion"  -> Similarity.q125LabelCohesion,
+    "q126_weighted_pagerank" -> ((s, d) => graft.ops.GraphOps.q126WeightedPageRank(s, d)),
+    "q127_cumulative_users" -> EventOps.q127CumulativeUsers,
+    "q128_ivf_balance"     -> Similarity.q128IvfBalance,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1557,6 +1560,17 @@ object SparkEntry {
          ('0x' || substr(md5(text), 1, 13))::BIGINT % 1000000 AS score_micro
          FROM documents ORDER BY doc_id""",
     "q125_label_cohesion" -> Similarity.q125OracleSql(),
+    "q126_weighted_pagerank" -> graft.ops.GraphOps.q126OracleSql(),
+    "q127_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                    FROM events GROUP BY user_id),
+         p AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM p ORDER BY day""",
+    "q128_ivf_balance" -> Similarity.q128OracleSql(),
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -257,6 +257,28 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q127 — cumulative unique users per day (the total-reach curve):
+    * each user reduces to their first-seen day (one user-keyed
+    * min-agg — the first-occurrence trick q122 uses per event), and
+    * the running total is a window over the ~days-sized aggregate —
+    * a frame of one row per day, so the unpartitioned window is a
+    * deliberate non-issue (same reasoning as q110's top-k). */
+  def q127CumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("cum_users", sum(col("n_new")).over(cum).cast("long"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
   /** q122 — running distinct event types per user (the classic
     * point-in-time feature: "how many distinct actions had this user
     * taken as of each event", leak-free because it only looks

@@ -150,6 +150,68 @@ object GraphOps {
          SELECT node, label FROM l$iters ORDER BY node"""
   }
 
+  /** q126 — WEIGHTED fixed-point PageRank: q82 with edge weights =
+    * click multiplicity (how many times the user clicked the item),
+    * so heavy engagement carries proportionally more rank —
+    * contrib = (r·w) div Σw instead of r div deg. Same integer
+    * micro-rank arithmetic, same unrolled-rounds plan shape, same
+    * oracle replayability; only the edge frame gains a weight
+    * column (one extra long through the per-round shuffle). */
+  def q126WeightedPageRank(s: SparkSession, dir: String,
+                           iters: Int = 3): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val wClicks = clicks.groupBy(col("user_id"), col("k"))
+      .agg(count(lit(1)).as("w"))
+    val edges = wClicks
+      .select(concat(lit("u"), col("user_id")).as("src"),
+              concat(lit("i"), col("k")).as("dst"), col("w"))
+      .unionByName(wClicks
+        .select(concat(lit("i"), col("k")).as("src"),
+                concat(lit("u"), col("user_id")).as("dst"), col("w")))
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
+    val ed = edges.join(sw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(r * w) div sw").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("node"),
+                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for q126 — the weighted rounds unrolled. */
+  def q126OracleSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node,
+           CAST(150000 + (850 * sum((r * w) // sw)) // 1000 AS BIGINT) AS r
+           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
+           GROUP BY dst)"""
+    }.mkString(",\n         ")
+    s"""WITH wc AS (SELECT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+           count(*)::BIGINT AS w
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         edges AS (SELECT 'u' || user_id AS src, 'i' || k AS dst, w FROM wc
+                   UNION ALL
+                   SELECT 'i' || k, 'u' || user_id, w FROM wc),
+         sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM edges
+                GROUP BY src),
+         ed AS (SELECT e.src, e.dst, e.w, s.sw FROM edges e
+                JOIN sw s USING (src)),
+         r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM sw),
+         $rounds
+         SELECT node, r AS rank_micro FROM r$iters ORDER BY node"""
+  }
+
   /** q116 — triangle counting on the item co-click projection: items
     * are adjacent iff some user clicked both (the bipartite graph
     * projected onto items), and each item reports how many triangles

@@ -806,6 +806,36 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q128 — IVF index balance report: per-cell population and its
+    * share of the corpus in integer micros — the index-health metric
+    * an ANN deployment monitors (one hot cell means probes degrade
+    * to brute force over it; many empty cells mean wasted training).
+    * Reuses q27's exact learn+assign machinery, so the oracle
+    * replays the identical quantizer. */
+  def q128IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cent = centroidsWithNorm(e, C = 16, iters = 2)
+    val sizes = assignCells(e, cent)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).cast("long").as("n_total"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+              expr("n_vecs * 1000000L div n_total").as("share_micro"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB oracle for q128 — learn+assign replay, grouped by cell. */
+  def q128OracleSql(C: Int = 16, iters: Int = 2, dim: Int = 64,
+                    trainSample: Int = 65536): String =
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
+       sz AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell),
+       t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM sz)
+       SELECT cell, n_vecs,
+         CAST(n_vecs * 1000000 // (SELECT n_total FROM t) AS BIGINT)
+           AS share_micro
+       FROM sz ORDER BY cell"""
+
   /** q125 — per-label embedding cohesion: every vector's cosine to
     * its label's centroid, averaged per label — the embedding-space
     * quality report (a label whose cohesion drops has drifting or

@@ -125,6 +125,23 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q127 cumulative users counts each user at first appearance only") {
+    val tmp = java.nio.file.Files.createTempDirectory("cum").toString
+    def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    Seq(
+      (1L, 1L, dts(1), "view", 0.0, "{}"),
+      (2L, 2L, dts(1), "view", 0.0, "{}"),
+      (3L, 1L, dts(2), "view", 0.0, "{}"), // returning user: no new count
+      (4L, 3L, dts(3), "view", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q127CumulativeUsers(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
   test("q122 running distinct increments only at first occurrences") {
     val tmp = java.nio.file.Files.createTempDirectory("rdist").toString
     Seq(

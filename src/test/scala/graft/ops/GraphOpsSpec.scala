@@ -59,6 +59,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(Set("u3", "i2").flatMap(got.get) == Set("i2", "u3"))
   }
 
+  test("q126 weighted ranks favor the heavy edge, hand-unrolled") {
+    val tmp = java.nio.file.Files.createTempDirectory("wpr").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // u1 clicks i1 three times, u2 once: weights 3 and 1
+    Seq(
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (3L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (4L, 2L, t0, "click", 1.0, """{"k": 1}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q126WeightedPageRank(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-unrolled 3 rounds (see derivation in the suite history):
+    // i1 splits 3/4 of its rank to u1, 1/4 to u2
+    assert(got == Map("u1" -> 868781L, "u2" -> 389593L, "i1" -> 1741625L),
+      s"got $got")
+    assert(got("u1") > got("u2"), "heavy edge must attract more rank")
+  }
+
   test("q116 finds each co-click triangle once, per corner") {
     val tmp = java.nio.file.Files.createTempDirectory("tri").toString
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")

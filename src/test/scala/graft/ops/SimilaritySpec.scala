@@ -153,6 +153,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q128 balance shares partition the corpus within truncation") {
+    val rows = Similarity.q128IvfBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == 500, "cell sizes must cover the corpus")
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length,
+      s"shares must sum to 1e6 minus truncation, got $shareSum")
+    rows.foreach { case (c, n, _) => assert(c >= 0 && c < 16 && n > 0) }
+  }
+
   test("q125 cohesion: identical members max out, mixed labels score lower") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("coh2").toString

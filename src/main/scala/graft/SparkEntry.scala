@@ -147,6 +147,9 @@ object SparkEntry {
     "q126_weighted_pagerank" -> ((s, d) => graft.ops.GraphOps.q126WeightedPageRank(s, d)),
     "q127_cumulative_users" -> EventOps.q127CumulativeUsers,
     "q128_ivf_balance"     -> Similarity.q128IvfBalance,
+    "q129_dedup_rate"      -> Dedup.q129DedupRate,
+    "q130_gap_histogram"   -> EventOps.q130GapHistogram,
+    "q131_zipf_coverage"   -> TextOps.q131ZipfCoverage,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1571,6 +1574,47 @@ object SparkEntry {
              AS cum_users
          FROM p ORDER BY day""",
     "q128_ivf_balance" -> Similarity.q128OracleSql(),
+    "q129_dedup_rate" ->
+      """WITH fp AS (SELECT source, md5(text) AS fp FROM documents),
+         gl AS (SELECT fp, count(DISTINCT source) AS n_sources
+                FROM fp GROUP BY fp),
+         sf AS (SELECT source, fp.fp, count(*) AS n FROM fp GROUP BY 1, 2)
+         SELECT sf.source,
+           CAST(sum(sf.n) AS BIGINT) AS n_docs,
+           count(*) AS n_distinct,
+           count(*) FILTER (WHERE gl.n_sources = 1) AS n_exclusive,
+           CAST((CAST(sum(sf.n) AS BIGINT) - count(*)) * 1000000 //
+                CAST(sum(sf.n) AS BIGINT) AS BIGINT) AS dup_micro
+         FROM sf JOIN gl USING (fp)
+         GROUP BY sf.source ORDER BY sf.source""",
+    "q130_gap_histogram" ->
+      """WITH g AS (SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             AS gap_us
+           FROM events),
+         b AS (SELECT event_type,
+           CASE WHEN gap_us // 1000000 <= 0 THEN -1
+                ELSE length(bin(gap_us // 1000000)) - 1 END AS bucket
+           FROM g WHERE gap_us IS NOT NULL)
+         SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_gaps
+         FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "q131_zipf_coverage" ->
+      """WITH c AS (SELECT token, count(*) AS c FROM
+           (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c),
+         r AS (SELECT token, c,
+           row_number() OVER (ORDER BY c DESC, token) AS rank,
+           CAST(sum(c) OVER (ORDER BY c DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM c)
+         SELECT rank, token AS rank_token, cum,
+           CAST(cum * 1000000 // (SELECT n_total FROM t) AS BIGINT)
+             AS coverage_micro
+         FROM r WHERE (rank & (rank - 1)) = 0 ORDER BY rank""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -702,6 +702,35 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q129 — per-source dedup-rate report: documents vs distinct
+    * texts vs texts unique to the source — the first table a corpus
+    * audit prints (a source with a high internal dup rate gets its
+    * crawler fixed; one whose texts all exist elsewhere gets
+    * dropped). `dup_micro` is the within-source duplicate fraction
+    * in integer micros.
+    *
+    * Scale shape: one md5-keyed aggregation for global multiplicity
+    * (text never moves, only its 16-byte hash), then a source-keyed
+    * rollup; both reduce map-side. */
+  def q129DedupRate(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("fp"))
+    val global = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    fp.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .join(global, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+           count(lit(1)).as("n_distinct"),
+           count(when(col("n_sources") === 1, 1)).as("n_exclusive"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+              col("n_exclusive"),
+              expr("(n_docs - n_distinct) * 1000000L div n_docs")
+                .as("dup_micro"))
+      .orderBy(col("source"))
+  }
+
   /** q108 — source-pair similarity matrix: exact 3-gram-shingle
     * Jaccard between every pair of sources that share at least one
     * shingle — the corpus-composition audit run before mixing

@@ -257,6 +257,34 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q130 — inter-arrival gap histogram per event type: the log2
+    * distribution of seconds between consecutive events of a type
+    * within a user's stream — the latency/cadence fingerprint that
+    * separates burst traffic from background drip (and the input to
+    * choosing session gaps and watermarks). Gap seconds bucket by
+    * exact integer bit length (q90's float-free log2); zero-second
+    * gaps land in bucket −1.
+    *
+    * Scale shape: one user-keyed lag window, then a map-side bucket
+    * projection into a (type, bucket)-sized rollup. */
+  def q130GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_s", expr("gap_us div 1000000L"))
+      .select(col("event_type"),
+              when(col("gap_s") <= 0, lit(-1L))
+                .otherwise((length(bin(col("gap_s"))) - 1).cast("long"))
+                .as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** q127 — cumulative unique users per day (the total-reach curve):
     * each user reduces to their first-seen day (one user-keyed
     * min-agg — the first-occurrence trick q122 uses per event), and

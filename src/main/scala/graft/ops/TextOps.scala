@@ -469,6 +469,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q131 — vocabulary concentration (Zipf audit): at each
+    * power-of-two rank of the frequency-sorted vocabulary, what
+    * fraction of all token occurrences the top-r types cover — the
+    * curve that says how head-heavy a corpus is (and how big a
+    * tokenizer vocab needs to be). Shares are integer micros over
+    * exact integer cumulative sums.
+    *
+    * Scale shape: token counts reduce map-side; the vocabulary
+    * (types, not tokens — orders of magnitude smaller than the
+    * corpus) takes one global sort for the cumulative window, which
+    * is exactly the vocabulary-build sort every tokenizer pipeline
+    * already pays; output is ~log2(|V|) rows. */
+  def q131ZipfCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("long").as("n_total"))
+    val byFreq = Window.orderBy(col("c").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      // keep power-of-two ranks only: rank & (rank-1) == 0
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("token").as("rank_token"), col("cum"),
+              expr("cum * 1000000L div n_total").as("coverage_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** q123 — bigram-LM quality score with add-one smoothing, the
     * conditional upgrade of q79's unigram score: each document
     * averages `(c(w1,w2)+1)·1e6 div (c(w1·)+V)` over its adjacent

@@ -292,6 +292,24 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, "dup_exact"), (10L, "dup_prefix"), (15L, "new")))
   }
 
+  test("q129 dedup rates: within-source dups and cross-source exclusivity") {
+    val tmp = java.nio.file.Files.createTempDirectory("ddr").toString
+    Seq(
+      (1L, "text one", "srcA"),
+      (2L, "text one", "srcA"),  // within-source dup
+      (3L, "text two", "srcA"),  // shared with srcB: not exclusive
+      (4L, "text two", "srcB")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q129DedupRate(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("srcA", 3L, 2L, 1L, 333333L), ("srcB", 1L, 1L, 0L, 0L)))
+  }
+
   test("q108 source Jaccard on a hand-computed shingle overlap") {
     val tmp = java.nio.file.Files.createTempDirectory("ssim").toString
     Seq(

@@ -125,6 +125,24 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q130 gap buckets: sub-second is -1, otherwise exact bit length") {
+    val tmp = java.nio.file.Files.createTempDirectory("gaph").toString
+    def mts(sec: String) = Timestamp.valueOf(s"2024-01-01 10:00:$sec")
+    Seq(
+      (1L, 7L, mts("00.000000"), "a", 0.0, "{}"),
+      (2L, 7L, mts("00.500000"), "a", 0.0, "{}"), // 0.5 s -> bucket -1
+      (3L, 7L, mts("01.500000"), "a", 0.0, "{}"), // 1 s   -> bucket 0
+      (4L, 7L, mts("05.500000"), "a", 0.0, "{}"), // 4 s   -> bucket 2
+      (5L, 8L, mts("00.000000"), "a", 0.0, "{}")  // no predecessor: no gap
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q130GapHistogram(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", -1L, 1L), ("a", 0L, 1L), ("a", 2L, 1L)))
+  }
+
   test("q127 cumulative users counts each user at first appearance only") {
     val tmp = java.nio.file.Files.createTempDirectory("cum").toString
     def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")

@@ -172,6 +172,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got("c") > got("a"), s"got $got")
   }
 
+  test("q131 coverage curve at power-of-two ranks on a Zipfy corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq((1L, "a a a b")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q131ZipfCoverage(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", 3L, 750000L), (2L, "b", 4L, 1000000L)))
+  }
+
   test("q123 bigram scores: smoothed conditionals on a hand corpus") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

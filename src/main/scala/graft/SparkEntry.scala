@@ -150,6 +150,7 @@ object SparkEntry {
     "q129_dedup_rate"      -> Dedup.q129DedupRate,
     "q130_gap_histogram"   -> EventOps.q130GapHistogram,
     "q131_zipf_coverage"   -> TextOps.q131ZipfCoverage,
+    "q132_churn_deltas"    -> EventOps.q132ChurnDeltas,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1615,6 +1616,31 @@ object SparkEntry {
            CAST(cum * 1000000 // (SELECT n_total FROM t) AS BIGINT)
              AS coverage_micro
          FROM r WHERE (rank & (rank - 1)) = 0 ORDER BY rank""",
+    "q132_churn_deltas" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         st AS (SELECT min(day) AS d0 FROM ev),
+         wk AS (SELECT DISTINCT user_id,
+                  CAST(datediff('day', (SELECT d0 FROM st), day) AS BIGINT)
+                    // 7 AS week
+                FROM ev),
+         f AS (SELECT user_id, week,
+                 lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week,
+                 lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week
+               FROM wk),
+         act AS (SELECT week, count(*) AS n_active,
+                   count(*) FILTER (WHERE prev_week IS NULL) AS n_new,
+                   count(*) FILTER (WHERE prev_week IS NOT NULL
+                                    AND prev_week < week - 1)
+                     AS n_resurrected
+                 FROM f GROUP BY week),
+         ch AS (SELECT week + 1 AS week, count(*) AS n_churned
+                FROM f WHERE next_week IS NULL OR next_week > week + 1
+                GROUP BY week + 1)
+         SELECT act.week, n_active, n_new, n_resurrected,
+           coalesce(ch.n_churned, 0) AS n_churned
+         FROM act LEFT JOIN ch USING (week) ORDER BY act.week""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -257,6 +257,52 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q132 — week-over-week churn deltas: per week, how many users
+    * were active, how many were new (first-ever week), how many
+    * churned out of the PREVIOUS week (active then, silent now), and
+    * how many resurrected (active now after skipping the previous
+    * week) — the movement table behind every retention dashboard,
+    * complementing q115's cohort matrix. Week indexes are integer
+    * day-diffs div 7 from the corpus start (exact in both engines).
+    *
+    * Scale shape: the distinct (user, week) activity frame is the
+    * only corpus-sized object; new/churn/resurrect flags come from
+    * one user-keyed lag window over it; the weekly rollup is
+    * weeks-sized. */
+  def q132ChurnDeltas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val start = ev.agg(min(col("day")).as("d0"))
+    val weekly = ev.crossJoin(broadcast(start))
+      .select(col("user_id"),
+              expr("CAST(datediff(day, d0) AS BIGINT) div 7").as("week"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = weekly
+      .withColumn("prev_week", lag(col("week"), 1).over(byUser))
+      .withColumn("is_new", col("prev_week").isNull.cast("long"))
+      .withColumn("is_resurrected",
+        (col("prev_week").isNotNull &&
+         col("prev_week") < col("week") - 1L).cast("long"))
+    val active = flagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+           sum(col("is_new")).cast("long").as("n_new"),
+           sum(col("is_resurrected")).cast("long").as("n_resurrected"))
+    // churned OUT OF week w = active in w, silent in w+1 — counted by
+    // the lead gap on the same per-user sequence, attributed to w+1
+    val churn = flagged
+      .withColumn("next_week", lead(col("week"), 1).over(byUser))
+      .filter(col("next_week").isNull || col("next_week") > col("week") + 1L)
+      .groupBy((col("week") + 1L).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+              col("n_resurrected"),
+              coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
   /** q130 — inter-arrival gap histogram per event type: the log2
     * distribution of seconds between consecutive events of a type
     * within a user's stream — the latency/cadence fingerprint that

@@ -125,6 +125,30 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q132 churn deltas: new, churned, resurrected on a hand timeline") {
+    val tmp = java.nio.file.Files.createTempDirectory("churn").toString
+    def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    Seq(
+      (1L, 1L, dts(1), "view", 0.0, "{}"),   // u1: weeks 0,1,2 (steady)
+      (2L, 1L, dts(9), "view", 0.0, "{}"),
+      (3L, 1L, dts(16), "view", 0.0, "{}"),
+      (4L, 2L, dts(2), "view", 0.0, "{}"),   // u2: week 0 then gone -> churned into week 1
+      (5L, 3L, dts(3), "view", 0.0, "{}"),   // u3: weeks 0, 2 (skips 1 -> resurrected in 2)
+      (6L, 3L, dts(17), "view", 0.0, "{}"),
+      (7L, 4L, dts(10), "view", 0.0, "{}")   // u4: new in week 1
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q132ChurnDeltas(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, 0L, 0L),  // u1,u2,u3 all new
+      (1L, 2L, 1L, 0L, 2L),  // u1,u4; u4 new; u2 gone + u3 skipping
+      (2L, 2L, 0L, 1L, 1L))) // u1,u3; u3 resurrected; u4 churned
+  }
+
   test("q130 gap buckets: sub-second is -1, otherwise exact bit length") {
     val tmp = java.nio.file.Files.createTempDirectory("gaph").toString
     def mts(sec: String) = Timestamp.valueOf(s"2024-01-01 10:00:$sec")

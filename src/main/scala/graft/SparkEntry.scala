@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_gap_histogram"   -> EventOps.q130GapHistogram,
     "q131_zipf_coverage"   -> TextOps.q131ZipfCoverage,
     "q132_churn_deltas"    -> EventOps.q132ChurnDeltas,
+    "q133_time_to_convert" -> EventOps.q133TimeToConvert,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1641,6 +1642,21 @@ object SparkEntry {
          SELECT act.week, n_active, n_new, n_resurrected,
            coalesce(ch.n_churned, 0) AS n_churned
          FROM act LEFT JOIN ch USING (week) ORDER BY act.week""",
+    "q133_time_to_convert" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS v_ts FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         fp AS (SELECT e.user_id, min(e.ts) AS p_ts, min(fv.v_ts) AS v_ts
+                FROM events e JOIN fv USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+                GROUP BY e.user_id),
+         d AS (SELECT (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000
+                 AS delay_s FROM fp)
+         SELECT count(*) AS n_converted,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s)
+                AS BIGINT) AS p50_s,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s)
+                AS BIGINT) AS p90_s
+         FROM d""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

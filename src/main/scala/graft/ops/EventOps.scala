@@ -257,6 +257,35 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q133 — time-to-convert percentiles: seconds from each user's
+    * FIRST view to their first purchase AFTER it, summarized as
+    * exact p50/p90 (percentile_disc members — integer seconds, so
+    * both engines pick the same value) plus the conversion count —
+    * the latency headline a funnel report leads with.
+    *
+    * Scale shape: two user-keyed min-aggs and one global
+    * percentile over the users-sized frame (exact order statistics
+    * at the report stage; q53's sketch is the declared path when
+    * even the user dimension is too big to sort). */
+  def q133TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("p_ts"), first(col("v_ts")).as("v_ts"))
+      .select(expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000L")
+                .as("delay_s"))
+    delays.agg(
+        count(lit(1)).as("n_converted"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s) AS BIGINT)")
+          .as("p50_s"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s) AS BIGINT)")
+          .as("p90_s"))
+  }
+
   /** q132 — week-over-week churn deltas: per week, how many users
     * were active, how many were new (first-ever week), how many
     * churned out of the PREVIOUS week (active then, silent now), and

@@ -125,6 +125,24 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q133 conversion delays: first view to first later purchase only") {
+    val tmp = java.nio.file.Files.createTempDirectory("ttc").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:05"), "purchase", 0.0, "{}"), // 300 s
+      (3L, 2L, ts("10:00"), "view", 0.0, "{}"),
+      (4L, 2L, ts("10:20"), "purchase", 0.0, "{}"), // 1200 s
+      (5L, 3L, ts("09:00"), "purchase", 0.0, "{}"), // before the view: excluded
+      (6L, 3L, ts("10:00"), "view", 0.0, "{}"),
+      (7L, 4L, ts("10:00"), "view", 0.0, "{}")      // never converts
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventOps.q133TimeToConvert(spark, tmp).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 300L, 1200L)))
+  }
+
   test("q132 churn deltas: new, churned, resurrected on a hand timeline") {
     val tmp = java.nio.file.Files.createTempDirectory("churn").toString
     def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")

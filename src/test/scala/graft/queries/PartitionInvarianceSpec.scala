@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Layout independence, automated: a query's RESULT may never depend
+  * on spark.sql.shuffle.partitions (accumulation order, partition
+  * boundaries, window batching). The round-2 audit proved this
+  * one-off for the then-current surface; this spec keeps the
+  * property under CI for a representative slice of every operator
+  * family added since — the queries whose shapes are most exposed to
+  * partition effects (multi-window chains, pattern-compression
+  * rollups, per-partition batching, iterative rounds).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sample = Seq(
+    "q100_gap_fill",          // window chain + map-side explode
+    "q105_weighted_sample",   // TopK aggregator combine tree
+    "q108_source_similarity", // pattern-compression rollup
+    "q113_cooccurrence",      // per-doc pair fan-out
+    "q124_batch_score",       // per-partition batch assembly
+    "q126_weighted_pagerank", // iterative join+agg rounds
+    "q129_dedup_rate",        // two-level hash rollup
+    "q132_churn_deltas")      // lag/lead over distinct activity
+
+  test("results are identical under 3 and 32 shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try sample.map { name =>
+        val rows = graft.SparkEntry.queries(name)(spark, sf0001)
+          .collect().map(_.toString).toSeq
+        spark.catalog.clearCache()
+        name -> rows
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at3 = runAll("3")
+    val at32 = runAll("32")
+    sample.foreach { name =>
+      assert(at3(name) == at32(name),
+        s"$name result depends on shuffle partition count")
+    }
+  }
+}

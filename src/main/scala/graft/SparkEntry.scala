@@ -152,6 +152,8 @@ object SparkEntry {
     "q131_zipf_coverage"   -> TextOps.q131ZipfCoverage,
     "q132_churn_deltas"    -> EventOps.q132ChurnDeltas,
     "q133_time_to_convert" -> EventOps.q133TimeToConvert,
+    "q134_ab_split"        -> EventOps.q134AbSplit,
+    "q135_funnel_rates"    -> EventOps.q135FunnelRates,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1657,6 +1659,48 @@ object SparkEntry {
            CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s)
                 AS BIGINT) AS p90_s
          FROM d""",
+    "q134_ab_split" ->
+      """WITH u AS (SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted,
+           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 32, 1))
+                  ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id)
+         SELECT arm, count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(CAST(sum(converted) AS BIGINT) * 1000000 // count(*)
+                AS BIGINT) AS conv_micro
+         FROM u GROUP BY arm ORDER BY arm""",
+    "q135_funnel_rates" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id),
+         st AS (SELECT (1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                          ::BIGINT AS stage
+                FROM v LEFT JOIN c ON v.user_id = c.user_id
+                       LEFT JOIN p ON v.user_id = p.user_id),
+         cnt AS (SELECT stage, count(*) AS n_at_stage FROM st
+                 GROUP BY stage),
+         r AS (SELECT stage,
+                 CAST(sum(n_at_stage) OVER (ORDER BY stage DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_reached,
+                 CAST(sum(n_at_stage) OVER (ORDER BY stage DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS n_next
+               FROM cnt)
+         SELECT stage, n_reached,
+           coalesce(n_next, 0) AS n_to_next,
+           coalesce(n_next * 1000000 // n_reached, 0) AS step_micro
+         FROM r ORDER BY stage""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -257,6 +257,59 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q134 — A/B split metrics: users assigned to arms by a
+    * content-hash of their id (md5 low bit — deterministic,
+    * balanced, reproducible across engines and re-runs, the q56
+    * principle applied to experimentation), each arm reporting
+    * users, converters (≥1 purchase), and the conversion rate in
+    * integer micros — the experiment readout table. Assignment by
+    * POSITION (user_id parity) would correlate with signup order;
+    * the hash kills that structurally.
+    *
+    * Scale shape: one user-keyed rollup (has-purchase flag), then a
+    * 2-row arm aggregate. */
+  def q134AbSplit(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("long"))
+             .as("converted"))
+      .withColumn("arm",
+        when(pmod(conv(substring(md5(col("user_id").cast("string")), 32, 1),
+                       16, 10).cast("long"), lit(2L)) === 0, "A")
+          .otherwise("B"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("converted")).cast("long").as("n_converted"))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+              expr("n_converted * 1000000L div n_users").as("conv_micro"))
+      .orderBy(col("arm"))
+  }
+
+  /** q135 — funnel drop-off rates: q69's strict-order
+    * view→click→purchase stages rolled up into the stage table every
+    * funnel chart draws — users reaching each stage, survivors into
+    * the next, and the step conversion in integer micros.
+    *
+    * Scale shape: inherits q69's single user partitioning; the
+    * rollup is 3 rows. */
+  def q135FunnelRates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = q69Funnel(s, dir)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_at_stage"))
+    // users AT stage k reached every stage <= k: suffix-sum by stage
+    val w = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages
+      .withColumn("n_reached", sum(col("n_at_stage")).over(w).cast("long"))
+      .withColumn("n_next",
+        lag(col("n_reached"), 1).over(Window.orderBy(col("stage").desc)))
+      .select(col("stage"), col("n_reached"),
+              coalesce(col("n_next"), lit(0L)).as("n_to_next"),
+              coalesce(expr("n_next * 1000000L div n_reached"), lit(0L))
+                .as("step_micro"))
+      .orderBy(col("stage"))
+  }
+
   /** q133 — time-to-convert percentiles: seconds from each user's
     * FIRST view to their first purchase AFTER it, summarized as
     * exact p50/p90 (percentile_disc members — integer seconds, so

@@ -125,6 +125,48 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q135 funnel rates: suffix-reached counts and step conversion") {
+    val tmp = java.nio.file.Files.createTempDirectory("frate").toString
+    Seq(
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:05"), "click", 0.0, "{}"),
+      (3L, 1L, ts("10:10"), "purchase", 0.0, "{}"), // stage 3
+      (4L, 2L, ts("10:05"), "click", 0.0, "{}"),
+      (5L, 2L, ts("10:10"), "view", 0.0, "{}"),     // stage 1 (click too early)
+      (6L, 3L, ts("10:00"), "view", 0.0, "{}"),
+      (7L, 3L, ts("10:02"), "click", 0.0, "{}")     // stage 2
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q135FunnelRates(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("q134 arms partition users; assignment is the content hash") {
+    val got = EventOps.q134AbSplit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nUsers = graft.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(got.map(_._2).sum == nUsers, "arms must partition the users")
+    got.foreach { case (_, n, c, micro) =>
+      assert(micro == c * 1000000L / n)
+    }
+    // assignment replays the md5 low nibble parity exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(uid: Long): String = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (Integer.parseInt(hex.takeRight(1), 16) % 2 == 0) "A" else "B"
+    }
+    val perUser = graft.Tables.events(spark, sf0001)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val expectA = perUser.count(arm(_) == "A").toLong
+    assert(got.find(_._1 == "A").get._2 == expectA)
+  }
+
   test("q133 conversion delays: first view to first later purchase only") {
     val tmp = java.nio.file.Files.createTempDirectory("ttc").toString
     Seq(

@@ -154,6 +154,8 @@ object SparkEntry {
     "q133_time_to_convert" -> EventOps.q133TimeToConvert,
     "q134_ab_split"        -> EventOps.q134AbSplit,
     "q135_funnel_rates"    -> EventOps.q135FunnelRates,
+    "q136_table_stats"     -> Relational.q136TableStats,
+    "q137_denormalize"     -> Relational.q137Denormalize,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1701,6 +1703,41 @@ object SparkEntry {
            coalesce(n_next, 0) AS n_to_next,
            coalesce(n_next * 1000000 // n_reached, 0) AS step_micro
          FROM r ORDER BY stage""",
+    "q136_table_stats" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM lineitem),
+         s AS (
+           SELECT 'l_orderkey' AS "column", count(l_orderkey) AS n_nonnull,
+             count(DISTINCT l_orderkey) AS ndv,
+             CAST(min(l_orderkey) AS BIGINT) AS min_v,
+             CAST(max(l_orderkey) AS BIGINT) AS max_v FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', count(l_partkey),
+             count(DISTINCT l_partkey),
+             CAST(min(l_partkey) AS BIGINT),
+             CAST(max(l_partkey) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', count(l_suppkey),
+             count(DISTINCT l_suppkey),
+             CAST(min(l_suppkey) AS BIGINT),
+             CAST(max(l_suppkey) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'l_linenumber', count(l_linenumber),
+             count(DISTINCT l_linenumber),
+             CAST(min(l_linenumber) AS BIGINT),
+             CAST(max(l_linenumber) AS BIGINT) FROM lineitem)
+         SELECT s."column", (SELECT n_rows FROM t) AS n_rows,
+           n_nonnull, ndv, min_v, max_v
+         FROM s ORDER BY s."column"""",
+    "q137_denormalize" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+         round(l.l_extendedprice, 4) AS price,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+         o.o_orderpriority, c.c_mktsegment, n.n_name
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         ORDER BY l.l_orderkey, l.l_linenumber LIMIT 5000""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

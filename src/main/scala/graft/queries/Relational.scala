@@ -357,6 +357,74 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** q136 — ANALYZE-style column statistics for lineitem's join and
+    * filter columns in ONE scan: count, nulls, min/max, exact
+    * distinct — the table stats a cost-based optimizer (or a human
+    * picking broadcast/salt/bucket counts) reads first. Exact NDV is
+    * the declared baseline; q41's HLL sketch is the at-scale path
+    * (same relationship as q42/q53).
+    *
+    * Scale shape: one pass, partial aggregation for everything but
+    * the count-distincts (which Spark expands to one extra
+    * aggregation each — the price of exactness, paid once per
+    * ANALYZE). */
+  def q136TableStats(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(s, dir)
+    def statsFor(c: String) =
+      struct(count(col(c)).as("n_nonnull"),
+             countDistinct(col(c)).as("ndv"),
+             min(col(c)).cast("long").as("min_v"),
+             max(col(c)).cast("long").as("max_v")).as(c)
+    val wide = l.agg(count(lit(1)).as("n_rows"),
+                     statsFor("l_orderkey"), statsFor("l_partkey"),
+                     statsFor("l_suppkey"), statsFor("l_linenumber"))
+    // long form: one row per column, stable output shape
+    wide.select(col("n_rows"),
+        explode(array(Seq("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber").map(c =>
+          struct(lit(c).as("column"), col(s"$c.n_nonnull"),
+                 col(s"$c.ndv"), col(s"$c.min_v"), col(s"$c.max_v"))): _*))
+          .as("s"))
+      .select(col("s.column").as("column"), col("n_rows"),
+              col("s.n_nonnull").as("n_nonnull"), col("s.ndv").as("ndv"),
+              col("s.min_v").as("min_v"), col("s.max_v").as("max_v"))
+      .orderBy(col("column"))
+  }
+
+  /** q137 — star-schema denormalization: the wide-table build that
+    * precedes training-feature extraction — lineitem enriched with
+    * its order's date/priority and the customer's nation, one row
+    * per line item. Dimension joins broadcast (nation always;
+    * customer is broadcast-eligible at bench scale and bucketed at
+    * warehouse scale); the fact table never shuffles for the joins
+    * themselves.
+    *
+    * Output is capped to the first 5000 line items (by key) purely
+    * to keep the gate artifact bounded — the operator itself is the
+    * unbounded projection. */
+  def q137Denormalize(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_extendedprice"), col("l_orderkey").as("lok"))
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    val c = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val n = graft.Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("lok") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              round(col("l_extendedprice"), 4).as("price"),
+              col("o_date"), col("o_orderpriority"),
+              col("c_mktsegment"), col("n_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(5000)
+  }
+
   /** q119 — join-key skew profile: the log2 histogram of per-key
     * group sizes for lineitem's order key — the diagnostic read
     * BEFORE choosing a join strategy (a fat top bucket says salt or

@@ -123,6 +123,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q136 stats are internally consistent") {
+    val rows = Relational.q136TableStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    assert(rows.length == 4)
+    rows.foreach { case (c, nRows, nn, ndv, lo, hi) =>
+      assert(nRows == total)
+      assert(ndv <= nn && nn <= nRows, s"$c: ndv/$nn/$nRows inconsistent")
+      assert(lo <= hi, s"$c: min > max")
+    }
+    assert(rows.find(_._1 == "l_linenumber").get._4 <= 7,
+      "line numbers have a tiny domain")
+  }
+
+  test("q137 wide rows are complete and key-ordered") {
+    val rows = Relational.q137Denormalize(spark, sf0001).collect()
+    assert(rows.length == 5000)
+    assert(rows.forall(r => !r.anyNull), "denormalized rows must be complete")
+    val keys = rows.map(r => (r.getAs[Number](0).longValue,
+                              r.getAs[Number](1).longValue)).toSeq
+    assert(keys == keys.sorted, "output must be key-ordered")
+  }
+
   test("q120 winsorizes exactly at the discrete p05/p95 members") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -156,6 +156,8 @@ object SparkEntry {
     "q135_funnel_rates"    -> EventOps.q135FunnelRates,
     "q136_table_stats"     -> Relational.q136TableStats,
     "q137_denormalize"     -> Relational.q137Denormalize,
+    "q138_similarity_histogram" -> ((s, d) => Dedup.q138SimilarityHistogram(s, d)),
+    "q139_cluster_sizes"   -> Dedup.q139ClusterSizeHistogram,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1738,6 +1740,38 @@ object SparkEntry {
          JOIN customer c ON c.c_custkey = o.o_custkey
          JOIN nation n ON n.n_nationkey = c.c_nationkey
          ORDER BY l.l_orderkey, l.l_linenumber LIMIT 5000""",
+    "q138_similarity_histogram" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+           string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, source,
+           CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh
+           FROM t),
+         ds AS (SELECT doc_id, source, bucket, sh,
+           doc_id % CAST(ceil((count(*) OVER (PARTITION BY source, bucket))
+                              / 1024.0) AS BIGINT) AS sub
+           FROM d),
+         p AS (SELECT len(list_intersect(a.sh, b.sh))::BIGINT AS i,
+                 (len(a.sh) + len(b.sh)
+                  - len(list_intersect(a.sh, b.sh)))::BIGINT AS u
+               FROM ds a JOIN ds b
+               ON a.source = b.source AND a.bucket = b.bucket
+                  AND a.sub = b.sub AND a.doc_id < b.doc_id)
+         SELECT (i * 1000000 // u) // 100000 AS bucket,
+           count(*) AS n_pairs
+         FROM p WHERE u > 0 GROUP BY 1 ORDER BY bucket""",
+    "q139_cluster_sizes" ->
+      s"""WITH $dupClusterCtes,
+         sz AS (SELECT DISTINCT cluster_id, count(*) OVER
+                  (PARTITION BY cluster_id) AS n_members
+                FROM comp)
+         SELECT CAST(length(bin(n_members)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs
+         FROM sz GROUP BY 1 ORDER BY bucket""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -702,6 +702,57 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q139 — duplicate-cluster size histogram: the log2 distribution
+    * of q60's transitive dup-cluster sizes — the audit that says
+    * whether dedup is removing scattered pairs or collapsing huge
+    * mirror families (big clusters are where canonical-pick policy
+    * matters; q90's exact bit-length bucketing). One extra
+    * distinct + tiny rollup over the q60 machinery. */
+  def q139ClusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    q60DedupClusters(s, dir)
+      .select(col("cluster_id"), col("n_members")).distinct()
+      .select((length(bin(col("n_members"))) - 1).cast("long").as("bucket"),
+              col("n_members"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("n_members")).cast("long").as("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** q138 — candidate-similarity histogram: the decile distribution
+    * of Jaccard values over the q23 blocked candidate pairs — the
+    * audit read before picking a dedup threshold (a valley in the
+    * histogram is where the near-dup cutoff belongs; a flat tail
+    * says the blocking is too loose). Jaccard in integer micros
+    * (`inter*1e6 div union` — q91's convention), bucketed by
+    * `div 100000` so a 1.0 pair lands in its own bucket 10.
+    *
+    * Scale shape: inherits q23's bounded blocks (≤ maxBlock pairs
+    * per sub-block); the rollup is 11 buckets. */
+  def q138SimilarityHistogram(s: SparkSession, dir: String,
+                              maxBlock: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = blockedShingles(s, dir)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("bucket"))))
+      .withColumn("sub",
+        pmod(col("doc_id"), ceil(col("cnt") / lit(maxBlock.toDouble))))
+      .select(col("doc_id"), col("source"), col("bucket"), col("sub"), col("sh"))
+    val a = d.toDF("doc_a", "source_a", "bucket_a", "sub_a", "sh_a")
+    val b = d.toDF("doc_b", "source_b", "bucket_b", "sub_b", "sh_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    a.join(b, col("source_a") === col("source_b") &&
+              col("bucket_a") === col("bucket_b") &&
+              col("sub_a") === col("sub_b") &&
+              col("doc_a") < col("doc_b"))
+      .select(inter.as("i"), union.as("u"))
+      .filter(col("u") > 0)
+      .select(expr("(i * 1000000L div u) div 100000L").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   /** q129 — per-source dedup-rate report: documents vs distinct
     * texts vs texts unique to the source — the first table a corpus
     * audit prints (a source with a high internal dup rate gets its

@@ -292,6 +292,39 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, "dup_exact"), (10L, "dup_prefix"), (15L, "new")))
   }
 
+  test("q138 buckets candidate pairs at exact micro-jaccard deciles") {
+    val tmp = java.nio.file.Files.createTempDirectory("shist").toString
+    Seq(
+      (1L, "w1 w2 w3 w4", "s"),   // vs doc 2: jac 1/3 -> bucket 3
+      (2L, "w2 w3 w4 w5", "s"),
+      (3L, "x1 x2 x3", "s"),      // vs doc 4: identical -> bucket 10
+      (4L, "x1 x2 x3", "s")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q138SimilarityHistogram(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(3L) >= 1L && got(10L) == 1L, s"got $got")
+  }
+
+  test("q139 cluster-size buckets are exact bit lengths of member counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("csz").toString
+    val docs = Seq(
+      (1L, "pair text pair text"), (2L, "pair text pair text"),       // size 2
+      (10L, "quad text quad text"), (11L, "quad text quad text"),     // size 4
+      (12L, "quad text quad text"), (13L, "quad text quad text"),
+      (20L, "a singleton never clusters")
+    )
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q139ClusterSizeHistogram(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 4L)), s"got ${got.toSeq}")
+  }
+
   test("q129 dedup rates: within-source dups and cross-source exclusivity") {
     val tmp = java.nio.file.Files.createTempDirectory("ddr").toString
     Seq(

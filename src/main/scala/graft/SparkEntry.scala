@@ -158,6 +158,7 @@ object SparkEntry {
     "q137_denormalize"     -> Relational.q137Denormalize,
     "q138_similarity_histogram" -> ((s, d) => Dedup.q138SimilarityHistogram(s, d)),
     "q139_cluster_sizes"   -> Dedup.q139ClusterSizeHistogram,
+    "q140_ab_confidence"   -> EventOps.q140AbConfidence,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1772,6 +1773,26 @@ object SparkEntry {
            count(*) AS n_clusters,
            CAST(sum(n_members) AS BIGINT) AS n_docs
          FROM sz GROUP BY 1 ORDER BY bucket""",
+    "q140_ab_confidence" ->
+      """WITH u AS (SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted,
+           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 32, 1))
+                  ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id),
+         arms AS (SELECT arm, count(*) AS n_users,
+           CAST(CAST(sum(converted) AS BIGINT) * 1000000 // count(*)
+                AS BIGINT) AS conv_micro
+           FROM u GROUP BY arm),
+         hw AS (SELECT arm, n_users, conv_micro,
+           CAST(floor(1.959964 *
+             sqrt(conv_micro::DOUBLE * (1000000 - conv_micro)::DOUBLE
+                  / n_users::DOUBLE)) AS BIGINT) AS hw_micro
+           FROM arms)
+         SELECT arm, n_users, conv_micro, hw_micro,
+           greatest(conv_micro - hw_micro, 0) AS lo_micro,
+           least(conv_micro + hw_micro, 1000000) AS hi_micro
+         FROM hw ORDER BY arm""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

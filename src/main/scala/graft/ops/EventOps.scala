@@ -285,6 +285,30 @@ object EventOps {
       .orderBy(col("arm"))
   }
 
+  /** q140 — A/B readout with error bars: q134's per-arm conversion
+    * plus a 95% Wald interval, computed from the exact integer
+    * (p_micro, n) pair — the half-width is
+    * `floor(1.959964 · sqrt(p·(1e6−p)/n))` where every input is an
+    * exact integer, so the float sqrt/multiply/divide chain is the
+    * same correctly-rounded IEEE sequence in both engines (the
+    * q84/q125 argument), and the bounds clamp into [0, 1e6]. The
+    * decision table an experiment review actually reads: do the
+    * intervals overlap. */
+  def q140AbConfidence(s: SparkSession, dir: String): DataFrame =
+    q134AbSplit(s, dir)
+      .withColumn("hw_micro",
+        floor(lit(1.959964d) *
+              sqrt(col("conv_micro").cast("double") *
+                   (lit(1000000L) - col("conv_micro")).cast("double") /
+                   col("n_users").cast("double"))).cast("long"))
+      .select(col("arm"), col("n_users"), col("conv_micro"),
+              col("hw_micro"),
+              greatest(col("conv_micro") - col("hw_micro"), lit(0L))
+                .as("lo_micro"),
+              least(col("conv_micro") + col("hw_micro"), lit(1000000L))
+                .as("hi_micro"))
+      .orderBy(col("arm"))
+
   /** q135 — funnel drop-off rates: q69's strict-order
     * view→click→purchase stages rolled up into the stage table every
     * funnel chart draws — users reaching each stage, survivors into

@@ -145,6 +145,19 @@ class EventOpsSpec extends SparkSpec {
       (1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L)))
   }
 
+  test("q140 intervals replay the Wald formula on exact integers") {
+    val got = EventOps.q140AbConfidence(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.length == 2)
+    got.foreach { case (_, n, p, hw, lo, hi) =>
+      val expect = math.floor(
+        1.959964 * math.sqrt(p.toDouble * (1000000L - p).toDouble / n)).toLong
+      assert(hw == expect, s"half-width drifted: $hw vs $expect")
+      assert(lo == math.max(p - hw, 0L) && hi == math.min(p + hw, 1000000L))
+    }
+  }
+
   test("q134 arms partition users; assignment is the content hash") {
     val got = EventOps.q134AbSplit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

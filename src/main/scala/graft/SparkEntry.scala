@@ -159,6 +159,8 @@ object SparkEntry {
     "q138_similarity_histogram" -> ((s, d) => Dedup.q138SimilarityHistogram(s, d)),
     "q139_cluster_sizes"   -> Dedup.q139ClusterSizeHistogram,
     "q140_ab_confidence"   -> EventOps.q140AbConfidence,
+    "q141_new_vs_returning" -> EventOps.q141NewVsReturning,
+    "q142_ship_latency"    -> Relational.q142ShipLatency,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1793,6 +1795,30 @@ object SparkEntry {
            greatest(conv_micro - hw_micro, 0) AS lo_micro,
            least(conv_micro + hw_micro, 1000000) AS hi_micro
          FROM hw ORDER BY arm""",
+    "q141_new_vs_returning" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         fd AS (SELECT user_id, min(day) AS first_day FROM ev
+                GROUP BY user_id),
+         j AS (SELECT ev.day,
+                 CASE WHEN ev.day = fd.first_day THEN 1 ELSE 0 END AS is_new
+               FROM ev JOIN fd USING (user_id))
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(is_new) AS BIGINT) AS n_new_user_events,
+           CAST(CAST(sum(is_new) AS BIGINT) * 1000000 // count(*)
+                AS BIGINT) AS new_share_micro
+         FROM j GROUP BY day ORDER BY day""",
+    "q142_ship_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority AS prio,
+           CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+             AS lat_days
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+         SELECT prio, count(*) AS n_lines,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days)
+                AS BIGINT) AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)
+                AS BIGINT) AS p90_days
+         FROM j GROUP BY prio ORDER BY prio""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

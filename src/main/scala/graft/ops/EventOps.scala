@@ -285,6 +285,28 @@ object EventOps {
       .orderBy(col("arm"))
   }
 
+  /** q141 — daily new-vs-returning mix: per day, events attributed
+    * to users on their FIRST day vs returning users, with the new
+    * share in integer micros — the acquisition-vs-retention lens on
+    * raw volume. First-day attribution reuses the q127 first-seen
+    * reduction, broadcast back onto the daily stream. */
+  def q141NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum((col("day") === col("first_day")).cast("long"))
+             .cast("long").as("n_new_user_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n_events"), col("n_new_user_events"),
+              expr("n_new_user_events * 1000000L div n_events")
+                .as("new_share_micro"))
+      .orderBy(col("day"))
+  }
+
   /** q140 — A/B readout with error bars: q134's per-arm conversion
     * plus a 95% Wald interval, computed from the exact integer
     * (p_micro, n) pair — the half-width is

@@ -357,6 +357,29 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** q142 — order-to-ship latency percentiles per priority: exact
+    * integer day counts from order date to each line item's ship
+    * date, summarized as discrete p50/p90 (the q133 latency-headline
+    * pattern on the relational side). One broadcastable join of
+    * order headers onto lineitem, one group percentile. */
+  def q142ShipLatency(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+              datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+                .as("lat_days"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_lines"),
+           expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)")
+             .as("p50_days"),
+           expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)")
+             .as("p90_days"))
+      .orderBy(col("prio"))
+  }
+
   /** q136 — ANALYZE-style column statistics for lineitem's join and
     * filter columns in ONE scan: count, nulls, min/max, exact
     * distinct — the table stats a cost-based optimizer (or a human

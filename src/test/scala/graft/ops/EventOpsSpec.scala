@@ -145,6 +145,24 @@ class EventOpsSpec extends SparkSpec {
       (1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L)))
   }
 
+  test("q141 attributes events to new users on their first day only") {
+    val tmp = java.nio.file.Files.createTempDirectory("nvr").toString
+    def dts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    Seq(
+      (1L, 1L, dts(1), "view", 0.0, "{}"),  // u1 new on day 1
+      (2L, 1L, dts(1), "click", 0.0, "{}"), // still day 1: new
+      (3L, 1L, dts(2), "view", 0.0, "{}"),  // day 2: returning
+      (4L, 2L, dts(2), "view", 0.0, "{}")   // u2 new on day 2
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q141NewVsReturning(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1000000L), ("2024-01-02", 2L, 1L, 500000L)))
+  }
+
   test("q140 intervals replay the Wald formula on exact integers") {
     val got = EventOps.q140AbConfidence(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

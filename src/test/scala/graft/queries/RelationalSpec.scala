@@ -147,6 +147,26 @@ class RelationalSpec extends SparkSpec {
     assert(keys == keys.sorted, "output must be key-ordered")
   }
 
+  test("q142 latency percentiles are discrete members, p50 <= p90") {
+    val rows = Relational.q142ShipLatency(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5) // the five order priorities
+    rows.foreach { case (prio, n, p50, p90) =>
+      assert(n > 0 && p50 <= p90, s"$prio: p50 $p50 > p90 $p90")
+      assert(p50 >= 0, s"$prio: negative latency")
+      // discrete members: each percentile must be an actual latency
+      val lats = graft.Tables.lineitem(spark, sf0001)
+        .join(graft.Tables.orders(spark, sf0001),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === prio)
+        .selectExpr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+        .collect().map(_.getLong(0)).toSet
+      assert(lats.contains(p50) && lats.contains(p90),
+        s"$prio: percentile not a member value")
+    }
+  }
+
   test("q120 winsorizes exactly at the discrete p05/p95 members") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

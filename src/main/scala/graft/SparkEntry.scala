@@ -161,6 +161,13 @@ object SparkEntry {
     "q140_ab_confidence"   -> EventOps.q140AbConfidence,
     "q141_new_vs_returning" -> EventOps.q141NewVsReturning,
     "q142_ship_latency"    -> Relational.q142ShipLatency,
+    "q143_unpivot"         -> Relational.q143Unpivot,
+    "q144_sorted_neighborhood" -> ((s, d) => Dedup.q144SortedNeighborhood(s, d)),
+    "q145_prefix_jaccard"  -> ((s, d) => Dedup.q145PrefixJaccard(s, d)),
+    "q146_corr_matrix"     -> Relational.q146CorrMatrix,
+    "q147_simpson_diversity" -> TextOps.q147SimpsonDiversity,
+    "q148_phrase_search"   -> ((s, d) => TextOps.q148PhraseSearch(s, d)),
+    "q149_grouping_sets"   -> Relational.q149GroupingSets,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1819,6 +1826,93 @@ object SparkEntry {
            CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)
                 AS BIGINT) AS p90_days
          FROM j GROUP BY prio ORDER BY prio""",
+    "q143_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           count(*) AS n_rows FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+         UNION ALL
+         SELECT l_returnflag, 'n_rows', n_rows FROM w
+         ORDER BY l_returnflag, metric""",
+    "q144_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id, source, substr(text, 1, 24) AS sortkey,
+           string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, source, sortkey,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh FROM t),
+         n AS (SELECT doc_id, sh,
+             lead(doc_id, 1) OVER w AS n1, lead(sh, 1) OVER w AS s1,
+             lead(doc_id, 2) OVER w AS n2, lead(sh, 2) OVER w AS s2,
+             lead(doc_id, 3) OVER w AS n3, lead(sh, 3) OVER w AS s3
+           FROM d WINDOW w AS (PARTITION BY source ORDER BY sortkey, doc_id)),
+         p AS (SELECT doc_id AS a, n1 AS b, sh, s1 AS nsh FROM n WHERE n1 IS NOT NULL
+           UNION ALL SELECT doc_id, n2, sh, s2 FROM n WHERE n2 IS NOT NULL
+           UNION ALL SELECT doc_id, n3, sh, s3 FROM n WHERE n3 IS NOT NULL),
+         j AS (SELECT a, b, len(list_intersect(sh, nsh)) AS i,
+                      len(sh) AS ma, len(nsh) AS mb FROM p),
+         f AS (SELECT a, b,
+                 CAST((i * 1000000) // (ma + mb - i) AS BIGINT) AS sim_micro
+               FROM j WHERE ma + mb > i)
+         SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b, sim_micro
+         FROM f WHERE sim_micro >= 200000
+         ORDER BY sim_micro DESC, doc_a, doc_b LIMIT 20""",
+    "q145_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS m FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+                      any_value(a.m) AS ma, any_value(b.m) AS mb
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST((i * 1000000) // (ma + mb - i) AS BIGINT) AS jac_micro
+         FROM p WHERE i * 1000000 >= 500000 * (ma + mb - i)
+         ORDER BY doc_a, doc_b""",
+    "q146_corr_matrix" -> Relational.q146OracleSql(),
+    "q147_simpson_diversity" ->
+      """WITH tok AS (SELECT doc_id, source,
+           unnest(string_split(text, ' ')) AS t FROM documents),
+         c AS (SELECT doc_id, source, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         per AS (SELECT doc_id, source,
+           CAST(1000000 - (1000000 * sum(c * c)) // (sum(c) * sum(c))
+                AS BIGINT) AS simpson_micro
+           FROM c GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(simpson_micro) // count(*) AS BIGINT) AS avg_simpson_micro,
+           CAST(min(simpson_micro) AS BIGINT) AS min_simpson_micro,
+           CAST(max(simpson_micro) AS BIGINT) AS max_simpson_micro
+         FROM per GROUP BY source ORDER BY source""",
+    "q148_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = 'fast' AND toks[i+1] = 'table')) AS BIGINT)
+             AS n_matches
+           FROM t WHERE len(toks) >= 2)
+         SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+         ORDER BY n_matches DESC, doc_id""",
+    "q149_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY flag, status""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -877,4 +877,129 @@ object Dedup {
                 .otherwise("new").as("status"))
       .orderBy(col("doc_id"))
   }
+
+  /** q144 — sorted-neighborhood near-dup pass (Hernández–Stolfo): sort
+    * the corpus by a cheap surrogate key (the first 24 characters),
+    * then compare each doc only against its next `w` neighbours in
+    * that order. Linear candidate count (n·w pairs, vs n² all-pairs),
+    * catches dups whose edits are past the key prefix.
+    *
+    * Scale shape: one range-partitioned sort, then `lead()` inside a
+    * window PARTITIONED BY source — no single-partition global
+    * WindowExec (the q48 anti-pattern): each source sorts and slides
+    * independently, and the per-row state is w shingle arrays. The
+    * similarity is exact shingle-hash Jaccard as an integer rational
+    * (inter·1e6 div union) — bit-stable, no candidate re-join: the
+    * neighbour's shingles ride the window buffer. */
+  def q144SortedNeighborhood(s: SparkSession, dir: String,
+                             w: Int = 3, minMicro: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              substring(col("text"), 1, 24).as("sortkey"),
+              TextOps.shingleHashes(TextOps.tokens(col("text"))).as("sh"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("sortkey"), col("doc_id"))
+    val withNbrs = docs.select(
+      col("doc_id"), col("source"), col("sh"),
+      array((1 to w).map(i =>
+        lead(struct(col("doc_id").as("nid"), col("sh").as("nsh")), i)
+          .over(win)): _*).as("nbrs"))
+    val pairs = withNbrs
+      .select(col("doc_id"), col("source"), col("sh"),
+              explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull && col("nb.nid").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nb.nid").as("doc_b"),
+              size(array_intersect(col("sh"), col("nb.nsh")))
+                .cast("long").as("i"),
+              size(col("sh")).cast("long").as("ma"),
+              size(col("nb.nsh")).cast("long").as("mb"))
+      .filter(col("ma") + col("mb") > col("i")) // union > 0
+      .select(col("doc_a"), col("doc_b"),
+              expr("(i * 1000000L) div (ma + mb - i)").as("sim_micro"))
+      .filter(col("sim_micro") >= minMicro)
+    pairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+              col("sim_micro"))
+      .orderBy(col("sim_micro").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** q145 — prefix-filtered EXACT Jaccard similarity join (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    * WWW'08): unlike MinHash-LSH (q24), this is an exact algorithm —
+    * every pair with shingle Jaccard ≥ t is returned, no recall loss —
+    * yet it never enumerates all pairs.
+    *
+    * The filter: order the shingle universe by ascending document
+    * frequency (rarest first, ties by hash); a doc with m shingles
+    * keeps only its first m − ⌈t·m⌉ + 1 shingles in that canonical
+    * order as its PREFIX. Two sets with Jaccard ≥ t must share at
+    * least one prefix element, so candidate generation is an
+    * equi-join on prefix shingles — and because prefixes hold the
+    * RAREST shingles, the join's per-key fan-out is smallest where
+    * the data is densest. A length filter (max ≤ min·(1/t), here
+    * 2·min for t = 0.5) prunes survivors before the exact
+    * verification intersect.
+    *
+    * Scale shape: df ranks come from one aggregation over the
+    * exploded shingles; prefixes are a map-side slice; candidates
+    * are a hash join on (rank); verification joins the two shingle
+    * arrays back by doc_id (array payloads ride the join, text never
+    * shuffles). Pair count is output-sized + false candidates, which
+    * the rarest-first prefix keeps near-linear on real corpora. */
+  def q145PrefixJaccard(s: SparkSession, dir: String,
+                        tMicro: Long = 500000L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TextOps.shingleHashes(TextOps.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical order: ascending document frequency, ties by shingle
+    // hash — a global total order, which is all the prefix theorem
+    // needs; rarest-first is the fan-out optimization.
+    val ranks = docs.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rank as a sortable composite key (df, g) — no global row_number
+    // (a single-partition window at scale); the ORDER is what matters,
+    // not rank density.
+    val ranked = docs.select(col("doc_id"), size(col("sh")).as("m"),
+                             explode(col("sh")).as("g"))
+      .join(ranks, Seq("g"))
+    // per-doc prefix: the (m - ceil(t*m) + 1) rarest shingles. For
+    // t expressed in micro units: keep = m - ceil(t*m) + 1 =
+    // m - (t_micro*m + 999999) div 1e6 + 1 (integer ceil).
+    val withKeep = ranked.withColumn(
+      "keep",
+      col("m") - expr(s"($tMicro * m + 999999L) div 1000000L") + lit(1L))
+    import org.apache.spark.sql.expressions.Window
+    val wdoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val prefixes = withKeep
+      .withColumn("rn", row_number().over(wdoc))
+      .filter(col("rn") <= col("keep"))
+      .select(col("doc_id"), col("m"), col("g"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .filter(greatest(col("a.m"), col("b.m")) * lit(tMicro) <=
+              least(col("a.m"), col("b.m")) * lit(1000000L))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+            Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("sha"), col("shb")))
+                .cast("long").as("i"),
+              size(col("sha")).cast("long").as("ma"),
+              size(col("shb")).cast("long").as("mb"))
+      .filter(col("i") * lit(1000000L) >=
+              lit(tMicro) * (col("ma") + col("mb") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+              expr("(i * 1000000L) div (ma + mb - i)").as("jac_micro"))
+    verified.orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -734,4 +734,65 @@ object TextOps {
            min(col("n_chars")).as("min_chars"),
            max(col("n_chars")).as("max_chars"))
       .orderBy(col("source"), col("bucket"))
+
+  /** q147 — token diversity per doc as the SIMPSON index (1 − Σp²),
+    * the entropy-family quality signal with an exact rational form:
+    * simpson_micro = 1e6 − (1e6·Σc²) div n², all integer — no
+    * logarithms, so no libm last-ulp drift between engines (the
+    * reason this is Simpson and not Shannon). Repetitive/templated
+    * docs (the classic low-quality web text) score near 0; diverse
+    * text scores near 1e6·(1−1/V). Rolled up per source as the
+    * corpus audit.
+    *
+    * Scale shape: explode → two cascaded partial+final aggregations
+    * ((doc,token) counts, then per-doc sums) — the tf-idf shuffle
+    * shape; the source rollup rides a third tiny aggregation. */
+  def q147SimpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDoc = docs
+      .select(col("doc_id"), col("source"),
+              explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ssq"))
+      .select(col("doc_id"), col("source"),
+              expr("1000000L - (1000000L * ssq) div (n * n)")
+                .as("simpson_micro"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("sum(simpson_micro) div count(1)").as("avg_simpson_micro"),
+           min(col("simpson_micro")).as("min_simpson_micro"),
+           max(col("simpson_micro")).as("max_simpson_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** q148 — phrase search through a POSITIONAL inverted index: the
+    * index is (token, doc, position) postings; a 2-token phrase query
+    * is a self-join of the two tokens' posting lists on
+    * (doc, pos+1 = pos) — the standard IR positional-intersection,
+    * no text rescans. The oracle verifies against a direct
+    * scan-and-count of the raw text, so the gate proves
+    * index-vs-scan equivalence.
+    *
+    * Scale shape: postings are built in one explode pass (map-side);
+    * the phrase filter prunes the postings to the two query tokens
+    * BEFORE the join (predicate pushdown into the exploded frame —
+    * at warehouse scale, partitioning the index by token makes this
+    * partition pruning), and the join keys are (doc_id, pos) longs. */
+  def q148PhraseSearch(s: SparkSession, dir: String,
+                       w1: String = "fast", w2: String = "table"): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val postings = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val p1 = postings.filter(col("tok") === w1)
+      .select(col("doc_id"), col("pos"))
+    val p2 = postings.filter(col("tok") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+  }
 }

@@ -529,4 +529,126 @@ object Relational {
        CAST($terms AS BIGINT) AS z_key
        FROM lineitem ORDER BY l_orderkey, l_linenumber"""
   }
+
+  /** q143 — unpivot/melt (wide → long), the inverse of q47's pivot:
+    * per-returnflag totals unpivoted to (key, metric, value) rows via
+    * Spark's native `Dataset.unpivot` (an Expand node — each input
+    * row fans out to one row per metric map-side; no shuffle beyond
+    * the tiny upstream aggregate). The long form is what metric
+    * stores and plotting layers ingest.
+    *
+    * All three measures are exact integers (quantity sums are
+    * integral doubles ≤ 2^53; price in cents) so the melted `value`
+    * column is a single BIGINT — melt requires a common type, and
+    * the integer form dodges double-rounding drift entirely. */
+  def q143Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+           sum(floor(col("l_extendedprice") * lit(100d) + lit(0.5d))
+             .cast("long")).as("sum_price_cents"),
+           count(lit(1)).as("n_rows"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price_cents"), col("n_rows")),
+      "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** q146 — Pearson correlation matrix over the four lineitem
+    * measures in ONE aggregation pass: every Σx, Σx², Σxy is an
+    * EXACT integer (sums of per-row LONG products accumulated as
+    * DECIMAL(38,0) — per-row products fit 64 bits, corpus sums may
+    * not), and each corr is assembled from those integers as
+    * floor(num / sqrt(dx·dy) · 1e6 + 0.5) — one double division,
+    * one IEEE sqrt, both correctly-rounded operations on exactly
+    * determined inputs, so the result is bit-stable across engines
+    * with no float accumulation anywhere (the q117 integer-OLS move
+    * generalized to the full covariance matrix).
+    *
+    * Scale shape: a single partial+final HashAggregate over 14
+    * integer sums — one scan, no shuffle beyond the 1-row final
+    * merge; the 6-pair matrix is driver-free arithmetic on that row
+    * exploded into pair structs. */
+  def q146CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val l = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") * lit(100d) + lit(0.5d)).cast("long").as("p"),
+      floor(col("l_discount") * lit(10000d) + lit(0.5d)).cast("long").as("d"),
+      floor(col("l_tax") * lit(10000d) + lit(0.5d)).cast("long").as("t"))
+    val cols = Seq("q", "p", "d", "t")
+    val sums = l.agg(
+      count(lit(1)).cast(dec).as("n"),
+      cols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.length }
+        yield sum((col(cols(i)) * col(cols(j))).cast(dec))
+          .as(s"s_${cols(i)}${cols(j)}")): _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val pairStructs = pairs.map { case (x, y) =>
+      val num = col("n") * col(s"s_$x$y") - col(s"s_$x") * col(s"s_$y")
+      val dx = col("n") * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x")
+      val dy = col("n") * col(s"s_$y$y") - col(s"s_$y") * col(s"s_$y")
+      struct(
+        lit(x).as("var_x"), lit(y).as("var_y"),
+        when(dx > 0 && dy > 0,
+          floor(num.cast("double") /
+                sqrt(dx.cast("double") * dy.cast("double")) *
+                lit(1000000d) + lit(0.5d)).cast("long"))
+          .as("corr_micro"))
+    }
+    sums.select(explode(array(pairStructs: _*)).as("pr"))
+      .select(col("pr.var_x").as("var_x"), col("pr.var_y").as("var_y"),
+              col("pr.corr_micro").as("corr_micro"))
+      .orderBy(col("var_x"), col("var_y"))
+  }
+
+  /** DuckDB oracle for q146 — identical integer sums (HUGEINT exact)
+    * and the identical floor/sqrt assembly, unrolled per pair. */
+  def q146OracleSql(): String = {
+    val cols = Seq("q", "p", "d", "t")
+    val sumExprs =
+      cols.map(c => s"SUM(${c}::HUGEINT) AS s_$c") ++
+      (for { i <- cols.indices; j <- i until cols.length }
+        yield s"SUM((${cols(i)} * ${cols(j)})::HUGEINT) AS s_${cols(i)}${cols(j)}")
+    val pairSelects = (for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield {
+        val (x, y) = (cols(i), cols(j))
+        val num = s"(n * s_$x$y - s_$x * s_$y)"
+        val dx = s"(n * s_$x$x - s_$x * s_$x)"
+        val dy = s"(n * s_$y$y - s_$y * s_$y)"
+        s"""SELECT '$x' AS var_x, '$y' AS var_y,
+           CASE WHEN $dx > 0 AND $dy > 0 THEN
+             CAST(floor($num::DOUBLE / sqrt($dx::DOUBLE * $dy::DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)
+           ELSE NULL END AS corr_micro FROM s"""
+      }).mkString(" UNION ALL ")
+    s"""WITH u AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d,
+         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS t FROM lineitem),
+       s AS (SELECT COUNT(*)::HUGEINT AS n, ${sumExprs.mkString(", ")} FROM u)
+       $pairSelects ORDER BY var_x, var_y"""
+  }
+
+  /** q149 — GROUPING SETS: the general form of q07's rollup / q38's
+    * cube, computing exactly the ((flag,status),(flag),()) subtotal
+    * lattice in one pass (Spark plans one Expand + one aggregate —
+    * each input row is replicated once per set, partial-aggregated
+    * map-side). Subtotal rows label their collapsed dimension 'ALL'. */
+  def q149GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+           sum(floor(col("l_extendedprice") * lit(100d) + lit(0.5d))
+             .cast("long")).as("sum_price_cents"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("sum_qty"), col("sum_price_cents"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
 }

@@ -358,4 +358,53 @@ class DedupSpec extends SparkSpec {
                  r.getLong(4), r.getLong(5)))
     assert(got.toSeq == Seq(("srcA", "srcB", 1L, 2L, 2L, 333333L)))
   }
+  test("q144 sorted-neighborhood finds the adjacent near-dup, skips far docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("snm").toString
+    Seq(
+      (1L, "a b c d e f"),   // shingles {abc,bcd,cde,def}
+      (2L, "a b c d e g"),   // shingles {abc,bcd,cde,deg}: inter 3, union 5
+      (3L, "z y x w v u")    // disjoint
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q144SortedNeighborhood(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 600000L)), s"got ${got.toSeq}")
+  }
+
+  test("q145 prefix-filtered join returns exactly the >=0.5 Jaccard pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("ppj").toString
+    Seq(
+      (1L, "a b c d e f"),   // pair (1,2): jac 3/5 = 0.6 -> kept
+      (2L, "a b c d e g"),
+      (3L, "a b c x y z"),   // vs 1: inter 1, union 7 -> 0.14 -> dropped
+      (4L, "p q r s t u")    // disjoint
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q145PrefixJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 600000L)), s"got ${got.toSeq}")
+  }
+
+  test("q145 matches brute-force exact pairs on the harness corpus (no recall loss)") {
+    val t = 500000L
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", graft.ops.TextOps.shingleHashes(
+        graft.ops.TextOps.tokens($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = docs.as("a").join(docs.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        size(array_intersect($"a.sh", $"b.sh")).cast("long").as("i"),
+        size($"a.sh").cast("long").as("ma"), size($"b.sh").cast("long").as("mb"))
+      .filter($"i" * 1000000L >= lit(t) * ($"ma" + $"mb" - $"i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.q145PrefixJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"prefix join must be exact: missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty, "harness corpus has planted near-dups")
+  }
 }

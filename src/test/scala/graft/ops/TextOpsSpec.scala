@@ -244,4 +244,33 @@ class TextOpsSpec extends SparkSpec {
         s"bucket $b holds chars outside [${1L << b}, ${1L << (b + 1)})")
     }
   }
+  test("q147 simpson diversity: repetitive doc scores 0, uniform doc 750000") {
+    val tmp = java.nio.file.Files.createTempDirectory("simp").toString
+    Seq(
+      (1L, "a a a a"),  // ssq 16, n 4 -> 1e6 - 1e6 = 0
+      (2L, "a b c d")   // ssq 4, n 4 -> 1e6 - 250000 = 750000
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q147SimpsonDiversity(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.toSeq == Seq(("s", 2L, 375000L, 0L, 750000L)), s"got ${got.toSeq}")
+  }
+
+  test("q148 positional index counts overlapping phrase hits exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("phr").toString
+    Seq(
+      (1L, "fast table fast table fast"), // hits at pos 1 and 3 -> 2
+      (2L, "table fast table"),           // "fast table" at pos 2 -> 1
+      (3L, "fast fast fast")              // no "table" -> absent
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q148PhraseSearch(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)), s"got ${got.toSeq}")
+  }
 }

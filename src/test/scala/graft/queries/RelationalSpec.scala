@@ -181,4 +181,45 @@ class RelationalSpec extends SparkSpec {
     // raw sum 210; winsorized replaces 20 -> 19: 209
     assert((r.getLong(4), r.getLong(5)) == ((210000000L, 209000000L)))
   }
+  test("q143 unpivot emits 3 metric rows per flag, values matching the wide form") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q143Unpivot(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val flags = rows.map(_._1).distinct
+    assert(rows.length == flags.length * 3)
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    assert(rows.filter(_._2 == "n_rows").map(_._3).sum == n,
+      "melted n_rows must total the table count")
+    val qty = li.agg(sum(col("l_quantity")).cast("long")).head.getLong(0)
+    assert(rows.filter(_._2 == "sum_qty").map(_._3).sum == qty)
+  }
+
+  test("q146 corr matrix: 6 pairs in [-1e6, 1e6], price-quantity strongly positive") {
+    val rows = Relational.q146CorrMatrix(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.size == 6)
+    rows.values.foreach(v => assert(math.abs(v) <= 1000000L, s"corr out of range: $v"))
+    // cross-check the integer-sum assembly against Spark's built-in
+    // float corr (inputs differ only by the unit rounding)
+    import org.apache.spark.sql.functions._
+    val builtin = graft.Tables.lineitem(spark, sf0001)
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head.getDouble(0)
+    assert(math.abs(rows(("q", "p")) - builtin * 1e6) < 1000,
+      s"integer corr ${rows(("q", "p"))} vs builtin ${builtin * 1e6}")
+  }
+
+  test("q149 grouping sets: subtotals and grand total are consistent") {
+    val rows = Relational.q149GroupingSets(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(4)))).toMap
+    val grand = rows(("ALL", "ALL"))
+    val flagRows = rows.keys.filter(k => k._1 != "ALL" && k._2 == "ALL").toSeq
+    assert(flagRows.nonEmpty)
+    assert(flagRows.map(k => rows(k)._2).sum == grand._2,
+      "per-flag subtotal counts must sum to the grand total")
+    assert(flagRows.map(k => rows(k)._1).sum == grand._1)
+    val leafSum = rows.filter { case ((f, s), _) => f != "ALL" && s != "ALL" }
+      .values.map(_._2).sum
+    assert(leafSum == grand._2, "leaf cells must partition all rows")
+  }
 }

@@ -168,6 +168,12 @@ object SparkEntry {
     "q147_simpson_diversity" -> TextOps.q147SimpsonDiversity,
     "q148_phrase_search"   -> ((s, d) => TextOps.q148PhraseSearch(s, d)),
     "q149_grouping_sets"   -> Relational.q149GroupingSets,
+    "q150_skyline"         -> Relational.q150Skyline,
+    "q151_shard_pack"      -> ((s, d) => graft.ops.Sampling.q151ShardPack(s, d)),
+    "q152_mode_per_user"   -> EventOps.q152ModePerUser,
+    "q153_pad_batching"    -> ((s, d) => graft.ops.Sampling.q153PadBatching(s, d)),
+    "q154_asof_tolerance"  -> ((s, d) => EventOps.q154AsofTolerance(s, d)),
+    "q155_syllable_stats"  -> TextOps.q155SyllableStats,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -1913,6 +1919,91 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())
          ORDER BY flag, status""",
+    "q150_skyline" ->
+      """WITH pts AS (SELECT
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           min(o_orderdate) AS d
+           FROM orders GROUP BY 1)
+         SELECT p.price_cents, strftime(p.d, '%Y-%m-%d') AS o_date
+         FROM pts p
+         WHERE NOT EXISTS (SELECT 1 FROM pts q
+           WHERE q.price_cents >= p.price_cents AND q.d <= p.d
+             AND (q.price_cents > p.price_cents OR q.d < p.d))
+         ORDER BY p.price_cents DESC""",
+    "q151_shard_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - n_tokens AS start_offset FROM t)
+         SELECT source, CAST(start_offset // 4096 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY source, shard_id""",
+    "q152_mode_per_user" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, n,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY n DESC, event_type) AS rn FROM c)
+         SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1
+         ORDER BY user_id""",
+    "q153_pad_batching" ->
+      """WITH t AS (SELECT source, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         b AS (SELECT source, doc_id, n_tokens,
+           (row_number() OVER (PARTITION BY source
+              ORDER BY n_tokens DESC, doc_id) - 1) // 32 AS b_len,
+           (row_number() OVER (PARTITION BY source
+              ORDER BY doc_id) - 1) // 32 AS b_arr FROM t),
+         lw AS (SELECT source, CAST(sum(w) AS BIGINT) AS bucketed_pad_tokens
+           FROM (SELECT source, b_len,
+                   count(*) * max(n_tokens) - sum(n_tokens) AS w
+                 FROM b GROUP BY 1, 2) GROUP BY 1),
+         aw AS (SELECT source, count(*) AS n_batches,
+                  CAST(sum(w) AS BIGINT) AS arrival_pad_tokens
+           FROM (SELECT source, b_arr,
+                   count(*) * max(n_tokens) - sum(n_tokens) AS w
+                 FROM b GROUP BY 1, 2) GROUP BY 1)
+         SELECT aw.source, n_batches, arrival_pad_tokens, bucketed_pad_tokens
+         FROM aw JOIN lw ON aw.source = lw.source ORDER BY aw.source""",
+    "q154_asof_tolerance" ->
+      """WITH u AS (
+           SELECT user_id AS k, ts AS t, NULL::BIGINT AS click_id,
+                  ts AS view_ts, 0 AS is_click
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts, event_id, NULL::TIMESTAMP, 1
+           FROM events WHERE event_type = 'click'),
+         c AS (SELECT k, t, click_id, is_click,
+           last_value(view_ts IGNORE NULLS) OVER (PARTITION BY k
+             ORDER BY t, is_click
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view
+           FROM u)
+         SELECT click_id, k AS user_id,
+           strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           CASE WHEN asof_view IS NOT NULL
+                  AND date_diff('second', asof_view, t) <= 300
+             THEN strftime(asof_view, '%Y-%m-%d %H:%M:%S.%f') END AS view_ts,
+           CASE WHEN asof_view IS NOT NULL
+                  AND date_diff('second', asof_view, t) <= 300
+             THEN CAST(date_diff('second', asof_view, t) AS BIGINT) END AS gap_sec
+         FROM c WHERE is_click = 1 ORDER BY click_id""",
+    "q155_syllable_stats" ->
+      """WITH t AS (SELECT source,
+           len(regexp_extract_all(text, '[aeiou]+'))::BIGINT AS syl,
+           len(string_split(text, ' '))::BIGINT AS words,
+           n_chars FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(syl) AS BIGINT) AS syllables,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST((1000000 * sum(syl)) // sum(words) AS BIGINT)
+             AS syl_per_word_micro,
+           CAST((1000000 * sum(n_chars)) // sum(words) AS BIGINT)
+             AS chars_per_word_micro
+         FROM t GROUP BY source ORDER BY source""",
     "q103_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -724,4 +724,67 @@ object EventOps {
               (col("hour") =!= col("obs_hour")).as("is_gap"))
       .orderBy(col("user_id"), col("hour"))
   }
+
+  /** q152 — statistical MODE per group with a deterministic tie-break
+    * (highest count, then lexicographically first type): the
+    * "most-common value" profiling primitive. Two cascaded
+    * partial+final aggregations collapse events to (user, type)
+    * counts — the per-user window then ranks at most |type domain|
+    * rows per user, so the WindowExec input is domain-bounded, not
+    * event-bounded. */
+  def q152ModePerUser(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q154 — as-of join WITH TOLERANCE (pandas merge_asof's `tolerance`
+    * semantics): each click is matched to the SAME USER's most recent
+    * view at most `tolSec` seconds earlier; staler views don't count.
+    * Same single-pass union trick as q50 — both streams interleave in
+    * one (user, time)-sorted window and `last(_, ignoreNulls)` carries
+    * the view timestamp forward, so there is no range join and no
+    * per-row probe: one shuffle on user_id total. The tolerance is a
+    * post-filter on the carried timestamp — it cannot resurrect a
+    * wrong match because carry-forward always holds the NEAREST
+    * preceding view. */
+  def q154AsofTolerance(s: SparkSession, dir: String,
+                        tolSec: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), col("ts").as("t"),
+              lit(null).cast("long").as("click_id"),
+              col("ts").as("view_ts"), lit(0).as("is_click"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("ts").as("t"),
+              col("event_id").as("click_id"),
+              lit(null).cast("timestamp").as("view_ts"), lit(1).as("is_click"))
+    // equal timestamps: the view sorts first -> inclusive match
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_click"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("asof_view", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("click_id"), col("k").as("user_id"),
+              date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+              when(col("asof_view").isNotNull &&
+                   unix_timestamp(col("t")) - unix_timestamp(col("asof_view"))
+                     <= tolSec,
+                   date_format(col("asof_view"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+                .as("view_ts"),
+              when(col("asof_view").isNotNull &&
+                   unix_timestamp(col("t")) - unix_timestamp(col("asof_view"))
+                     <= tolSec,
+                   unix_timestamp(col("t")) - unix_timestamp(col("asof_view")))
+                .as("gap_sec"))
+      .orderBy(col("click_id"))
+  }
 }

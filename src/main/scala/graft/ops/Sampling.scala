@@ -285,4 +285,74 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .orderBy(col("source"), col("cum_tokens"))
   }
+
+  /** q151 — training-shard assignment: docs are packed into contiguous
+    * shards of ≤ `budget` tokens by a running token total (a doc whose
+    * START offset falls in shard k belongs to shard k — the standard
+    * streaming-pack rule, so shard boundaries are deterministic and
+    * independent of partitioning). The output is the shard manifest a
+    * dataloader consumes: doc span + exact token count per shard.
+    *
+    * Scale shape: the running sum windows PARTITION BY source (each
+    * source packs its own shard sequence — how corpora actually ship),
+    * so no global single-partition sweep; the manifest aggregation is
+    * a tiny follow-up groupBy. */
+  def q151ShardPack(s: SparkSession, dir: String,
+                    budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start_offset div ${budget}L"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).cast("long").as("shard_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  /** q153 — length-bucketed batch padding audit: docs sorted by token
+    * count DESC within each source and cut into fixed-size batches of
+    * `batchSize`; a batch pads every member to its longest doc, so
+    * waste = n·max − Σtokens. Sorting by length first is exactly why
+    * dataloaders length-bucket: the report quantifies the padding this
+    * saves vs arrival order (the arrival-order waste is computed in
+    * the same pass for comparison).
+    *
+    * Scale shape: two windows, both PARTITION BY source; batch stats
+    * are a groupBy over batch ids. */
+  def q153PadBatching(s: SparkSession, dir: String,
+                      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val byArrival = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val sized = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rn_len", row_number().over(byLen).cast("long"))
+      .withColumn("rn_arr", row_number().over(byArrival).cast("long"))
+      .withColumn("b_len", expr(s"(rn_len - 1L) div $batchSize"))
+      .withColumn("b_arr", expr(s"(rn_arr - 1L) div $batchSize"))
+    val lenWaste = sized.groupBy(col("source"), col("b_len"))
+      .agg((count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+        .cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("w")).cast("long").as("bucketed_pad_tokens"))
+    val arrWaste = sized.groupBy(col("source"), col("b_arr"))
+      .agg((count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+        .cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batches"),
+           sum(col("w")).cast("long").as("arrival_pad_tokens"))
+    arrWaste.join(lenWaste, Seq("source"))
+      .select(col("source"), col("n_batches"),
+              col("arrival_pad_tokens"), col("bucketed_pad_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -795,4 +795,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("doc_id"))
   }
+
+  /** q155 — syllable-proxy readability stats per source: syllables
+    * estimated as VOWEL GROUPS (maximal runs of [aeiou] — the
+    * standard cheap proxy), counted by `regexp_count`, a codegen'd
+    * expression; both syllables-per-word and chars-per-word ship as
+    * exact integer micros (1e6·Σ div Σ). One map pass + one tiny
+    * aggregation — nothing but per-source sums cross the exchange. */
+  def q155SyllableStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+              regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+                .as("syl"),
+              size(tokens(col("text"))).cast("long").as("words"),
+              col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("syl")).cast("long").as("syllables"),
+           sum(col("words")).cast("long").as("words"),
+           expr("(1000000L * sum(syl)) div sum(words)")
+             .as("syl_per_word_micro"),
+           expr("(1000000L * sum(n_chars)) div sum(words)")
+             .as("chars_per_word_micro"))
+      .orderBy(col("source"))
 }

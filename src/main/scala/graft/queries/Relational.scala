@@ -651,4 +651,36 @@ object Relational {
               coalesce(col("l_linestatus"), lit("ALL")).as("status"),
               col("sum_qty"), col("sum_price_cents"), col("n_rows"))
       .orderBy(col("flag"), col("status"))
+
+  /** q150 — 2-D SKYLINE (Pareto frontier): orders that are
+    * non-dominated under (maximize o_totalprice, minimize
+    * o_orderdate) — "no other order was both at least as expensive
+    * and at least as early, strictly better in one". The classic
+    * sort-sweep: group to distinct (price, date) points, keep only
+    * each price's earliest date, then one running-min sweep in
+    * price-descending order — a point survives iff its date beats
+    * every higher-price date seen so far (strictly).
+    *
+    * Scale shape: the sweep's window runs on the price-DISTINCT frame
+    * (two groupBys shrink the input first), so the single-partition
+    * ordering touches |price domain| rows, not |orders|; at warehouse
+    * scale the standard refinement is a per-partition local skyline
+    * (mapPartitions) before this global sweep — the local pass is
+    * embarrassingly parallel and the global frame is the union of
+    * local frontiers. */
+  def q150Skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * lit(100d) + lit(0.5d))
+                .cast("long").as("price_cents"),
+              col("o_orderdate").as("d"))
+      .groupBy(col("price_cents"))
+      .agg(min(col("d")).as("d"))
+    val sweep = Window.orderBy(col("price_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_prev", min(col("d")).over(sweep))
+      .filter(col("best_prev").isNull || col("d") < col("best_prev"))
+      .select(col("price_cents"), date_format(col("d"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("price_cents").desc)
+  }
 }

@@ -413,4 +413,44 @@ class EventOpsSpec extends SparkSpec {
       (7L, "2024-01-01 13:00", 1L, 4000000L, false),
       (8L, "2024-01-01 09:00", 1L, 9000000L, false)))
   }
+  test("q152 mode per user matches brute-force counts with lexicographic ties") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (u, rows) =>
+      val best = rows.minBy(r => (-r._3, r._2))
+      u -> (best._2, best._3)
+    }
+    val got = EventOps.q152ModePerUser(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("q154 as-of tolerance: match is the nearest view and never staler than 300s") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view")
+    val rows = EventOps.q154AsofTolerance(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    rows.foreach { r =>
+      val (clickId, user) = (r.getLong(0), r.getLong(1))
+      val clickTs = ev.find(_._1 == clickId).get._2
+      val prior = views.filter(v => v._3 == user && !v._2.after(clickTs))
+      val best = if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime))
+      val inTol = best.exists(v =>
+        clickTs.getTime / 1000 - v._2.getTime / 1000 <= 300)
+      if (r.isNullAt(3)) {
+        assert(!inTol, s"click $clickId: match expected but got null")
+      } else {
+        assert(inTol, s"click $clickId: match returned outside tolerance")
+        assert(r.getString(3) == best.get._2.toLocalDateTime.format(fmt),
+          s"click $clickId: not the nearest view")
+        assert(r.getLong(4) >= 0 && r.getLong(4) <= 300)
+      }
+    }
+  }
 }

@@ -248,4 +248,41 @@ class SamplingSpec extends SparkSpec {
       .select(Sampling.hashRank52(col("text"))).first().getLong(0)
     assert(h / 100 < h, "priority must shrink with weight")
   }
+  test("q151 shards partition each source's token stream contiguously") {
+    val rows = Sampling.q151ShardPack(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val totals = graft.Tables.documents(spark, sf0001)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (src, shards) =>
+      assert(shards.map(_._4).sum == totals(src)._1,
+        s"$src: shard tokens must total the source tokens")
+      assert(shards.map(_._3).sum == totals(src)._2)
+      assert(shards.map(_._2).sorted.toSeq ==
+        (0L until shards.length.toLong).toSeq,
+        s"$src: shard ids must be contiguous from 0")
+      // doc spans must not overlap across consecutive shards
+      val byId = shards.sortBy(_._2)
+      byId.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src: spans overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q153 length-bucketed batching never pads more than arrival order") {
+    val rows = Sampling.q153PadBatching(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nBatches, arrival, bucketed) =>
+      assert(nBatches > 0)
+      assert(bucketed <= arrival,
+        s"$src: sorting by length must not increase padding ($bucketed > $arrival)")
+      assert(bucketed >= 0 && arrival >= 0)
+    }
+  }
 }

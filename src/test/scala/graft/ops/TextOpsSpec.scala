@@ -273,4 +273,15 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)), s"got ${got.toSeq}")
   }
+  test("q155 vowel-group syllables on hand-counted docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("syl").toString
+    Seq((1L, "aa bee")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q155SyllableStats(spark, tmp).collect()(0)
+    // "aa" -> 1 vowel group, "bee" -> 1; 2 words; 6 chars
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((1L, 2L, 2L, 1000000L, 3000000L)), s"got $r")
+  }
 }

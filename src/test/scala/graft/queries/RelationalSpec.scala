@@ -222,4 +222,21 @@ class RelationalSpec extends SparkSpec {
       .values.map(_._2).sum
     assert(leafSum == grand._2, "leaf cells must partition all rows")
   }
+  test("q150 skyline is exactly the non-dominated point set") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * lit(100d) + lit(0.5d))
+                .cast("long").as("p"), col("o_orderdate").as("d"))
+      .groupBy(col("p")).agg(min(col("d")).as("d"))
+      .select(col("p"), date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def dominated(x: (Long, String)) = pts.exists(q =>
+      q._1 >= x._1 && q._2 <= x._2 && (q._1 > x._1 || q._2 < x._2))
+    val expected = pts.filterNot(dominated)
+      .map(x => (x._1, x._2.substring(0, 10))).toSet
+    val got = Relational.q150Skyline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+  }
 }

@@ -174,6 +174,9 @@ object SparkEntry {
     "q153_pad_batching"    -> ((s, d) => graft.ops.Sampling.q153PadBatching(s, d)),
     "q154_asof_tolerance"  -> ((s, d) => EventOps.q154AsofTolerance(s, d)),
     "q155_syllable_stats"  -> TextOps.q155SyllableStats,
+    "q156_stream_late_data" -> graft.streaming.StreamQueries.q156StreamLateData,
+    "q157_khop_bfs"        -> ((s, d) => graft.ops.GraphOps.q157KHopBfs(s, d)),
+    "q158_window_suite"    -> Relational.q158WindowSuite,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -183,7 +186,7 @@ object SparkEntry {
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
-        "q101_stream_outer_join")
+        "q101_stream_outer_join", "q156_stream_late_data")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -1991,6 +1994,28 @@ object SparkEntry {
                   AND date_diff('second', asof_view, t) <= 300
              THEN CAST(date_diff('second', asof_view, t) AS BIGINT) END AS gap_sec
          FROM c WHERE is_click = 1 ORDER BY click_id""",
+    "q156_stream_late_data" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w
+           FROM events WHERE event_id % 20 <> 0),
+         kept AS (SELECT ts, event_type FROM events, wm
+           WHERE event_id % 20 <> 0
+              OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w)
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                event_type, count(*) AS n_events
+         FROM kept GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q157_khop_bfs" -> graft.ops.GraphOps.q157OracleSql(),
+    "q158_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT)
+             AS cume_micro,
+           CAST(date_diff('day',
+             lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT)
+             AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q155_syllable_stats" ->
       """WITH t AS (SELECT source,
            len(regexp_extract_all(text, '[aeiou]+'))::BIGINT AS syl,

@@ -265,4 +265,70 @@ object GraphOps {
              UNION ALL SELECT c2 FROM t)
        SELECT item, count(*) AS n_triangles FROM u
        GROUP BY item ORDER BY item"""
+  /** q157 — bounded k-hop BFS (reachability with distance) over the
+    * DIRECTED click-transition graph: an edge a→b for every pair of
+    * consecutive clicks per user (by time, event_id tiebreak). From
+    * the seed item 0, each hop is one frontier⋈edges hash join + a
+    * min-distance aggregate against the visited set — the Pregel /
+    * GraphX message pattern expressed as plain DataFrame joins, with
+    * a localCheckpoint per hop to truncate the growing lineage
+    * (the q60/q82 iterative-plan move). Hop count is bounded (≤ 4),
+    * so the plan is 4 joins, not a convergence loop.
+    *
+    * Scale shape: the edge list is computed once (one window pass
+    * over clicks) and persisted; frontiers shrink monotonically
+    * (visited-set anti-join), and every join is keyed on the item id
+    * — at warehouse scale the edge frame would be bucketed by src so
+    * every hop is a co-located join. */
+  def q157KHopBfs(s: SparkSession, dir: String, seed: Long = 0L,
+                  maxHops: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val edges = clicks
+      .withColumn("nxt", lead(col("k"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("k"))
+      .select(col("k").as("src"), col("nxt").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = s.range(1).select(lit(seed).as("item"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("item"))
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier.join(edges, frontier("item") === edges("src"))
+        .select(col("dst").as("item")).distinct()
+        .join(visited.select(col("item")), Seq("item"), "left_anti")
+        .select(col("item"), lit(hop.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("item"))
+      hop += 1
+    }
+    val out = visited.orderBy(col("item"))
+    edges.unpersist()
+    out
+  }
+
+  /** DuckDB oracle for q157 — recursive CTE with the hop bound; the
+    * UNION ALL path expansion is collapsed to min(dist) per node. */
+  def q157OracleSql(seed: Long = 0L, maxHops: Int = 4): String =
+    s"""WITH RECURSIVE c AS (SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+       o AS (SELECT user_id, k,
+           lead(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM c),
+       e AS (SELECT DISTINCT k AS src, nxt AS dst FROM o
+             WHERE nxt IS NOT NULL AND nxt <> k),
+       bfs AS (
+         SELECT CAST($seed AS BIGINT) AS item, 0 AS dist
+         UNION ALL
+         SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.item
+         WHERE bfs.dist < $maxHops)
+       SELECT item, CAST(min(dist) AS BIGINT) AS dist
+       FROM bfs GROUP BY item ORDER BY item"""
 }

@@ -683,4 +683,34 @@ object Relational {
       .select(col("price_cents"), date_format(col("d"), "yyyy-MM-dd").as("o_date"))
       .orderBy(col("price_cents").desc)
   }
+
+  /** q158 — ranking-window suite over each customer's order history:
+    * ntile quartile, cume_dist, and the days-since-previous-order lag
+    * in ONE WindowExec pass (all three functions share the same
+    * (custkey, orderdate …) partitioning+ordering, so Catalyst plans
+    * a single sort + a single window operator — worth pinning because
+    * mismatched orderings silently double the sort).
+    *
+    * cume_dist is the one float: it's the exact rational rank/n, so
+    * ×1e6 + floor is bit-stable (one correctly-rounded division).
+    * Customers are independent window partitions — the 100 TB shape
+    * is one shuffle on custkey, no global ordering anywhere. */
+  def q158WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              floor(col("o_totalprice") * lit(100d) + lit(0.5d))
+                .cast("long").as("price_cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("cume_micro",
+        floor(cume_dist().over(w) * lit(1000000d) + lit(0.5d)).cast("long"))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+              col("cume_micro"), col("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }

@@ -97,13 +97,33 @@ object StreamQueries {
     * emits matches eagerly in the batch both sides arrive — the
     * watermark only evicts state — so it needs zero drops. */
   private def runStream(s: SparkSession, dir: String, prefix: String,
-                        drops: Int = 1)
+                        drops: Int = 1,
+                        phases: Seq[org.apache.spark.sql.Column] = Nil)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
     val tmp = Files.createTempDirectory(s"graft_$prefix")
     streamDirs.add(tmp.toString)
-    linkOrCopy(Paths.get(s"$dir/events.parquet"), tmp.resolve("batch0.parquet"))
+    // Default feed: the whole events file as one initial snapshot.
+    // Phased feed: one filtered copy of the file per predicate,
+    // dropped sequentially (each its own micro-batch) — the arrival
+    // ORDER is the experiment (late-data semantics are order-defined).
+    val phaseFiles: Seq[java.nio.file.Path] =
+      if (phases.isEmpty) Nil
+      else {
+        val raw = s.read.schema(rawEventSchema).parquet(s"$dir/events.parquet")
+        phases.zipWithIndex.map { case (pred, i) =>
+          val stage = tmp.resolve(s"stage$i")
+          raw.filter(pred).coalesce(1).write.parquet(stage.toString)
+          Files.list(stage).toArray.map(_.toString)
+            .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+            .map(Paths.get(_)).head
+        }
+      }
+    if (phases.isEmpty)
+      linkOrCopy(Paths.get(s"$dir/events.parquet"), tmp.resolve("batch0.parquet"))
+    else
+      linkOrCopy(phaseFiles.head, tmp.resolve("batch0.parquet"))
     var sentinelNo = 0
     def dropSentinel(src: java.nio.file.Path): Unit = {
       sentinelNo += 1
@@ -149,6 +169,10 @@ object StreamQueries {
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
+      phaseFiles.drop(1).zipWithIndex.foreach { case (f, i) =>
+        linkOrCopy(f, tmp.resolve(s"phase${i + 1}.parquet"))
+        q.processAllAvailable()
+      }
       if (sentinelDrops >= 1) {
         dropSentinel(sent.s1)
         q.processAllAvailable()
@@ -290,5 +314,38 @@ object StreamQueries {
               date_format(col("t_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_end"),
               round(col("total_value"), 4).as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q156 — WATERMARK LATE-DATA SEMANTICS, oracle-gated: the stream
+    * first receives every on-time event (event_id % 20 != 0) in one
+    * micro-batch, which advances the watermark to max(on-time ts) −
+    * 24 h (a delay wide enough that the straggler batch exercises
+    * BOTH paths: most stragglers are dropped, last-day ones are
+    * absorbed into still-open windows); then the 5% straggler sample arrives as a SECOND batch.
+    * A straggler whose 1-hour window already closed (window end ≤
+    * watermark) is DROPPED by the windowed aggregation — Spark's
+    * defining late-data behavior — while stragglers in still-open
+    * tail windows are absorbed. Because the arrival order and both
+    * batch boundaries are deterministic (one file each), the exact
+    * drop set is closed-form, and the DuckDB oracle replays it
+    * (two sentinel drops: with a 24 h delay the first sentinel only
+    * lifts the watermark to max−21 h — the +30 h second one is what
+    * flushes the tail windows):
+    * count events where on-time OR window end > wm. The tumbling
+    * count per (hour, type) is otherwise q51's shape.
+    *
+    * This pins the semantics every production watermark config
+    * depends on — if a regression ever let late rows leak back into
+    * closed windows (or drop on-time rows), the count diff flags it
+    * row-exactly. */
+  def q156StreamLateData(s: SparkSession, dir: String): DataFrame = {
+    val onTime = pmod(col("event_id"), lit(20L)) =!= 0 || col("event_id") < 0
+    val late = pmod(col("event_id"), lit(20L)) === 0 && col("event_id") >= 0
+    runStream(s, dir, "q156", drops = 2, phases = Seq(onTime, late))(
+      EventStreams.tumblingCounts(_, "1 hour", "24 hours"))
+      .filter(col("event_type") =!= sentinelType)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+              col("event_type"), col("n_events"))
+      .orderBy(col("hour"), col("event_type"))
   }
 }

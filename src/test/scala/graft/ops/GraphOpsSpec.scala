@@ -98,4 +98,26 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+  test("q157 BFS distances on a hand-built transition graph") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("bfs").toString
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    // user 7 clicks 0->1->2; user 8 clicks 2->5; user 9 clicks 9->0.
+    // From seed 0: {0:0, 1:1, 2:2, 5:3}; 9 unreachable (edge points in).
+    Seq(
+      (1L, 7L, ts("10:00"), "click", 1.0, """{"k": 0}"""),
+      (2L, 7L, ts("10:01"), "click", 1.0, """{"k": 1}"""),
+      (3L, 7L, ts("10:02"), "click", 1.0, """{"k": 2}"""),
+      (4L, 8L, ts("11:00"), "click", 1.0, """{"k": 2}"""),
+      (5L, 8L, ts("11:01"), "click", 1.0, """{"k": 5}"""),
+      (6L, 9L, ts("12:00"), "click", 1.0, """{"k": 9}"""),
+      (7L, 9L, ts("12:01"), "click", 1.0, """{"k": 0}"""),
+      (8L, 7L, ts("13:00"), "view", 1.0, """{"k": 3}""")  // non-click: no edge
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q157KHopBfs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 3L), s"got $got")
+  }
 }

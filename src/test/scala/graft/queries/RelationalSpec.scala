@@ -239,4 +239,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
     assert(got.nonEmpty)
   }
+  test("q158 window suite invariants per customer") {
+    val rows = Relational.q158WindowSuite(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, rs) =>
+      assert(rs.forall(r => r._3 >= 1 && r._3 <= 4), s"$cust: ntile out of range")
+      // cume_dist reaches exactly 1.0 on the last row and is monotone
+      // in window order; exactly one first row lacks a previous order
+      assert(rs.map(_._4).max == 1000000L, s"$cust: cume must end at 1e6")
+      assert(rs.count(_._5.isEmpty) == 1, s"$cust: exactly one first order")
+      assert(rs.flatMap(_._5).forall(_ >= 0), s"$cust: negative day gap")
+      assert(rs.forall(r => r._4 > 0 && r._4 <= 1000000L),
+        s"$cust: cume_dist out of (0, 1]")
+      // quartile sizes differ by at most 1 (ntile's defining property)
+      val sizes = rs.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$cust: ntile unbalanced")
+    }
+  }
 }

@@ -177,6 +177,9 @@ object SparkEntry {
     "q156_stream_late_data" -> graft.streaming.StreamQueries.q156StreamLateData,
     "q157_khop_bfs"        -> ((s, d) => graft.ops.GraphOps.q157KHopBfs(s, d)),
     "q158_window_suite"    -> Relational.q158WindowSuite,
+    "q159_cdc_merge"       -> Relational.q159CdcMerge,
+    "q160_top_dims"        -> Similarity.q160TopDims,
+    "q161_decay_score"     -> EventOps.q161DecayScore,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2004,6 +2007,48 @@ object SparkEntry {
                 event_type, count(*) AS n_events
          FROM kept GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q157_khop_bfs" -> graft.ops.GraphOps.q157OracleSql(),
+    "q159_cdc_merge" ->
+      """WITH snap AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           'KEEP' AS op, 1 AS version FROM orders),
+         base AS (SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+           FROM orders),
+         chg AS (
+           SELECT k, 'CHG' AS status, 0 AS price_cents, 'D' AS op, 2 AS version
+           FROM base WHERE k % 13 = 0
+           UNION ALL
+           SELECT k, 'CHG', price_cents + 555, 'U', 2
+           FROM base WHERE k % 13 <> 0 AND k % 7 = 0
+           UNION ALL
+           SELECT k + 1000000000, 'NEW', price_cents, 'I', 2
+           FROM base WHERE k % 17 = 0),
+         u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+         r AS (SELECT k, status, price_cents, op, version,
+           row_number() OVER (PARTITION BY k ORDER BY version DESC, op) AS rn
+           FROM u)
+         SELECT k, status, CAST(price_cents AS BIGINT) AS price_cents,
+                CAST(version AS BIGINT) AS version
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""",
+    "q160_top_dims" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings),
+         r AS (SELECT vec_id, dim, v::DOUBLE AS v,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY abs(v::DOUBLE) DESC, dim) AS rank FROM x)
+         SELECT vec_id, CAST(rank AS BIGINT) AS rank,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS val_micro
+         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
+    "q161_decay_score" ->
+      """WITH a AS (SELECT max(ts) AS now FROM events),
+         w AS (SELECT user_id,
+           1000000 // (1 + date_diff('day', ts, a.now)) AS w
+           FROM events, a)
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(w) AS BIGINT) AS decay_score
+         FROM w GROUP BY user_id
+         ORDER BY decay_score DESC, user_id""",
     "q158_window_suite" ->
       """SELECT o_custkey, o_orderkey,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,

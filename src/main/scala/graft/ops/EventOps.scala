@@ -787,4 +787,28 @@ object EventOps {
                 .as("gap_sec"))
       .orderBy(col("click_id"))
   }
+
+  /** q161 — recency-decayed engagement score: each event contributes
+    * 1e6 div (1 + age_days) where age is measured back from the
+    * corpus's max event time (the deterministic "now"). Hyperbolic
+    * decay instead of exponential ON PURPOSE: it is an exact integer
+    * rational, so the score is bit-stable across engines — exp()'s
+    * last-ulp libm drift is the only thing the classic e^(−λ·age)
+    * buys, and the curves rank users near-identically.
+    *
+    * Scale shape: the anchor is a 1-row broadcast (scalar subquery
+    * shape, no driver round-trip in the plan); the score is one
+    * partial+final aggregation on user_id. */
+  def q161DecayScore(s: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.events(s, dir).agg(max(col("ts")).as("now"))
+    Tables.events(s, dir)
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+              expr("1000000L div (1L + CAST(datediff(now, ts) AS BIGINT))")
+                .as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("w")).cast("long").as("decay_score"))
+      .orderBy(col("decay_score").desc, col("user_id"))
+  }
 }

@@ -938,4 +938,30 @@ object Similarity {
          count(i.n_id) * 20 AS recall_pct
        FROM brute b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
        GROUP BY b.q_id ORDER BY b.q_id"""
+  /** q160 — per-vector TOP DIMENSIONS: for each embedding, the 3
+    * dimensions with the largest |value| (ties → lower index), as
+    * (vec_id, rank, dim, val_micro) rows — the introspection query
+    * behind "which features drive this vector" dashboards and
+    * sparsification decisions (keep top-k dims ≈ magnitude pruning).
+    *
+    * Pure array HOFs — zip index+value map-side, sort_array on the
+    * (|v| desc, dim asc) composite, slice 3, posexplode — zero
+    * shuffles before the output sort, and the full embedding never
+    * crosses an exchange (only the 3 winners do). */
+  def q160TopDims(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+              expr("""slice(array_sort(zip_with(
+                        embedding,
+                        sequence(0, size(embedding) - 1),
+                        (v, i) -> struct(-abs(CAST(v AS DOUBLE)) AS negabs,
+                                         i AS dim,
+                                         CAST(v AS DOUBLE) AS v))), 1, 3)""")
+                .as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.dim").cast("long").as("dim"),
+              floor(col("col.v") * lit(1000000d) + lit(0.5d)).cast("long")
+                .as("val_micro"))
+      .orderBy(col("vec_id"), col("rank"))
 }

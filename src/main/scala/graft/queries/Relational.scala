@@ -713,4 +713,48 @@ object Relational {
               col("cume_micro"), col("days_since_prev"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** q159 — CDC MERGE (Delta/Hudi-style apply-changes): a deterministic
+    * change feed derived from orders (key%13 → delete, else key%7 →
+    * update, key%17 → insert under a disjoint key range) is applied to
+    * the snapshot in ONE pass: union snapshot+changes, rank per key by
+    * version desc, keep the winner, drop winners whose op is D. This
+    * is the full insert/update/delete triad — q71's upsert handles I/U
+    * only; delete semantics (the row must VANISH, not survive with a
+    * tombstone) is what makes CDC apply distinct.
+    *
+    * Scale shape: one shuffle on the merge key for the ranking window
+    * (per-key frame of ≤ snapshot+changes rows — tiny); at warehouse
+    * scale the snapshot side is bucketed by key so the merge is
+    * co-located, which is exactly how Delta's MERGE physical plan
+    * colocates. */
+  def q159CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cents = floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long")
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+              cents.as("price_cents"), lit("KEEP").as("op"),
+              lit(1L).as("version"))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), cents.as("price_cents"))
+    val deletes = base.filter(pmod(col("k"), lit(13L)) === 0)
+      .select(col("k"), lit("CHG").as("status"), lit(0L).as("price_cents"),
+              lit("D").as("op"), lit(2L).as("version"))
+    val updates = base.filter(pmod(col("k"), lit(13L)) =!= 0 &&
+                              pmod(col("k"), lit(7L)) === 0)
+      .select(col("k"), lit("CHG").as("status"),
+              (col("price_cents") + lit(555L)).as("price_cents"),
+              lit("U").as("op"), lit(2L).as("version"))
+    val inserts = base.filter(pmod(col("k"), lit(17L)) === 0)
+      .select((col("k") + lit(1000000000L)).as("k"), lit("NEW").as("status"),
+              col("price_cents").as("price_cents"),
+              lit("I").as("op"), lit(2L).as("version"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("version").desc, col("op"))
+    snap.unionByName(deletes).unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("status"), col("price_cents"), col("version"))
+      .orderBy(col("k"))
+  }
 }

@@ -453,4 +453,19 @@ class EventOpsSpec extends SparkSpec {
       }
     }
   }
+  test("q161 decay weights are exact integer hyperbolic decays") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1)))
+    val now = ev.map(_._2).max
+    def days(a: java.sql.Timestamp) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        a.toLocalDateTime.toLocalDate, now.toLocalDateTime.toLocalDate)
+    val expected = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> (rs.length.toLong, rs.map(r => 1000000L / (1L + days(r._2))).sum)
+    }
+    val got = EventOps.q161DecayScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
 }

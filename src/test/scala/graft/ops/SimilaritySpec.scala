@@ -206,4 +206,21 @@ class SimilaritySpec extends SparkSpec {
       assert(pred == el && votes == en.toLong, s"q$q: got ($pred,$votes) want ($el,$en)")
     }
   }
+  test("q160 top dims are the true argmax |value| dimensions") {
+    val rows = Similarity.q160TopDims(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val embs = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.groupBy(_._1).foreach { case (vid, rs) =>
+      assert(rs.length == 3)
+      val e = embs(vid).map(_.toDouble)
+      val want = e.zipWithIndex
+        .sortBy { case (v, i) => (-math.abs(v), i) }.take(3)
+      rs.sortBy(_._2).zip(want).foreach { case ((_, _, dim, vm), (v, i)) =>
+        assert(dim == i, s"vec $vid: dim $dim != $i")
+        assert(vm == math.floor(v * 1e6 + 0.5).toLong, s"vec $vid dim $i value")
+      }
+    }
+  }
 }

@@ -141,4 +141,48 @@ class PlanAuditSpec extends SparkSpec {
       s"stats join must broadcast:\n${p.take(1200)}")
     assert(!p.contains("Window"), "no window should exist in q118")
   }
+  test("q145 prefix join never degenerates to a nested-loop/cartesian plan") {
+    val p = plan("q145_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidate generation must stay an equi hash join:\n${p.take(1200)}")
+  }
+
+  test("q146 corr matrix is one aggregation pass over one scan") {
+    val p = plan("q146_corr_matrix")
+    // formatted explain prints each node in the tree AND the detail
+    // section — count detail headers ("(id) Scan parquet")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      "all 14 sums must come from a single lineitem scan")
+    assert(!p.contains("Join"), "no join belongs in a single-pass aggregate")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 2,
+      "expected exactly the partial+final pair")
+  }
+
+  test("q148 prunes the documents scan to the two searched columns") {
+    val p = plan("q148_phrase_search")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(!r.contains("lang") && !r.contains("source"),
+        s"postings build must not read unused columns: $r")
+    }
+  }
+
+  test("q157 BFS output is assembled from checkpointed hops, no recompute") {
+    // each hop localCheckpoints eagerly, so the final plan must be a
+    // union of checkpoint scans — any parquet scan or join here would
+    // mean a hop's lineage leaked into the output plan (re-running
+    // the BFS on every downstream action)
+    val p = plan("q157_khop_bfs")
+    assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
+      s"expected only checkpointed hop frames:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "hops must be materialized, not re-joined")
+  }
+
+  test("q158 plans a single WindowExec for all three ranking functions") {
+    val p = plan("q158_window_suite")
+    val n = "\\bWindow\\b".r.findAllIn(p).length
+    assert(n <= 2, s"expected one shared window operator (+exchange), found $n:\n${p.take(800)}")
+  }
 }

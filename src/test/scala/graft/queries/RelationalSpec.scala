@@ -258,4 +258,22 @@ class RelationalSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"$cust: ntile unbalanced")
     }
   }
+  test("q159 CDC merge applies the full I/U/D triad") {
+    import org.apache.spark.sql.functions._
+    val keys = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val got = Relational.q159CdcMerge(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    keys.foreach { k =>
+      if (k % 13 == 0) assert(!got.contains(k), s"deleted key $k survived")
+      else if (k % 7 == 0)
+        assert(got(k) == ("CHG", 2L), s"updated key $k not applied")
+      else assert(got(k) == (got(k)._1, 1L) && got(k)._2 == 1L,
+        s"untouched key $k modified")
+      if (k % 17 == 0)
+        assert(got(k + 1000000000L) == ("NEW", 2L), s"insert for $k missing")
+    }
+    val expected = keys.count(_ % 13 != 0) + keys.count(_ % 17 == 0)
+    assert(got.size == expected, s"got ${got.size}, expected $expected rows")
+  }
 }

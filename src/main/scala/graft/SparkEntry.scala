@@ -180,6 +180,12 @@ object SparkEntry {
     "q159_cdc_merge"       -> Relational.q159CdcMerge,
     "q160_top_dims"        -> Similarity.q160TopDims,
     "q161_decay_score"     -> EventOps.q161DecayScore,
+    "q162_streaks"         -> EventOps.q162Streaks,
+    "q163_dim_deciles"     -> Similarity.q163DimDeciles,
+    "q164_bow_dedup"       -> Dedup.q164BowDedup,
+    "q165_fk_audit"        -> Relational.q165FkAudit,
+    "q166_chisq"           -> TextOps.q166ChiSquare,
+    "q167_transitions"     -> EventOps.q167Transitions,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2040,6 +2046,110 @@ object SparkEntry {
            CAST(dim AS BIGINT) AS dim,
            CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS val_micro
          FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
+    "q162_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         r AS (SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS anchor FROM d),
+         s AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(max(len) AS BIGINT) AS longest_streak
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "q163_dim_deciles" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings),
+         t AS (SELECT CAST(dim AS BIGINT) AS dim, vec_id, v::DOUBLE AS v,
+           ntile(10) OVER (PARTITION BY dim
+             ORDER BY v::DOUBLE, vec_id) AS decile FROM x)
+         SELECT dim, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           CAST(floor(min(v) * 1000000 + 0.5) AS BIGINT) AS lo_micro,
+           CAST(floor(max(v) * 1000000 + 0.5) AS BIGINT) AS hi_micro
+         FROM t GROUP BY 1, 2 ORDER BY dim, decile""",
+    "q164_bow_dedup" ->
+      """WITH b AS (SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+             AS bow_hash FROM documents),
+         g AS (SELECT doc_id, bow_hash,
+           count(*) OVER (PARTITION BY bow_hash) AS group_size,
+           min(doc_id) OVER (PARTITION BY bow_hash) AS canonical_id FROM b)
+         SELECT doc_id, bow_hash, CAST(group_size AS BIGINT) AS group_size,
+           canonical_id,
+           CAST(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dup
+         FROM g WHERE group_size >= 2 ORDER BY doc_id""",
+    "q165_fk_audit" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk,
+             count(*) AS n_rows,
+             sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_keys,
+             sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                 THEN 1 ELSE 0 END) AS n_orphans
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey),
+         e2 AS (SELECT 'lineitem.l_partkey->part', count(*),
+             sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             ON l.l_partkey = p.p_partkey),
+         e3 AS (SELECT 'lineitem.l_suppkey->supplier', count(*),
+             sum(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN l.l_suppkey IS NOT NULL AND su.s_suppkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) su
+             ON l.l_suppkey = su.s_suppkey),
+         e4 AS (SELECT 'orders.o_custkey->customer', count(*),
+             sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         e5 AS (SELECT 'customer.c_nationkey->nation', count(*),
+             sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             ON c.c_nationkey = n.n_nationkey),
+         e6 AS (SELECT 'supplier.s_nationkey->nation', count(*),
+             sum(CASE WHEN su.s_nationkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN su.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM supplier su LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             ON su.s_nationkey = n.n_nationkey),
+         e7 AS (SELECT 'nation.n_regionkey->region', count(*),
+             sum(CASE WHEN na.n_regionkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN na.n_regionkey IS NOT NULL AND r.r_regionkey IS NULL
+                 THEN 1 ELSE 0 END)
+           FROM nation na LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+             ON na.n_regionkey = r.r_regionkey),
+         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+           UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+           UNION ALL SELECT * FROM e7)
+         SELECT fk, n_rows, CAST(n_null_keys AS BIGINT) AS n_null_keys,
+                CAST(n_orphans AS BIGINT) AS n_orphans
+         FROM u ORDER BY fk""",
+    "q166_chisq" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+         w AS (SELECT lang, source, n,
+           sum(n) OVER (PARTITION BY lang) AS rt,
+           sum(n) OVER (PARTITION BY source) AS ct,
+           sum(n) OVER () AS tot FROM cells)
+         SELECT lang, source, n,
+           CAST(floor(rt * ct * 1000000 / tot) AS BIGINT) AS expected_micro,
+           CAST(floor((n*tot - rt*ct) * (n*tot - rt*ct) / (tot*rt*ct)
+                      * 1000000) AS BIGINT) AS chi2_micro
+         FROM w ORDER BY lang, source""",
+    "q167_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM t
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY from_type))
+                AS BIGINT) AS prob_micro
+         FROM c ORDER BY from_type, to_type""",
     "q161_decay_score" ->
       """WITH a AS (SELECT max(ts) AS now FROM events),
          w AS (SELECT user_id,

@@ -1002,4 +1002,32 @@ object Dedup {
               expr("(i * 1000000L) div (ma + mb - i)").as("jac_micro"))
     verified.orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q164 — BAG-OF-WORDS dedup: documents whose sorted token
+    * multiset is identical are one group, regardless of word order —
+    * the canonical-form family between exact dedup (q22, order
+    * matters) and Jaccard (q23, multiplicity ignored). The canonical
+    * key is md5(sorted tokens joined) so only a 16-byte fingerprint
+    * ever shuffles, never the text.
+    *
+    * Scale shape: identical to exact dedup — one map pass computes
+    * the fingerprint, one hash shuffle groups on it; the window that
+    * picks the canonical member runs inside the same partitioning
+    * (no second exchange — same key). */
+  def q164BowDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bow_hash"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              md5(concat_ws(" ", array_sort(split(col("text"), " "))))
+                .as("bow_hash"))
+      .withColumn("group_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("group_size") >= 2)
+      .select(col("doc_id"), col("bow_hash"), col("group_size"),
+              col("canonical_id"),
+              (col("doc_id") =!= col("canonical_id")).cast("long")
+                .as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
 }

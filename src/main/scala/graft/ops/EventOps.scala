@@ -811,4 +811,60 @@ object EventOps {
            sum(col("w")).cast("long").as("decay_score"))
       .orderBy(col("decay_score").desc, col("user_id"))
   }
+
+  /** q162 — longest consecutive-active-day streak per user, the
+    * classic gaps-and-islands shape: distinct active days, then
+    * `day - row_number()` is constant exactly within a run of
+    * consecutive dates, so a groupBy on that anchor yields streak
+    * lengths with no self-join and no iteration.
+    *
+    * Scale shape: the distinct and both aggregations all hash on
+    * user_id (the window partitions by it too), so after the first
+    * shuffle everything is co-partitioned — one exchange total, and
+    * the per-user frame is ≤ number of active days (bounded by the
+    * calendar, not the event volume). */
+  def q162Streaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+           max(col("len")).cast("long").as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q167 — event-type TRANSITION MATRIX: for each user's event
+    * sequence (ordered by ts, event_id), count consecutive
+    * (from_type → to_type) pairs and emit the row-conditional
+    * probability as an exact rational micro-int — the first-order
+    * Markov model behind next-action prediction and anomalous-flow
+    * detection (q110 mines whole path prefixes; this is the pairwise
+    * generator view of the same chain).
+    *
+    * Scale shape: one shuffle on user_id for the lead() window, then
+    * the pair counts collapse to |types|² rows — the per-from totals
+    * come from a window over that tiny aggregate, not a second pass
+    * over events. */
+  def q167Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("from_type"))
+      .select(col("from_type"),
+              lead(col("from_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob_micro",
+        floor(col("n") * lit(1000000L) / sum(col("n")).over(wf))
+          .cast("long"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -964,4 +964,35 @@ object Similarity {
               floor(col("col.v") * lit(1000000d) + lit(0.5d)).cast("long")
                 .as("val_micro"))
       .orderBy(col("vec_id"), col("rank"))
+
+  /** q163 — per-dimension DECILE PROFILE of the embedding space: for
+    * every dimension, the value distribution cut into 10 equal-count
+    * bins (ntile over (value, vec_id) — the id tiebreak makes the
+    * cut deterministic), with per-bin count and exact micro-int min/
+    * max boundaries. This is the feature-distribution audit behind
+    * per-dim quantile normalization and scalar-quantizer calibration
+    * (each bin's [lo, hi] IS the codebook entry).
+    *
+    * Scale shape: one explode to (dim, v) then one shuffle
+    * partitioned BY DIMENSION — each of the 64 windows sorts its own
+    * dim's values independently (embarrassingly parallel, frame =
+    * N values per dim), and the output collapses to dims × 10 rows.
+    * At 100 TB you'd swap ntile for approx quantile boundaries; the
+    * exact form is the calibration-set path. */
+  def q163DimDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dim")).orderBy(col("v"), col("vec_id"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+              col("col").cast("double").as("v"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("dim"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+           floor(min(col("v")) * lit(1000000d) + lit(0.5d)).cast("long")
+             .as("lo_micro"),
+           floor(max(col("v")) * lit(1000000d) + lit(0.5d)).cast("long")
+             .as("hi_micro"))
+      .orderBy(col("dim"), col("decile"))
+  }
 }

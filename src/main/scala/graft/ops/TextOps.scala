@@ -818,4 +818,44 @@ object TextOps {
            expr("(1000000L * sum(n_chars)) div sum(words)")
              .as("chars_per_word_micro"))
       .orderBy(col("source"))
+
+  /** q166 — χ² INDEPENDENCE audit of the lang × source contingency
+    * table: per cell, the observed count, the expected count under
+    * independence, and the cell's χ² contribution — the statistical
+    * test behind "is language mix uniform across crawl sources", a
+    * standard corpus-balance check before training-mix decisions.
+    *
+    * Determinism: (O−E)²/E over integer totals is the exact rational
+    * (O·N − rt·ct)² / (N·rt·ct). Both terms stay < 2^53 at audit
+    * scales (N ≤ ~90M for the worst cell), so the IEEE-754 division
+    * is correctly rounded and bit-identical in every engine — no
+    * libm anywhere. Beyond that, compute over decimals.
+    *
+    * Scale shape: cells, row totals, and column totals are three
+    * tiny aggregates over ONE scan's groupBy output (window sums
+    * over the |langs|×|sources| cell table — never a second pass
+    * over documents). */
+  def q166ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("diff", col("n") * col("tot") - col("rt") * col("ct"))
+      .select(col("lang"), col("source"), col("n"),
+              floor(col("rt") * col("ct") * lit(1000000L)
+                    / col("tot")).cast("long").as("expected_micro"),
+              // divide BEFORE scaling: diff² and the denominator are
+              // both < 2^53 (exact in double), the quotient and the
+              // ×1e6 are single correctly-rounded IEEE ops — the
+              // scaled-numerator order would overflow past 2^53
+              floor(col("diff") * col("diff")
+                    / (col("tot") * col("rt") * col("ct"))
+                    * lit(1000000L))
+                .cast("long").as("chi2_micro"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

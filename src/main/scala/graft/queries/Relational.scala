@@ -757,4 +757,42 @@ object Relational {
       .select(col("k"), col("status"), col("price_cents"), col("version"))
       .orderBy(col("k"))
   }
+
+  /** q165 — REFERENTIAL-INTEGRITY AUDIT across every FK edge of the
+    * star schema: for each child→parent relationship, total child
+    * rows, rows with a NULL key, and orphans (non-null key with no
+    * parent). The one-row-per-edge report is the warehouse-wide
+    * FK health dashboard an ETL engine emits after every load.
+    *
+    * Scale shape: each edge is one left-join + full aggregate; every
+    * parent side here is the smaller table, so Spark broadcasts it
+    * and no fact table ever shuffles — seven broadcast probes over
+    * seven scans, unioned into seven rows. */
+  def q165FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val p = parent.select(col(pkey).as("__pk")).distinct()
+      child.select(col(key).as("__fk"))
+        .join(broadcast(p), col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("__fk").isNull, 1L).otherwise(0L))
+               .cast("long").as("n_null_keys"),
+             sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+               .otherwise(0L)).cast("long").as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_null_keys"),
+                col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+    val pa = Tables.part(s, dir); val na = Tables.nation(s, dir)
+    val re = Tables.region(s, dir)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionByName(edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation", c, "c_nationkey", na, "n_nationkey"))
+      .unionByName(edge("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"))
+      .unionByName(edge("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+      .orderBy(col("fk"))
+  }
 }

@@ -407,4 +407,37 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"prefix join must be exact: missing=${brute -- got} extra=${got -- brute}")
     assert(got.nonEmpty, "harness corpus has planted near-dups")
   }
+  test("q164 bag-of-words groups are exactly the sorted-token-multiset dups") {
+    // the harness corpus has no exact-multiset dups at any SF, so plant
+    // a corpus: token permutations (BOW-dup but not byte-dup), one exact
+    // dup, a multiset that differs only by count, and singletons
+    val tmp = java.nio.file.Files.createTempDirectory("bow").toString
+    Seq(
+      (1L, "a b c d"), (2L, "d c b a"), (3L, "b a d c"), // permutation group
+      (4L, "x y"), (5L, "x y"),                          // exact-dup group
+      (6L, "a a b c d"),                                 // count differs -> alone
+      (7L, "lone wolf")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q164BowDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 0L)), 2L -> ((3L, 1L, 1L)), 3L -> ((3L, 1L, 1L)),
+      4L -> ((2L, 4L, 0L)), 5L -> ((2L, 4L, 1L))))
+    // the sf corpus side must agree with a driver-side replay (empty == empty)
+    val sfDocs = graft.Tables.documents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = sfDocs.groupBy { case (_, t) => t.split(" ", -1).sorted.toSeq }
+      .values.filter(_.length >= 2).flatMap { g =>
+        val canon = g.map(_._1).min
+        g.map { case (id, _) => id -> ((g.length.toLong, canon, id != canon)) }
+      }.toMap
+    val gotSf = Dedup.q164BowDedup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4) == 1L)))
+      .toMap
+    assert(gotSf == expected)
+  }
 }

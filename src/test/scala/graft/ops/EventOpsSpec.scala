@@ -468,4 +468,48 @@ class EventOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+  test("q162 streaks are the true maximal consecutive-day runs") {
+    import org.apache.spark.sql.functions._
+    val byUser = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).distinct.sorted }
+    val expected = byUser.map { case (u, days) =>
+      var best = 1L; var run = 1L
+      days.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          if (pair(1).toEpochDay == pair(0).toEpochDay + 1) {
+            run += 1; best = best max run
+          } else run = 1
+        }
+      }
+      u -> (days.length.toLong, best)
+    }
+    val got = EventOps.q162Streaks(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+  test("q167 transition counts and probabilities match a driver replay") {
+    import org.apache.spark.sql.functions._
+    val seqs = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { rs =>
+        val s = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        s.zip(s.drop(1))
+      }.toSeq
+    val counts = seqs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTot = counts.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+    val got = EventOps.q167Transitions(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == counts.keySet)
+    got.foreach { case (k, (n, pm)) =>
+      assert(n == counts(k), s"$k count")
+      assert(pm == math.floor(n * 1000000.0 / fromTot(k._1)).toLong, s"$k prob")
+    }
+  }
 }

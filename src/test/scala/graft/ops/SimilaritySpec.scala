@@ -223,4 +223,27 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+  test("q163 deciles are balanced and bound the true sorted values") {
+    val embs = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = embs.length
+    val rows = Similarity.q163DimDeciles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dims = embs.head._2.length
+    assert(rows.length == dims * 10)
+    rows.groupBy(_._1).foreach { case (dim, rs) =>
+      assert(rs.map(_._3).sum == n, s"dim $dim: counts must sum to $n")
+      assert(rs.map(_._3).max - rs.map(_._3).min <= 1, s"dim $dim unbalanced")
+      // per-bin [lo, hi] must tile the dim's sorted values in order
+      val sorted = embs.map { case (id, e) => (e(dim.toInt).toDouble, id) }
+        .sortBy(identity)
+      var off = 0
+      rs.sortBy(_._2).foreach { case (_, _, c, lo, hi) =>
+        val seg = sorted.slice(off, off + c.toInt)
+        assert(lo == math.floor(seg.head._1 * 1e6 + 0.5).toLong, s"dim $dim lo")
+        assert(hi == math.floor(seg.last._1 * 1e6 + 0.5).toLong, s"dim $dim hi")
+        off += c.toInt
+      }
+    }
+  }
 }

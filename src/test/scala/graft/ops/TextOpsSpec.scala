@@ -284,4 +284,23 @@ class TextOpsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       == ((1L, 2L, 2L, 1000000L, 3000000L)), s"got $r")
   }
+  test("q166 chi-square cells match an exact driver replay") {
+    val obs = graft.Tables.documents(spark, sf0001).collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    val cells = obs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rt = cells.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (s2, m) => s2 -> m.values.sum }
+    val tot = cells.values.sum
+    val got = TextOps.q166ChiSquare(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case (k @ (l, src), (n, em, cm)) =>
+      assert(n == cells(k))
+      assert(em == math.floor(rt(l) * ct(src) * 1000000L * 1.0 / tot).toLong)
+      val diff = (n * tot - rt(l) * ct(src)).toDouble
+      assert(cm == math.floor(diff * diff / (tot * rt(l) * ct(src)) * 1e6).toLong,
+        s"$k chi2 term")
+    }
+  }
 }

@@ -276,4 +276,26 @@ class RelationalSpec extends SparkSpec {
     val expected = keys.count(_ % 13 != 0) + keys.count(_ % 17 == 0)
     assert(got.size == expected, s"got ${got.size}, expected $expected rows")
   }
+  test("q165 FK audit row counts and orphan counts are exact") {
+    import org.apache.spark.sql.functions._
+    def keys(t: String, c: String): Set[Long] =
+      graft.Tables.t(spark, sf0001, t).select(col(c).cast("long")).collect()
+        .map(_.getLong(0)).toSet
+    def childKeys(t: String, c: String): Seq[Long] =
+      graft.Tables.t(spark, sf0001, t).select(col(c).cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+    val got = graft.queries.Relational.q165FkAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 7)
+    val cases = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    cases.foreach { case (fk, ct, cc, pt, pc) =>
+      val child = childKeys(ct, cc); val parent = keys(pt, pc)
+      val orphans = child.count(k => !parent.contains(k)).toLong
+      assert(got(fk) == ((child.size.toLong, 0L, orphans)), s"$fk: ${got(fk)}")
+    }
+  }
 }

@@ -1304,7 +1304,7 @@ object SparkEntry {
            last_value(hh.value_micro IGNORE NULLS) OVER (
              PARTITION BY s.user_id ORDER BY s.h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_micro,
-           hh.value_micro IS NULL AS is_gap
+           hh.h IS NULL AS is_gap
          FROM spine s LEFT JOIN hourly hh
            ON hh.user_id = s.user_id AND hh.h = s.h
          ORDER BY s.user_id, hour""",
@@ -1424,7 +1424,7 @@ object SparkEntry {
          SELECT rk, path, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""",
     "q111_normalize" ->
       """WITH n AS (SELECT doc_id, text,
-           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+           trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\f\r]+', ' ', 'g'))
              AS norm
            FROM documents)
          SELECT doc_id, md5(norm) AS norm_fp,
@@ -2134,12 +2134,18 @@ object SparkEntry {
          w AS (SELECT lang, source, n,
            sum(n) OVER (PARTITION BY lang) AS rt,
            sum(n) OVER (PARTITION BY source) AS ct,
-           sum(n) OVER () AS tot FROM cells)
+           sum(n) OVER () AS tot FROM cells),
+         h AS (SELECT lang, source, n, tot,
+           CAST(n AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct AS diff,
+           CAST(tot AS HUGEINT) * rt * ct AS denom,
+           CAST(rt AS HUGEINT) * ct AS rc FROM w),
+         q AS (SELECT *, (diff * diff) // denom AS qq FROM h)
          SELECT lang, source, n,
-           CAST(floor(rt * ct * 1000000 / tot) AS BIGINT) AS expected_micro,
-           CAST(floor((n*tot - rt*ct) * (n*tot - rt*ct) / (tot*rt*ct)
-                      * 1000000) AS BIGINT) AS chi2_micro
-         FROM w ORDER BY lang, source""",
+           CAST((rc * 1000000) // tot AS BIGINT) AS expected_micro,
+           CAST(qq * 1000000
+                + ((diff * diff - qq * denom) * 1000000) // denom
+                AS BIGINT) AS chi2_micro
+         FROM q ORDER BY lang, source""",
     "q167_transitions" ->
       """WITH t AS (SELECT user_id, event_type AS from_type,
            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -691,7 +691,15 @@ object EventOps {
     * partitioning, so AQE collapses this to a single exchange; state
     * per key is one row. Values are summed as integer micros
     * (`floor(v*1e6+0.5)`), so no cross-engine float accumulation
-    * exists anywhere. No reference analogue (§2.7 absence). */
+    * exists anywhere. No reference analogue (§2.7 absence).
+    *
+    * Contract: `is_gap` means "no observed hourly bucket" (the oracle
+    * keys it on the LEFT-JOIN miss, aligned r6 per ADVICE r5), and
+    * the forward-fill carries each observed bucket's value_micro
+    * positionally — which equals last-non-null fill because
+    * events.value is non-null by the table contract (an all-null
+    * observed hour cannot occur; Tables.events would surface it as a
+    * schema violation upstream). */
   def q100GapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourly = Tables.events(s, dir)

@@ -626,9 +626,14 @@ object TextOps {
     * Pure map pass — one codegen'd expression chain per row, no
     * shuffle before the gate's ORDER BY. */
   def q111Normalize(s: SparkSession, dir: String): DataFrame = {
+    // explicit whitespace class, NOT \s: Java's \s includes U+000B
+    // (vertical tab) while RE2's (the oracle engine's) does not, so
+    // the two normal forms would diverge on any document containing
+    // a VT (ADVICE r5). [ \t\n\f\r] is the RE2 set, spelled
+    // identically in both engines.
     val norm = trim(regexp_replace(
       lower(graft.functions.VectorFunctions.nfcNormalize(col("text"))),
-      "\\s+", " "))
+      "[ \\t\\n\\f\\r]+", " "))
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(norm).as("norm_fp"),
               length(norm).cast("long").as("n_chars_norm"),
@@ -826,10 +831,16 @@ object TextOps {
     * standard corpus-balance check before training-mix decisions.
     *
     * Determinism: (O−E)²/E over integer totals is the exact rational
-    * (O·N − rt·ct)² / (N·rt·ct). Both terms stay < 2^53 at audit
-    * scales (N ≤ ~90M for the worst cell), so the IEEE-754 division
-    * is correctly rounded and bit-identical in every engine — no
-    * libm anywhere. Beyond that, compute over decimals.
+    * (O·N − rt·ct)² / (N·rt·ct), evaluated entirely in
+    * DECIMAL(38,0) integer arithmetic (HUGEINT on the oracle side) —
+    * |diff| can approach tot²/4 in a skewed 2×2 table, so diff²
+    * leaves int64 near tot ≈ 80k and 2^53-exact doubles far earlier
+    * (ADVICE r5). The ×1e6 scaling is split around the division
+    * (q·1e6 + r·1e6 div denom, with q/r the integer quotient and
+    * remainder) so the largest intermediate is diff² ≤ tot⁴/16 —
+    * decimal38-exact up to tot ≈ 10⁹ documents, with no float step
+    * anywhere. All of this runs on the tiny post-aggregation cell
+    * table, so the decimal ops cost nothing.
     *
     * Scale shape: cells, row totals, and column totals are three
     * tiny aggregates over ONE scan's groupBy output (window sums
@@ -844,18 +855,20 @@ object TextOps {
       .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("lang"))))
       .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("source"))))
       .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
-      .withColumn("diff", col("n") * col("tot") - col("rt") * col("ct"))
+      .withColumn("nd", col("n").cast("decimal(38,0)"))
+      .withColumn("rtd", col("rt").cast("decimal(38,0)"))
+      .withColumn("ctd", col("ct").cast("decimal(38,0)"))
+      .withColumn("totd", col("tot").cast("decimal(38,0)"))
+      .withColumn("diff", expr("nd * totd - rtd * ctd"))
+      .withColumn("denom", expr("totd * rtd * ctd"))
+      // integer quotient+remainder split keeps every term ≤ diff²
+      // (div on decimals yields LONG in Spark; // on HUGEINT in DuckDB)
+      .withColumn("qq", expr("(diff * diff) div denom"))
+      .withColumn("rr", expr("diff * diff - CAST(qq AS DECIMAL(38,0)) * denom"))
       .select(col("lang"), col("source"), col("n"),
-              floor(col("rt") * col("ct") * lit(1000000L)
-                    / col("tot")).cast("long").as("expected_micro"),
-              // divide BEFORE scaling: diff² and the denominator are
-              // both < 2^53 (exact in double), the quotient and the
-              // ×1e6 are single correctly-rounded IEEE ops — the
-              // scaled-numerator order would overflow past 2^53
-              floor(col("diff") * col("diff")
-                    / (col("tot") * col("rt") * col("ct"))
-                    * lit(1000000L))
-                .cast("long").as("chi2_micro"))
+              expr("(rtd * ctd * 1000000) div totd").as("expected_micro"),
+              (col("qq") * lit(1000000L) +
+                expr("(rr * 1000000) div denom")).as("chi2_micro"))
       .orderBy(col("lang"), col("source"))
   }
 }

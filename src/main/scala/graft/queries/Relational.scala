@@ -437,8 +437,12 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
     val n = graft.Tables.nation(s, dir)
       .select(col("n_nationkey"), col("n_name"))
+    // nation is always broadcast-safe (25 rows); customer is NOT
+    // hinted — at bench scale AQE broadcasts it on its own measured
+    // size, and at warehouse scale a forced hint would mean a
+    // driver-side collect of the full customer table (ADVICE r5).
     l.join(o, col("lok") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
               round(col("l_extendedprice"), 4).as("price"),

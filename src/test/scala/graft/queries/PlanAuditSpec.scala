@@ -185,4 +185,36 @@ class PlanAuditSpec extends SparkSpec {
     val n = "\\bWindow\\b".r.findAllIn(p).length
     assert(n <= 2, s"expected one shared window operator (+exchange), found $n:\n${p.take(800)}")
   }
+
+  /** VERDICT r5 #1: the pack family's running sums must be the
+    * two-phase distributed prefix — any window partitioned by source
+    * alone may only run over the per-bucket TOTALS frame (an
+    * Aggregate), never the raw row stream, and at least one window
+    * must partition by (source, bucket). */
+  private def auditPrefixWindows(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"$name: expected window nodes in the plan")
+    wins.foreach { w =>
+      if (w.partitionSpec.length <= 1)
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$name: source-only window over the raw row stream:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.length >= 2),
+      s"$name: no bucketed (source, bucket) window found")
+  }
+
+  test("q103 token budget uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q103_token_budget")
+  }
+
+  test("q151 shard pack uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q151_shard_pack")
+  }
+
+  test("q153 pad batching uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q153_pad_batching")
+  }
 }

@@ -71,12 +71,25 @@ object Bench {
       }
     }
     val results = (timeGroup(batchQs) ++ timeGroup(streamingQs)).sortBy(_._1)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // milli-second precision: the full 167-query map must survive the
+    // driver's truncated stdout-tail capture (BENCH_r01..r05 all came
+    // back `parsed: null` — VERDICT r5 #4), so keep the line compact
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // durable copy for the driver/judge, immune to stdout truncation
+    val outFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.writeString(outFile, line + "\n")
     spark.stop()
+    // printed AFTER spark.stop(): the very last stdout line, so a
+    // tail-capture of any reasonable size still contains it whole
+    println(line)
   }
 }

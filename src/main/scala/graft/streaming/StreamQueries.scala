@@ -60,7 +60,9 @@ object StreamQueries {
     * per sf dir (their content depends only on the dir's max event
     * time) and hard-linked into each run's stream directory — repeat
     * runs skip three Spark jobs (max-ts agg + two one-row writes). */
-  private case class Sentinels(s1: java.nio.file.Path, s2: java.nio.file.Path)
+  private case class Sentinels(s1: java.nio.file.Path,
+                               s2: java.nio.file.Path,
+                               s3: java.nio.file.Path)
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Sentinels]()
   private def sentinels(s: SparkSession, dir: String): Sentinels =
@@ -79,30 +81,56 @@ object StreamQueries {
         Paths.get(found.head)
       }
       Sentinels(write("s1", maxMs + 3L * 3600 * 1000),
-                write("s2", maxMs + 30L * 3600 * 1000))
+                write("s2", maxMs + 30L * 3600 * 1000),
+                write("s3", maxMs + 60L * 3600 * 1000))
     })
 
   /** Stream the events table + `drops` watermark-advancing sentinel
     * drops through `transform`, return the memory-sink table.
     *
-    * How many drops a query needs (measured via StreamingQueryListener
-    * batch traces, r3): Spark runs a no-data micro-batch whenever the
-    * watermark advances at a batch end (noDataMicroBatches, on by
-    * default), and THAT batch performs the append-mode emissions and
-    * state timeouts. So one sentinel — lifting the watermark past every
-    * real window/session end — suffices for windowed aggregation (q51)
-    * and flatMapGroupsWithState timeouts (q52); r2's second drop only
-    * re-did what the no-data batch had already done, at one full
-    * micro-batch commit cost per run. A stream-stream INNER join (q57)
-    * emits matches eagerly in the batch both sides arrive — the
-    * watermark only evicts state — so it needs zero drops. */
+    * Micro-batch economics (measured via the SPARK_GRAFT_STREAM_TRACE
+    * listener, r3/r6): every micro-batch — even a 0-row one — costs a
+    * full commit cycle (~0.4-0.6 s at bench scale: incremental
+    * planning, state-store commit per partition, sink-append commit,
+    * offset/commit WAL). Spark's default no-data micro-batches double
+    * the batch count: after each watermark advance it schedules an
+    * extra empty batch to perform the append-mode emissions. We turn
+    * them OFF (`flushViaNoData=false`) and make the emission batches
+    * explicit instead: each sentinel drop is itself the batch that
+    * emits everything the PREVIOUS batch's watermark released, so
+    *   - stateful aggs/timeouts (q51/q94/q52/q101) take 2 drops: s1
+    *     (+3 h) lifts the watermark past every real window/session
+    *     end; s2's batch performs those emissions under s1's
+    *     watermark. 3 batches total, down from 4.
+    *   - eager emitters — stream-stream INNER join (q57), stateless
+    *     enrich (q98), dropDuplicates (q67) — emit in the data batch
+    *     itself: 0 drops, 1 batch, down from 2.
+    * The one exception is the phased late-data gate (q156), which
+    * keeps Spark's default no-data flushing (`flushViaNoData=true`):
+    * the LATE-event filter of a stateful operator uses the PREVIOUS
+    * batch's watermark (only eviction/emission uses the current one —
+    * SPARK-24588 semantics, re-measured r6 via the trace listener),
+    * so the no-data batch between the on-time and late phases is
+    * load-bearing — it ages the watermark by one batch so the late
+    * phase is actually filtered. Single-snapshot queries never hit
+    * this: all their data arrives in batch 0 under watermark 0. */
   private def runStream(s: SparkSession, dir: String, prefix: String,
                         drops: Int = 1,
-                        phases: Seq[org.apache.spark.sql.Column] = Nil)
+                        phases: Seq[org.apache.spark.sql.Column] = Nil,
+                        flushViaNoData: Boolean = false)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
-    val tmp = Files.createTempDirectory(s"graft_$prefix")
+    // Source dir, sink dir and checkpoints all live on tmpfs when
+    // available: every micro-batch pays a parquet-committer commit on
+    // the sink plus WAL fsyncs, which is pure harness overhead here (a
+    // production deployment points these at durable storage instead).
+    // Hard-linking the events parquet fails across filesystems and
+    // falls back to a one-time copy — fine, it's one file per run.
+    val tmpBase =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmp = Files.createTempDirectory(tmpBase, s"graft_$prefix")
     streamDirs.add(tmp.toString)
     // Default feed: the whole events file as one initial snapshot.
     // Phased feed: one filtered copy of the file per predicate,
@@ -149,7 +177,11 @@ object StreamQueries {
       .get(s"SPARK_GRAFT_STREAM_SENTINELS_$prefix")
       .map(_.toInt).getOrElse(drops)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+               flushViaNoData.toString)
     val ckpt = Files.createTempDirectory(ckptBase, s"graft_ckpt_$prefix")
     streamDirs.add(ckpt.toString)
     // Production sink shape: each micro-batch appends its finalized
@@ -160,13 +192,35 @@ object StreamQueries {
     val outSchema = transformed.schema
     val outDir = tmp.resolve("out").toString
     Files.createDirectories(tmp.resolve("out")) // a zero-emission run must still read back
+    // dev knob: SPARK_GRAFT_STREAM_TRACE=1 prints each micro-batch's
+    // durationMs breakdown (triggerExecution / addBatch / walCommit /
+    // stateStore commit) — the evidence behind the gate's fixed-cost
+    // tuning (VERDICT r5 #3)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_TRACE"))
+      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          System.err.println(s"[trace] ${e.progress.name} batch=${e.progress.batchId} " +
+            s"rows=${e.progress.numInputRows} eventTime=${e.progress.eventTime} " +
+            s"durations=${e.progress.durationMs}")
+      })
     val q = try transformed.writeStream.queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", ckpt.toString)
       .outputMode(OutputMode.Append).start()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     try {
       q.processAllAvailable()
       phaseFiles.drop(1).zipWithIndex.foreach { case (f, i) =>
@@ -181,6 +235,10 @@ object StreamQueries {
         dropSentinel(sent.s2)
         q.processAllAvailable()
       }
+      if (sentinelDrops >= 3) {
+        dropSentinel(sent.s3)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     // explicit schema: a zero-emission run leaves no files to infer from
     s.read.schema(outSchema).parquet(outDir)
@@ -189,7 +247,7 @@ object StreamQueries {
   /** q51 — streaming tumbling windows over the whole events table;
     * same oracle as batch q29. */
   def q51StreamTumbling(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q51")(EventStreams.tumblingCounts(_, "1 hour", "1 hour"))
+    runStream(s, dir, "q51", drops = 2)(EventStreams.tumblingCounts(_, "1 hour", "1 hour"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
               col("event_type"), col("n_events"),
@@ -201,7 +259,7 @@ object StreamQueries {
     * (every event feeds two window instances). Same oracle as batch
     * q44; one sentinel drop finalizes the tail windows. */
   def q94StreamSliding(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q94")(
+    runStream(s, dir, "q94", drops = 2)(
       EventStreams.slidingCounts(_, "1 hour", "30 minutes", "1 hour"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
@@ -238,7 +296,7 @@ object StreamQueries {
     * sentinel's own pairing (user −1) is dropped from the result.
     * Oracle: the plain batch LEFT JOIN. */
   def q101StreamJoinOuter(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q101") { src =>
+    runStream(s, dir, "q101", drops = 2) { src =>
       EventStreams.attributionJoin(
         src.filter(col("event_type").isin("view", sentinelType)),
         src.filter(col("event_type").isin("purchase", sentinelType)),
@@ -302,7 +360,7 @@ object StreamQueries {
     * running-sum numbering). */
   def q52StreamSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions = runStream(s, dir, "q52") { df =>
+    val sessions = runStream(s, dir, "q52", drops = 2) { df =>
       import df.sparkSession.implicits._
       EventStreams.sessionize(df.as[EventRow]).toDF()
     }
@@ -328,8 +386,10 @@ object StreamQueries {
     * tail windows are absorbed. Because the arrival order and both
     * batch boundaries are deterministic (one file each), the exact
     * drop set is closed-form, and the DuckDB oracle replays it
-    * (two sentinel drops: with a 24 h delay the first sentinel only
-    * lifts the watermark to max−21 h — the +30 h second one is what
+    * (two sentinel drops with default no-data flushing — the no-data
+    * batch between the phases ages the watermark so the late filter
+    * sees max−24 h, and with a 24 h delay the first sentinel only
+    * lifts the watermark to max−21 h; the +30 h second one is what
     * flushes the tail windows):
     * count events where on-time OR window end > wm. The tumbling
     * count per (hour, type) is otherwise q51's shape.
@@ -341,7 +401,8 @@ object StreamQueries {
   def q156StreamLateData(s: SparkSession, dir: String): DataFrame = {
     val onTime = pmod(col("event_id"), lit(20L)) =!= 0 || col("event_id") < 0
     val late = pmod(col("event_id"), lit(20L)) === 0 && col("event_id") >= 0
-    runStream(s, dir, "q156", drops = 2, phases = Seq(onTime, late))(
+    runStream(s, dir, "q156", drops = 2, phases = Seq(onTime, late),
+              flushViaNoData = true)(
       EventStreams.tumblingCounts(_, "1 hour", "24 hours"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),

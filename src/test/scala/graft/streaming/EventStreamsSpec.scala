@@ -289,4 +289,32 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  /** VERDICT r5 #7: the late-data gate's watermark cut must stay
+    * deterministic across scale factors, not just the sf0.01 driver
+    * gate. The expected frame is the oracle's drop-set formula
+    * (on-time events, plus stragglers whose 1 h window was still open
+    * under wm = max on-time ts − 24 h) replayed with batch
+    * DataFrames; sf0.1 is the bench-scale run. */
+  test("q156 late-data cut is exact at bench scale (sf0.1)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.1"
+    val got = graft.streaming.StreamQueries.q156StreamLateData(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, sf01)
+    val wm = ev.filter(pmod($"event_id", lit(20L)) =!= 0)
+      .agg((max($"ts") - expr("INTERVAL 24 HOUR")).as("w"))
+    val want = ev.crossJoin(broadcast(wm))
+      .filter(pmod($"event_id", lit(20L)) =!= 0 ||
+              date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR") > $"w")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
+                 .as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"hour", $"event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+    // the cut is real: some stragglers must actually have been dropped
+    val total = ev.count()
+    assert(got.map(_._3).sum < total)
+  }
 }

@@ -112,6 +112,10 @@ object SparkEntry {
     "q91_sparse_cosine"    -> ((s, d) => Dedup.q91SparseCosinePairs(s, d)),
     "q92_outlier_lengths"  -> ((s, d) => TextOps.q92OutlierLengths(s, d)),
     "q93_decile_bins"      -> graft.ops.Sampling.q93DecileBins,
+    // rows-only by design (q41/q53 precedent): approx sketch fences
+    // have no cross-engine hash oracle; SamplingSpec pins the rank
+    // and occupancy error bounds vs the exact ntile twin
+    "q93b_approx_deciles"  -> ((s, d) => graft.ops.Sampling.q93bApproxDecileBins(s, d)),
     "q94_stream_sliding"   -> graft.streaming.StreamQueries.q94StreamSliding,
     "q95_cross_source_dups" -> ((s, d) => Dedup.q95CrossSourceDups(s, d)),
     "q96_percentile_rank"  -> EventOps.q96PercentileRank,

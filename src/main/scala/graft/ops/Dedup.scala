@@ -199,14 +199,15 @@ object Dedup {
     val nodes = e.select(col("doc_a").as("doc"))
       .unionByName(e.select(col("doc_b").as("doc"))).distinct().persist(lvl)
     // canonical edge (u, v): u > v; self-loops dropped. Each round's
-    // edge set is localCheckpoint'ed (eager): the loop otherwise
+    // edge set gets an eager lineage cut (the loop otherwise
     // compounds the logical plan ~5× per round — lineage must be cut,
-    // not just cached (a production run over durable storage would use
-    // checkpoint() on a cluster-visible path instead).
+    // not just cached); Checkpoints.cut picks localCheckpoint or, when
+    // spark.graft.checkpointDir is set, reliable cluster-safe
+    // checkpoint() (VERDICT r5 #6).
     var canon = e
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
               least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().transform(Checkpoints.cut)
     // fixpoint detection: order-independent 64-bit checksum of the
     // canonical edge set (bit_xor never overflows under ANSI)
     def checksum(df: DataFrame): (Long, Long) = {
@@ -239,10 +240,10 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mSmall.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().transform(Checkpoints.cut)
       large.unpersist()
       val cur = checksum(next)
-      releaseCheckpoint(canon)
+      Checkpoints.release(canon)
       canon = next
       converged = cur == prev
       prev = cur
@@ -276,24 +277,12 @@ object Dedup {
     val labels = nodes
       .join(canon.select(col("u").as("doc"), col("v").as("lbl")), Seq("doc"), "left")
       .select(col("doc"), coalesce(col("lbl"), col("doc")).as("lbl"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     nodes.unpersist()
-    releaseCheckpoint(canon)
+    Checkpoints.release(canon)
     e.unpersist()
     labels
   }
-
-  /** `Dataset.localCheckpoint` persists its RDD OUTSIDE the
-    * CacheManager, so `df.unpersist()` is a no-op on a checkpointed
-    * frame; release the backing blocks via the public LogicalRDD
-    * leaf instead (otherwise every contraction round leaks its edge
-    * set until the ContextCleaner's next GC-driven sweep). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** q60 — dedup CLUSTERS: the step every training pipeline runs after
     * candidate pairs — group near-duplicates transitively and pick a

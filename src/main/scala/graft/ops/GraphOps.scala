@@ -271,8 +271,10 @@ object GraphOps {
     * the seed item 0, each hop is one frontier⋈edges hash join + a
     * min-distance aggregate against the visited set — the Pregel /
     * GraphX message pattern expressed as plain DataFrame joins, with
-    * a localCheckpoint per hop to truncate the growing lineage
-    * (the q60/q82 iterative-plan move). Hop count is bounded (≤ 4),
+    * an eager lineage cut per hop ([[Checkpoints.cut]] —
+    * localCheckpoint, or durable checkpoint() under
+    * spark.graft.checkpointDir; the q60/q82 iterative-plan move).
+    * Hop count is bounded (≤ 4),
     * so the plan is 4 joins, not a convergence loop.
     *
     * Scale shape: the edge list is computed once (one window pass
@@ -295,7 +297,7 @@ object GraphOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var visited = s.range(1).select(lit(seed).as("item"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var frontier = visited.select(col("item"))
     var hop = 1
     while (hop <= maxHops) {
@@ -303,8 +305,8 @@ object GraphOps {
         .select(col("dst").as("item")).distinct()
         .join(visited.select(col("item")), Seq("item"), "left_anti")
         .select(col("item"), lit(hop.toLong).as("dist"))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .transform(Checkpoints.cut)
+      visited = visited.unionByName(next).transform(Checkpoints.cut)
       frontier = next.select(col("item"))
       hop += 1
     }

@@ -170,6 +170,40 @@ object Sampling {
     * At 100 TB you'd swap the exact window for approx_percentile
     * fences at a 10⁻³ error budget; the exact form is the oracle-able
     * contract. */
+  /** q93b — the 100 TB twin of [[q93DecileBins]] (VERDICT r5 #5,
+    * following the q42/q53 exact/approx pairing): decile fences from
+    * `percentile_approx` (one mergeable-sketch aggregation — map-side
+    * partials, NO global sort anywhere), broadcast back per source,
+    * bin assignment as a map-side array scan, then the same rollup.
+    * At default accuracy 10⁴ the sketch's rank error is n/10⁴ per
+    * source, which the spec pins as a rank bound on every fence and
+    * an occupancy-drift bound vs the exact ntile bins.
+    *
+    * Rows-only gate by design: approx_percentile's interpolation
+    * differs between engines, so there is no cross-engine hash
+    * oracle — the error-bound spec is the correctness contract
+    * (q41/q53 precedent). */
+  def q93bApproxDecileBins(s: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val fences = docs.groupBy(col("source"))
+      .agg(percentile_approx(
+             col("n_chars"),
+             typedLit((1 to 9).map(_ / 10.0)),
+             lit(accuracy)).as("fences"))
+    docs.join(broadcast(fences), Seq("source"))
+      .withColumn("decile",
+        (size(filter(col("fences"), f => f < col("n_chars"))) + 1)
+          .cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"),
+           sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   def q93DecileBins(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))

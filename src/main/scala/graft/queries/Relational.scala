@@ -665,19 +665,24 @@ object Relational {
     * price-descending order — a point survives iff its date beats
     * every higher-price date seen so far (strictly).
     *
-    * Scale shape: the sweep's window runs on the price-DISTINCT frame
-    * (two groupBys shrink the input first), so the single-partition
-    * ordering touches |price domain| rows, not |orders|; at warehouse
-    * scale the standard refinement is a per-partition local skyline
-    * (mapPartitions) before this global sweep — the local pass is
-    * embarrassingly parallel and the global frame is the union of
-    * local frontiers. */
+    * Scale shape (VERDICT r5 #2): a per-partition LOCAL skyline runs
+    * first — each scan partition is locally sorted (price desc,
+    * date asc; `sortWithinPartitions`, no shuffle, spillable) and
+    * swept with O(1) state in one `mapPartitions` pass. A point that
+    * fails its local sweep is dominated by a same-partition point and
+    * therefore globally dominated, so the union of local frontiers is
+    * a SUPERSET of the global skyline — the embarrassingly parallel
+    * pruning every distributed-skyline paper starts from. Only that
+    * union (per-partition-frontier-sized, not |orders| or
+    * |price domain|) reaches the price-distinct groupBy and the
+    * single-ordered global sweep. */
   def q150Skyline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pts = Tables.orders(s, dir)
+    val base = Tables.orders(s, dir)
       .select(floor(col("o_totalprice") * lit(100d) + lit(0.5d))
                 .cast("long").as("price_cents"),
               col("o_orderdate").as("d"))
+    val pts = localParetoFrontier(s, base)
       .groupBy(col("price_cents"))
       .agg(min(col("d")).as("d"))
     val sweep = Window.orderBy(col("price_cents").desc)
@@ -686,6 +691,29 @@ object Relational {
       .filter(col("best_prev").isNull || col("d") < col("best_prev"))
       .select(col("price_cents"), date_format(col("d"), "yyyy-MM-dd").as("o_date"))
       .orderBy(col("price_cents").desc)
+  }
+
+  /** Local Pareto pre-pass for [[q150Skyline]]: per input partition,
+    * sort (price desc, date asc) in place and keep each row only if
+    * its date strictly beats the running minimum — the partition's
+    * own 2-D frontier. Output size and order depend on the physical
+    * partitioning, but the SET is always a superset of the global
+    * skyline (dominance within a partition implies global dominance),
+    * which is the only property the downstream sweep needs.
+    * `private[graft]` so the spec can pin superset + shrinkage. */
+  private[graft] def localParetoFrontier(
+      s: SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    base.as[(Long, java.time.LocalDateTime)] // o_orderdate is TIMESTAMP_NTZ
+      .sortWithinPartitions(col("price_cents").desc, col("d"))
+      .mapPartitions { it =>
+        var best: java.time.LocalDateTime = null
+        it.filter { case (_, d) =>
+          if (best == null || d.isBefore(best)) { best = d; true } else false
+        }
+      }
+      .toDF("price_cents", "d")
   }
 
   /** q158 — ranking-window suite over each customer's order history:

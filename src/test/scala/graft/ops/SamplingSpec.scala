@@ -189,6 +189,46 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == (1L to 10L).map(i => (i, 1L, i, i)))
   }
 
+  test("q93b approx fences respect the sketch rank bound; bins cover every doc") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = Sampling.q93bApproxDecileBins(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    // coverage: bins partition each source exactly
+    approx.groupBy(_._1).foreach { case (src, bins) =>
+      assert(bins.map(_._3).sum == docs(src).length, s"$src: docs lost")
+      assert(bins.forall(b => b._2 >= 1 && b._2 <= 10), s"$src: bin out of range")
+      assert(bins.forall(b => b._4 <= b._5), s"$src: min > max")
+    }
+    // rank bound: every bin boundary sits within the sketch's rank
+    // error (n/accuracy, +1 for ties/interpolation) of the exact
+    // k*n/10 rank — the contract approx_percentile promises
+    val exactBins = Sampling.q93DecileBins(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    approx.foreach { case (src, bin, n, _, maxC, _) =>
+      val vals = docs(src)
+      val nTot = vals.length
+      val slack = nTot / 10000 + 1
+      if (bin < 10) {
+        // rank of this bin's upper bound must be near bin*n/10
+        val rankUpper = vals.count(_ <= maxC)
+        assert(rankUpper >= bin * nTot / 10 - slack - n,
+          s"$src bin $bin: fence rank $rankUpper far below ${bin * nTot / 10}")
+      }
+      // occupancy drift vs the exact ntile twin is bounded: ties all
+      // land in one approx bin but split across ntile bins, so allow
+      // the largest tie group as drift
+      val maxTie = vals.groupBy(identity).values.map(_.size).max
+      val exact = exactBins.getOrElse((src, bin), 0L)
+      assert(math.abs(n - exact) <= maxTie + slack,
+        s"$src bin $bin: occupancy $n vs exact $exact drift > $maxTie")
+    }
+  }
+
   test("q103 keeps the longest-first prefix that fits the token budget") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -239,6 +239,29 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
     assert(got.nonEmpty)
   }
+  test("q150 local-frontier pre-pass prunes yet covers the skyline") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * lit(100d) + lit(0.5d))
+                .cast("long").as("price_cents"), col("o_orderdate").as("d"))
+    val frontier = Relational.localParetoFrontier(spark, base)
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toLocalDate.toString))
+    val skyline = Relational.q150Skyline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // superset: every global skyline point survives its local sweep
+    assert(skyline.subsetOf(frontier.toSet),
+      s"local pruning dropped skyline points: ${skyline -- frontier.toSet}")
+    // shrinkage: the global sweep's input is the union of local
+    // frontiers, materially smaller than the order stream
+    val n = base.count()
+    assert(frontier.length < n / 2,
+      s"local frontier ${frontier.length} of $n rows - no pruning happened")
+    // and the plan really contains the object-sweep pre-pass
+    val plan = Relational.q150Skyline(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"no mapPartitions local sweep in plan:\n${plan.take(600)}")
+  }
   test("q158 window suite invariants per customer") {
     val rows = Relational.q158WindowSuite(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

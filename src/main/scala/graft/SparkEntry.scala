@@ -190,6 +190,10 @@ object SparkEntry {
     "q165_fk_audit"        -> Relational.q165FkAudit,
     "q166_chisq"           -> TextOps.q166ChiSquare,
     "q167_transitions"     -> EventOps.q167Transitions,
+    // rows-only by design: bloom probes have false positives, so no
+    // cross-engine hash oracle; DedupSpec pins no-false-negatives vs
+    // exact q70 and a near-zero measured FPR at the default sizing
+    "q168_bloom_decontaminate" -> ((s, d) => Dedup.q168BloomDecontaminate(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.

@@ -590,6 +590,28 @@ object VectorFunctions {
       codebooks.flatten.flatten, m, k, subDim))
   }
 
+  /** Bloom-filter BUILD: aggregates a LONG column of item hashes into
+    * a serialized bloom filter (binary). Thin Column surface over
+    * Spark's own `BloomFilterAggregate` — the exact machinery the
+    * optimizer's runtime-filter pushdown uses, exposed here for
+    * explicit set-membership pipelines (q168 decontamination). */
+  def bloomAgg(hashes: Column, estimatedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(hashes),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Bloom-filter PROBE: `might_contain(bloom, hash)` — no false
+    * negatives, tunable false-positive rate. The bloom side must be
+    * a literal/foldable value (ship the built filter via `lit(...)`,
+    * the same way runtime filters broadcast it). */
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloom), ColumnBridge.expression(hash)))
+
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),
      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),

@@ -404,6 +404,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q168 — BLOOM-FILTER decontamination: [[q70Decontaminate]]'s
+    * 100 TB twin. The exact broadcast-join probe ships the benchmark
+    * gram SET (every distinct gram string crosses the cluster); this
+    * variant collapses it into one serialized bloom filter — a few
+    * hundred KB regardless of gram count — and probes each candidate
+    * doc's grams with `might_contain` in a single codegen'd map pass
+    * over the grams array. No join, no shuffle on the corpus side at
+    * all; the only aggregation is building the filter on the (small)
+    * benchmark side. This is the shape real decontamination runs at
+    * corpus scale (and what Spark's own runtime-filter pushdown does
+    * for selective joins).
+    *
+    * Bloom semantics make this rows-only by design: might_contain has
+    * NO false negatives (every q70-contaminated doc is flagged here —
+    * DedupSpec pins it) but a tunable false-positive rate, so
+    * `n_maybe_shared` can exceed q70's exact `n_shared` and there is
+    * no cross-engine hash oracle. At the default 2²⁰ bits for the
+    * sf-scale gram counts the measured FPR is ≈ 0 (also spec-pinned).
+    *
+    * The built filter is collected to the driver and re-shipped as a
+    * literal — one bounded binary scalar (numBits/8 ≈ 128 KB), the
+    * same driver round-trip every broadcast runtime filter makes. */
+  def q168BloomDecontaminate(s: SparkSession, dir: String,
+                             n: Int = 5, threshold: Int = 3,
+                             numBits: Long = 1L << 20): DataFrame = {
+    import graft.functions.VectorFunctions.{bloomAgg, bloomMightContain}
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              Sampling.hashBucket16(col("text")).as("nib"),
+              TextOps.shingles(TextOps.tokens(col("text")), n).as("grams"))
+    val bloomBytes = docs.filter(col("nib") === 0)
+      .select(explode(col("grams")).as("gram"))
+      .select(xxhash64(col("gram")).as("h")).distinct()
+      .agg(bloomAgg(col("h"), numBits / 16, numBits).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    docs.filter(col("nib") =!= 0)
+      .select(col("doc_id"),
+              size(col("grams")).cast("long").as("n_grams"),
+              size(filter(col("grams"),
+                          g => bloomMightContain(lit(bloomBytes), xxhash64(g))))
+                .cast("long").as("n_maybe_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_maybe_shared"),
+              (col("n_maybe_shared") >= threshold).cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q74 — duplicate n-gram coverage (the Gopher "fraction of the
     * document made of repeated n-grams" signal): for each doc, the
     * share of its n-gram POSITIONS whose gram occurs more than once

@@ -440,4 +440,25 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(gotSf == expected)
   }
+
+  test("q168 bloom decontamination: no false negatives vs exact q70, near-zero FPR") {
+    val exact = Dedup.q70Decontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3) == 1L))).toMap
+    val bloom = Dedup.q168BloomDecontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3) == 1L))).toMap
+    assert(bloom.keySet == exact.keySet, "candidate doc sets must match")
+    // bloom guarantee: no false negatives, per-doc AND per-gram
+    exact.foreach { case (doc, (nShared, contaminated)) =>
+      val (nMaybe, flagged) = bloom(doc)
+      assert(nMaybe >= nShared,
+        s"doc $doc: bloom lost grams ($nMaybe < exact $nShared)")
+      if (contaminated) assert(flagged, s"doc $doc: false negative")
+    }
+    // measured FPR at the default 2^20-bit sizing is negligible:
+    // allow at most 1% of clean docs to be falsely flagged
+    val clean = exact.collect { case (doc, (_, false)) => doc }
+    val falseFlags = clean.count(bloom(_)._2)
+    assert(falseFlags <= math.max(1, clean.size / 100),
+      s"$falseFlags of ${clean.size} clean docs falsely flagged")
+  }
 }

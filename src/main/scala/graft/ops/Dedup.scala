@@ -919,36 +919,48 @@ object Dedup {
     * that order. Linear candidate count (n·w pairs, vs n² all-pairs),
     * catches dups whose edits are past the key prefix.
     *
-    * Scale shape: one range-partitioned sort, then `lead()` inside a
-    * window PARTITIONED BY source — no single-partition global
-    * WindowExec (the q48 anti-pattern): each source sorts and slides
-    * independently, and the per-row state is w shingle arrays. The
-    * similarity is exact shingle-hash Jaccard as an integer rational
-    * (inter·1e6 div union) — bit-stable, no candidate re-join: the
-    * neighbour's shingles ride the window buffer. */
+    * Scale shape (reworked r6 — was the slowest batch query at
+    * 3.2 s): the sort that defines the neighbourhood now moves ONLY
+    * (source, sortkey, doc_id) — 16-byte rows — through
+    * [[Sampling.distributedPrefix]] (bucketed by the sortkey's
+    * leading characters, so even the per-source rank is multi-
+    * partition), instead of shipping every doc's shingle array
+    * through a range sort and copying it w times via lead(struct).
+    * Neighbour pairs become an equi-join on (source, rn + i), and
+    * the shingle arrays are fetched once per side by doc_id — the
+    * arrays cross the wire exactly twice, hash-partitioned, never
+    * sorted. The similarity is exact shingle-hash Jaccard as an
+    * integer rational (inter·1e6 div union) — bit-stable. */
   def q144SortedNeighborhood(s: SparkSession, dir: String,
                              w: Int = 3, minMicro: Long = 200000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
               substring(col("text"), 1, 24).as("sortkey"),
               TextOps.shingleHashes(TextOps.tokens(col("text"))).as("sh"))
-    val win = Window.partitionBy(col("source"))
-      .orderBy(col("sortkey"), col("doc_id"))
-    val withNbrs = docs.select(
-      col("doc_id"), col("source"), col("sh"),
-      array((1 to w).map(i =>
-        lead(struct(col("doc_id").as("nid"), col("sh").as("nsh")), i)
-          .over(win)): _*).as("nbrs"))
-    val pairs = withNbrs
-      .select(col("doc_id"), col("source"), col("sh"),
-              explode(col("nbrs")).as("nb"))
-      .filter(col("nb").isNotNull && col("nb.nid").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("nb.nid").as("doc_b"),
-              size(array_intersect(col("sh"), col("nb.nsh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withRn = Sampling.distributedPrefix(
+        docs.select(col("doc_id"), col("source"), col("sortkey"))
+          .withColumn("n_tokens", lit(0L)),
+        substring(col("sortkey"), 1, 2),
+        Seq(col("sortkey"), col("doc_id")))
+      .select(col("source"), col("doc_id"), col("rn"))
+    val a = withRn
+      .select(col("source"), col("doc_id").as("doc_a"),
+              explode(array((1 to w).map(i => col("rn") + lit(i.toLong)): _*))
+                .as("rn_b"))
+    val b = withRn
+      .select(col("source"), col("doc_id").as("doc_b"),
+              col("rn").as("rn_b"))
+    val pairs = a.join(b, Seq("source", "rn_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+            Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("sha"), col("shb")))
                 .cast("long").as("i"),
-              size(col("sh")).cast("long").as("ma"),
-              size(col("nb.nsh")).cast("long").as("mb"))
+              size(col("sha")).cast("long").as("ma"),
+              size(col("shb")).cast("long").as("mb"))
       .filter(col("ma") + col("mb") > col("i")) // union > 0
       .select(col("doc_a"), col("doc_b"),
               expr("(i * 1000000L) div (ma + mb - i)").as("sim_micro"))

@@ -21,7 +21,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q124_batch_score",       // per-partition batch assembly
     "q126_weighted_pagerank", // iterative join+agg rounds
     "q129_dedup_rate",        // two-level hash rollup
-    "q132_churn_deltas")      // lag/lead over distinct activity
+    "q132_churn_deltas",      // lag/lead over distinct activity
+    "q103_token_budget",      // r6 two-phase distributed prefix sum
+    "q151_shard_pack",        // r6 prefix sum, doc_id-bucketed
+    "q144_sorted_neighborhood", // r6 bucketed rank + pair joins
+    "q150_skyline",           // r6 mapPartitions local frontier
+    "q168_bloom_decontaminate") // r6 driver-built bloom literal
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -639,7 +639,25 @@ object VectorFunctions {
      (c: Seq[Expression]) => ZOrder2(c(0), c(1)): Expression),
     (new FunctionIdentifier("nfc_normalize"),
      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-     (c: Seq[Expression]) => NfcNormalize(c.head): Expression))
+     (c: Seq[Expression]) => NfcNormalize(c.head): Expression),
+    // Spark ships these two internally for runtime-filter pushdown but
+    // does not register them for SQL; exposing them makes the q168
+    // bloom pipeline writable in pure SQL (the analyzer wraps the
+    // aggregate function into an AggregateExpression itself).
+    (new FunctionIdentifier("bloom_agg"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+       "bloom_agg"),
+     (c: Seq[Expression]) =>
+       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+         c(0), c(1), c(2)): Expression),
+    (new FunctionIdentifier("bloom_might_contain"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+       "bloom_might_contain"),
+     (c: Seq[Expression]) =>
+       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+         c(0), c(1)): Expression))
 
   /** Register every custom expression into an existing session's
     * function registry (same builders the SparkSessionExtensions

@@ -267,5 +267,21 @@ class VectorExpressionsSpec extends SparkSpec {
       RollingHash31.hash(org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     // the extensions class wires the same builders without throwing
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // bloom build + probe round-trip in pure SQL: members always hit
+    // (no false negatives), and a disjoint probe set at this sizing
+    // misses (bits >> items so FPR is ~0 for a 3-value probe)
+    // the bloom side must be a constant or scalar subquery (Spark's
+    // might_contain contract — the same constraint q168 satisfies by
+    // shipping the built filter as a literal)
+    val bloomRows = spark.sql(
+      """SELECT x, bloom_might_contain(
+           (SELECT bloom_agg(xxhash64(CAST(y AS STRING)), 100L, 8192L)
+            FROM range(0, 50) s(y)),
+           xxhash64(CAST(x AS STRING))) AS hit
+         FROM range(0, 100) t(x) ORDER BY x""").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 50L).forall(bloomRows(_)), "bloom false negative")
+    assert((50L until 100L).count(bloomRows(_)) <= 2,
+      "bloom FPR implausibly high at 8192 bits / 50 items")
   }
 }

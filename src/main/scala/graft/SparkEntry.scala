@@ -194,6 +194,9 @@ object SparkEntry {
     // cross-engine hash oracle; DedupSpec pins no-false-negatives vs
     // exact q70 and a near-zero measured FPR at the default sizing
     "q168_bloom_decontaminate" -> ((s, d) => Dedup.q168BloomDecontaminate(s, d)),
+    "q169_pca_power"       -> ((s, d) => Similarity.q169PcaPower(s, d)),
+    "q170_bpe_pairs"       -> ((s, d) => TextOps.q170BpePairs(s, d)),
+    "q171_curriculum_order" -> ((s, d) => graft.ops.Sampling.q171CurriculumOrder(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2209,5 +2212,34 @@ object SparkEntry {
            FROM t)
          SELECT source, doc_id, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 1500 ORDER BY source, cum_tokens""",
+    // generated: replays the integer scatter matrix + 8 trunc-division
+    // power-iteration rounds (see Similarity.q169OracleSql scaladoc)
+    "q169_pca_power" -> graft.ops.Similarity.q169OracleSql(),
+    "q170_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         pr AS (SELECT substr(w, t.i, 2) AS pair
+           FROM words,
+                LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+           WHERE len(w) >= 2)
+         SELECT pair, COUNT(*) AS n FROM pr
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "q171_curriculum_order" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id, source,
+           (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+             // CAST(len(toks) AS BIGINT) AS score_micro FROM t),
+         r AS (SELECT doc_id, source, score_micro,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rn FROM sc),
+         si AS (SELECT source,
+           CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         ns AS (SELECT COUNT(*)::BIGINT AS s FROM si)
+         SELECT r.doc_id, r.source, r.score_micro, r.rn,
+           (r.rn - 1) * ns.s + si.src_idx AS global_pos
+         FROM r JOIN si USING (source) CROSS JOIN ns
+         ORDER BY global_pos""",
   )
 }

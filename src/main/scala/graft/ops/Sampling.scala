@@ -448,4 +448,46 @@ object Sampling {
               col("arrival_pad_tokens"), col("bucketed_pad_tokens"))
       .orderBy(col("source"))
   }
+
+  /** q171 — CURRICULUM TRAINING ORDER: every document gets a single
+    * global position such that (a) within each source, higher-quality
+    * docs (integer lexical-diversity score, exact micro-rational
+    * `n_unique·1e6 div n_tokens`) come first, and (b) sources are
+    * consumed round-robin, so no training window sees one source for
+    * long. This is the manifest a curriculum dataloader walks — the
+    * quality-descending analogue of q151's shard pack.
+    *
+    * The interleave needs NO global window: per-source quality rank
+    * `rn` comes from the two-phase [[distributedPrefix]] (bucket =
+    * negated score, order-contiguous), the source index from a
+    * broadcast of the tiny source dimension, and the global position
+    * is PURE ARITHMETIC — `(rn−1)·S + src_idx` — strictly increasing
+    * in round-robin consumption order and unique across the corpus
+    * (positions of absent (rank, source) cells at the ragged tail are
+    * simply unassigned, which a dataloader skips for free). The plan
+    * is two bounded window passes plus broadcast joins — nothing
+    * routes the corpus through one partition at any scale. */
+  def q171CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+              size(toks).cast("long").as("n_tokens"),
+              size(array_distinct(toks)).cast("long").as("n_unique"))
+      .withColumn("score_micro", expr("(n_unique * 1000000L) div n_tokens"))
+    val ranked = distributedPrefix(
+      scored, -col("score_micro"), Seq(col("doc_id")))
+      .drop("cum_before")
+    val srcIdx = {
+      import org.apache.spark.sql.expressions.Window
+      ranked.select(col("source")).distinct()
+        .withColumn("src_idx",
+                    row_number().over(Window.orderBy(col("source")))
+                      .cast("long"))
+    }
+    val nSrc = srcIdx.count() // tiny dim, one job; broadcast below
+    ranked.join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_micro"), col("rn"),
+              ((col("rn") - 1) * lit(nSrc) + col("src_idx")).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
 }

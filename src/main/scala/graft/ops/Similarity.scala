@@ -995,4 +995,121 @@ object Similarity {
              .as("hi_micro"))
       .orderBy(col("dim"), col("decile"))
   }
+
+  /** q169 — TOP PRINCIPAL COMPONENT of the embedding corpus via a
+    * one-pass integer scatter matrix + deterministic integer power
+    * iteration: the distributed-PCA primitive behind whitening,
+    * anisotropy audits ("is the embedding space collapsing?"), and
+    * dominant-direction removal (the all-but-the-top postprocessing
+    * trick common for sentence embeddings).
+    *
+    * Determinism contract (why this is hash-checkable when PCA
+    * usually isn't): values quantize to 1e4 micros, the scatter
+    * matrix M = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) div n is exact integer
+    * arithmetic, and the power iteration renormalizes by
+    * trunc-toward-zero division (v′ = w·1e6 div max|w|), which
+    * Scala BigInt, Spark `div`, and DuckDB `//` all agree on.
+    * Fixed start vector (1e6 − 7001·dim, asymmetric so it cannot be
+    * orthogonal to a planted direction by symmetry) and a fixed
+    * iteration count replace the usual convergence test, mirroring
+    * the q27 fixed-Lloyd's recipe. Sign is pinned by the start
+    * vector, not by convention.
+    *
+    * Scale shape — the heavy part is ONE explode + hash aggregate:
+    * each row emits its 64×64 outer product (plus linear terms and a
+    * count sentinel) and partial aggregation collapses every task to
+    * ≤ d²+d+1 rows before the shuffle, the tree-reduce shape that
+    * holds at any corpus size. The driver then iterates on a d×d
+    * integer matrix — O(T·d²) BigInt flops independent of N (the
+    * same bounded-driver-work argument as the IVF quantizer: FAISS
+    * trains PCA on one node for the same reason). Dividing M by n
+    * keeps matvec magnitudes ≤ ~N·3.3e7·1e6·d, inside HUGEINT even
+    * at 10¹⁰ rows; BigInt on the engine side is unbounded anyway. */
+  /** The distributed half of q169: the (i, j) → Σterm scatter frame.
+    * Exposed so PlanAuditSpec can pin the tree-reduce shape (partial
+    * HashAggregate below the exchange, no window/sort on the row
+    * stream) — the returned q169 frame itself is a driver-built
+    * literal and carries no plan to audit. */
+  private[graft] def q169ScatterTerms(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    // (i, j, term) triples per row: (i,j,qᵢqⱼ) outer product,
+    // (i,-1,qᵢ) linear sums, (-1,-1,1) count — one explode, one agg.
+    val quant = Tables.embeddings(s, dir).select(
+      transform(col("embedding"),
+                x => floor(x.cast("double") * lit(10000d) + lit(0.5d))
+                  .cast("long")).as("q"))
+    quant.select(explode(concat(
+      flatten(transform(col("q"), (xi, i) =>
+        transform(col("q"), (xj, j) =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                 (xi * xj).as("t"))))),
+      transform(col("q"), (xi, i) =>
+        struct(i.cast("int").as("i"), lit(-1).as("j"), xi.as("t"))),
+      array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("t")))))
+      .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.t").cast(dec)).as("s"))
+  }
+
+  def q169PcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    import s.implicits._
+    // d²+d+1 rows — bounded collect (4161 for d=64), like the IVF
+    // training sample. Everything below is driver-side exact math.
+    val rows = q169ScatterTerms(s, dir).collect()
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    val n = BigInt(rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .get.getDecimal(2).toBigInteger)
+    val lin = Array.fill(d)(BigInt(0))
+    val m = Array.fill(d, d)(BigInt(0))
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1),
+                       BigInt(r.getDecimal(2).toBigInteger))
+      if (i >= 0 && j >= 0) m(i)(j) = v else if (i >= 0) lin(i) = v
+    }
+    for (i <- 0 until d; j <- 0 until d)
+      m(i)(j) = (n * m(i)(j) - lin(i) * lin(j)) / n // trunc, both engines
+    var v = Array.tabulate(d)(i => BigInt(1000000 - 7001 * i))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * v(j)))
+      val mx = w.iterator.map(_.abs).max
+      v = if (mx == 0) Array.fill(d)(BigInt(0))
+          else w.map(x => x * 1000000 / mx)
+    }
+    v.zipWithIndex.map { case (x, i) => (i + 1, x.toLong) }.toSeq
+      .toDF("dim", "v_scaled").orderBy(col("dim"))
+  }
+
+  /** DuckDB oracle for q169 — replays the identical integer pipeline:
+    * positional unnest → micro quantize → exact HUGEINT scatter →
+    * `iters` unrolled matvec+renormalize CTE pairs (`//` = trunc
+    * division, bit-equal to the engine's BigInt `/`). */
+  def q169OracleSql(iters: Int = 8, d: Int = 64): String = {
+    val its = (1 to iters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (SELECT m.i AS i, SUM(m.mv * v.v) AS w
+            FROM m JOIN $pv v ON v.i = m.j GROUP BY m.i),
+          v$k AS (SELECT w.i, CASE WHEN mx.m = 0 THEN CAST(0 AS HUGEINT)
+                                   ELSE (w.w * 1000000) // mx.m END AS v
+            FROM w$k w, (SELECT MAX(abs(w)) AS m FROM w$k) mx)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, t.i AS i,
+           CAST(floor(embedding[t.i]::DOUBLE * 10000 + 0.5) AS BIGINT) AS qv
+           FROM embeddings,
+                (SELECT unnest(generate_series(1, $d)) AS i) t),
+       nn AS (SELECT (COUNT(*) // $d)::HUGEINT AS n FROM q),
+       s AS (SELECT i, SUM(qv)::HUGEINT AS s FROM q GROUP BY i),
+       p AS (SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv)::HUGEINT AS p
+             FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+       m AS (SELECT p.i, p.j,
+                    (nn.n * p.p - sa.s * sb.s) // nn.n AS mv
+             FROM p
+             JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+             CROSS JOIN nn),
+       v0 AS (SELECT i, CAST(1000000 - 7001 * (i - 1) AS HUGEINT) AS v
+              FROM (SELECT unnest(generate_series(1, $d)) AS i)),
+       $its
+       SELECT i AS dim, CAST(v AS BIGINT) AS v_scaled FROM v$iters
+       ORDER BY dim"""
+  }
 }

@@ -871,4 +871,31 @@ object TextOps {
                 expr("(rr * 1000000) div denom")).as("chi2_micro"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** q170 — BPE merge-candidate counting: the corpus-wide frequency
+    * of adjacent character pairs inside words, i.e. the statistic the
+    * FIRST byte-pair-encoding merge step maximizes. Running this over
+    * the training corpus IS vocabulary induction's inner loop — the
+    * top pair becomes the first merge, and an engine that can produce
+    * this table cheaply can drive the whole BPE trainer (each round
+    * is the same count over a re-paired corpus).
+    *
+    * Scale shape: two pipelined map-side explodes (words, then the
+    * in-word bigrams — no shuffle between them) into one hash
+    * aggregate whose partial combine collapses each task to the pair
+    * domain (≤ alphabet², a few KB) before the exchange, then a
+    * TakeOrderedAndProject for the top-k. Per-task output is
+    * domain-bounded no matter how many tokens flow through, the same
+    * tree-reduce shape as q169's scatter matrix. Ties break on the
+    * pair string so the top-k is a total order. */
+  def q170BpePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
 }

@@ -325,4 +325,35 @@ class SamplingSpec extends SparkSpec {
       assert(bucketed >= 0 && arrival >= 0)
     }
   }
+
+  test("q171 curriculum order is a quality-descending round-robin interleave") {
+    val rows = Sampling.q171CurriculumOrder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs, "every document gets a position")
+    assert(rows.map(_._5).distinct.length == rows.length,
+      "global positions must be unique")
+    val sources = rows.map(_._2).distinct.sorted
+    val srcIdx = sources.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val nSrc = sources.length
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to g.length).toSeq,
+        s"$src: per-source ranks must be dense from 1")
+      // curriculum: quality score never increases as rank grows
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 >= b._3, s"$src: score rose ${a._3} -> ${b._3}")
+          // determinism: equal scores break ties by doc_id
+          if (a._3 == b._3) assert(a._1 < b._1, s"$src: tie-break order")
+        case _ =>
+      }
+      // round-robin slotting: source s occupies positions ≡ src_idx (mod S)
+      g.foreach { case (_, _, _, rn, pos) =>
+        assert(pos == (rn - 1) * nSrc + srcIdx(src),
+          s"$src rank $rn landed at $pos")
+      }
+    }
+  }
 }

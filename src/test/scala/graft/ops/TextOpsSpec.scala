@@ -303,4 +303,23 @@ class TextOpsSpec extends SparkSpec {
         s"$k chi2 term")
     }
   }
+  test("q170 BPE pair counts match an exact driver replay") {
+    val texts = graft.Tables.documents(spark, sf0001).collect()
+      .map(_.getString(1))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    texts.foreach { t =>
+      t.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        var i = 0
+        while (i < w.length - 1) {
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextOps.q170BpePairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"top-20 merge candidates diverge:\n$got\n$want")
+  }
 }

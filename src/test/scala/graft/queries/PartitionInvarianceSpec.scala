@@ -26,7 +26,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q151_shard_pack",        // r6 prefix sum, doc_id-bucketed
     "q144_sorted_neighborhood", // r6 bucketed rank + pair joins
     "q150_skyline",           // r6 mapPartitions local frontier
-    "q168_bloom_decontaminate") // r6 driver-built bloom literal
+    "q168_bloom_decontaminate", // r6 driver-built bloom literal
+    "q169_pca_power",         // r6 integer scatter + power iteration
+    "q171_curriculum_order")  // r6 prefix-rank round-robin interleave
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -217,4 +217,22 @@ class PlanAuditSpec extends SparkSpec {
   test("q153 pad batching uses the two-phase distributed prefix sum") {
     auditPrefixWindows("q153_pad_batching")
   }
+
+  test("q171 curriculum rank uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q171_curriculum_order")
+  }
+
+  test("q169 scatter matrix partially aggregates below its only exchange") {
+    // tree-reduce shape: the shuffle may only carry the (i, j) term
+    // domain, so a partial HashAggregate must sit below the exchange
+    // and nothing may sort or window the raw row stream
+    val p = graft.ops.Similarity.q169ScatterTerms(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n${p.take(1000)}")
+    assert(p.indexOf("HashAggregate", p.indexOf("Exchange")) > 0,
+      "no partial aggregate below the exchange")
+    assert(!p.contains("WindowExec") && !p.contains("SortExec"),
+      s"row stream must not sort/window:\n${p.take(1000)}")
+  }
 }

@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -544,6 +546,252 @@ object ZOrder2 {
   def key(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** Bloom-probe COUNT over a gram array in ONE codegen'd pass — the
+  * q168 decontamination hot path. Semantically identical to
+  * `size(filter(grams, g => bloom_might_contain(bf, xxhash64(g))))`
+  * but that formulation pays twice: the array higher-order function
+  * evaluates an INTERPRETED lambda per element (no whole-stage
+  * codegen), and the lambda re-evaluates `xxhash64` through the
+  * generic expression path. This expression deserializes the (always
+  * foldable — it ships as a literal, like a runtime filter) bloom
+  * ONCE per plan, then codegens to a single static call that walks
+  * the ArrayData: XXH64-hash each gram (seed 42 — bit-identical to
+  * the `xxhash64()` function used on the build side) and test
+  * membership with `mightContainLong`. No explode, no shuffle, no
+  * per-element allocation; at 100 TB the probe is a pure map pass.
+  *
+  * Null elements hash to the seed itself (42L), exactly what
+  * `xxhash64(NULL)` yields, so the count matches the HOF formulation
+  * bit for bit even on degenerate inputs. */
+case class BloomCountContains(grams: Expression, bloom: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = grams
+  override def right: Expression = bloom
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (grams.dataType, bloom.dataType) match {
+      case (ArrayType(_: StringType, _), BinaryType) =>
+        if (bloom.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "bloom_count_contains requires a foldable bloom-filter argument " +
+          "(build it, collect it, and ship it via lit(...))")
+      case (g, b) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_count_contains requires (array<string>, binary), got " +
+        s"(${g.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_count_contains"
+  override def nullable: Boolean = true
+
+  // The bloom child is foldable (checked above), so the filter can be
+  // deserialized exactly once per plan — the same driver-side trick
+  // Spark's own BloomFilterMightContain uses for runtime filters.
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = bloom.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BloomCountContains.count(a.asInstanceOf[ArrayData], filter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (filter == null) {
+      // bloom literal is NULL: result is always NULL (matches the
+      // HOF formulation, where might_contain(NULL, h) nulls out).
+      nullSafeCodeGen(ctx, ev, (_, _) => s"${ev.isNull} = true;")
+    } else {
+      val bf = ctx.addReferenceObj("graftBloomFilter", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, (a, _) =>
+        s"${ev.value} = graft.functions.BloomCountContains.count($a, $bf);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(grams = newLeft, bloom = newRight)
+}
+
+object BloomCountContains {
+  /** Static so generated code can call it directly (RollingHash31
+    * pattern): one primitive loop, zero allocation per row. */
+  def count(arr: ArrayData,
+            bf: org.apache.spark.util.sketch.BloomFilter): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L // xxhash64(NULL) == the seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      if (bf.mightContainLong(h)) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
+/** Word n-gram shingling in ONE codegen'd pass — the hot map-side
+  * step of every dedup/decontamination operator (q22..q25, q70,
+  * q168, ...). Bit-identical to the Column formulation it replaces
+  * (`when(size(toks) >= n, array_distinct(transform(sequence(1,
+  * size-n+1), j => concat_ws(" ", element_at...))))
+  * .otherwise(array())`) — same first-occurrence distinct order,
+  * same concat_ws null-skip, same empty-array-on-null/short input —
+  * but that chain evaluates an INTERPRETED lambda per gram position
+  * with n generic `element_at` calls and an O(m²)-ish string
+  * `array_distinct` behind it, which profiled at ~6 s for one sf0.1
+  * documents pass. This is a primitive loop over the ArrayData with
+  * a hash-set for distinctness: the whole shingle pass stays inside
+  * whole-stage codegen. At 100 TB shingling is pure per-row CPU on
+  * the scan — constant factors here multiply across the corpus.
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  // containsNull=true matches the merged when/otherwise type of the
+  // Column formulation (the `.cast("array<string>")` arm defaults to
+  // nullable elements), keeping written schemas identical round over
+  // round; values are in fact never null.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String =
+    if (distinct) "word_shingles" else "word_shingle_positions"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShingles.emptyArray
+    else WordShingles.make(v.asInstanceOf[ArrayData], n, distinct)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      |${c.code}
+      |$ad ${ev.value} = ${c.isNull}
+      |  ? graft.functions.WordShingles.emptyArray()
+      |  : graft.functions.WordShingles.make(${c.value}, $n, $distinct);
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** The null/short-input result (matches the Column chain, where
+    * `when(size(NULL) >= n)` is null → `.otherwise(array())`). */
+  def emptyArray: ArrayData = new GenericArrayData(Array.empty[AnyRef])
+
+  /** Static so generated code can call it directly. Distinctness is
+    * first-occurrence order over byte equality — exactly
+    * `array_distinct`'s contract; `UTF8String.concatWs` skips null
+    * inputs exactly as SQL `concat_ws` does. */
+  def make(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return emptyArray
+    val m = sz - n + 1
+    val out = new Array[AnyRef](m)
+    var cnt = 0
+    val seen = if (distinct)
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](m * 2)
+    else null
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < n) {
+        parts(i) = if (toks.isNullAt(j + i)) null else toks.getUTF8String(j + i)
+        i += 1
+      }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE, parts: _*)
+      if (seen == null || seen.add(gram)) { out(cnt) = gram; cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+/** Distinct word n-gram HASHES in ONE codegen'd pass — the long-typed
+  * sibling of [[WordShingles]] (TextOps.shingleHashes). Bit-identical
+  * to `array_distinct(transform(sequence(...), j => xxhash64(tok_j,
+  * ..., tok_{j+n-1})))`: the multi-argument `xxhash64` folds left
+  * from seed 42, re-seeding with the running hash per argument and
+  * skipping nulls — reproduced here with the same XXH64 kernel, so
+  * every downstream MinHash/LSH/dedup result is unchanged. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShingles.emptyArray
+    else WordShingleHashes.make(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      |${c.code}
+      |$ad ${ev.value} = ${c.isNull}
+      |  ? graft.functions.WordShingles.emptyArray()
+      |  : graft.functions.WordShingleHashes.make(${c.value}, $n);
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  /** Static so generated code can call it directly. */
+  def make(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return WordShingles.emptyArray
+    val m = sz - n + 1
+    val out = new Array[Long](m)
+    var cnt = 0
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    var j = 0
+    while (j < m) {
+      var h = 42L
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(j + i))
+          h = XXH64.hashUTF8String(toks.getUTF8String(j + i), h)
+        i += 1
+      }
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -612,6 +860,30 @@ object VectorFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ColumnBridge.expression(bloom), ColumnBridge.expression(hash)))
 
+  /** Codegen'd bloom-probe count over an array<string> of grams —
+    * `bloom_count_contains(grams, lit(filterBytes))`. See
+    * [[BloomCountContains]]. */
+  def bloomCountContains(grams: Column, bloom: Column): Column =
+    ColumnBridge.column(BloomCountContains(
+      ColumnBridge.expression(grams), ColumnBridge.expression(bloom)))
+
+  /** Codegen'd word n-gram shingles (distinct, first-occurrence
+    * order) — see [[WordShingles]]. */
+  def wordShingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(toks), n, distinct = true))
+
+  /** Codegen'd word n-gram positions (every occurrence, no
+    * distinct). */
+  def wordShinglePositions(toks: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(toks), n, distinct = false))
+
+  /** Codegen'd distinct word n-gram xxhash64 hashes — see
+    * [[WordShingleHashes]]. */
+  def wordShingleHashes(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(toks), n))
+
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),
      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
@@ -657,7 +929,11 @@ object VectorFunctions {
        "bloom_might_contain"),
      (c: Seq[Expression]) =>
        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-         c(0), c(1)): Expression))
+         c(0), c(1)): Expression),
+    (new FunctionIdentifier("bloom_count_contains"),
+     new ExpressionInfo(classOf[BloomCountContains].getName,
+       "bloom_count_contains"),
+     (c: Seq[Expression]) => BloomCountContains(c(0), c(1)): Expression))
 
   /** Register every custom expression into an existing session's
     * function registry (same builders the SparkSessionExtensions

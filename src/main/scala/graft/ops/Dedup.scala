@@ -429,7 +429,7 @@ object Dedup {
   def q168BloomDecontaminate(s: SparkSession, dir: String,
                              n: Int = 5, threshold: Int = 3,
                              numBits: Long = 1L << 20): DataFrame = {
-    import graft.functions.VectorFunctions.{bloomAgg, bloomMightContain}
+    import graft.functions.VectorFunctions.{bloomAgg, bloomCountContains}
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
               Sampling.hashBucket16(col("text")).as("nib"),
@@ -439,12 +439,17 @@ object Dedup {
       .select(xxhash64(col("gram")).as("h")).distinct()
       .agg(bloomAgg(col("h"), numBits / 16, numBits).as("bf"))
       .first().getAs[Array[Byte]]("bf")
+    // Probe is ONE codegen'd map pass: BloomCountContains hashes each
+    // gram and tests the (plan-constant, deserialized-once) filter in
+    // a primitive loop — no explode, no interpreted array lambda, no
+    // join. `grams` is referenced twice below but computed in the
+    // projection above; shingling is expensive + multiply-referenced,
+    // so CollapseProject keeps it materialized once per row.
     docs.filter(col("nib") =!= 0)
       .select(col("doc_id"),
               size(col("grams")).cast("long").as("n_grams"),
-              size(filter(col("grams"),
-                          g => bloomMightContain(lit(bloomBytes), xxhash64(g))))
-                .cast("long").as("n_maybe_shared"))
+              bloomCountContains(col("grams"), lit(bloomBytes))
+                .as("n_maybe_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_maybe_shared"),
               (col("n_maybe_shared") >= threshold).cast("long").as("flagged"))
       .orderBy(col("doc_id"))

@@ -14,36 +14,34 @@ object TextOps {
 
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Word n-gram shingles (1-based positions to mirror the SQL
-    * oracle). Guarded so short docs yield an empty array — Spark's
-    * `sequence(1, 0)` would otherwise produce a DESCENDING range. */
+  /** Word n-gram shingles (distinct, first-occurrence order).
+    * Evaluated by the codegen'd [[graft.functions.WordShingles]]
+    * expression — bit-identical to the Column chain
+    * `when(size(toks) >= n, array_distinct(transform(sequence(1,
+    * size-n+1), j => concat_ws(" ", element_at(toks, j+off)...))))
+    * .otherwise(array())` (which remains the SQL-oracle
+    * formulation), but a primitive loop instead of an interpreted
+    * per-gram lambda: shingling is the map-side hot path of every
+    * dedup operator, and the HOF chain alone profiled at ~6 s per
+    * sf0.1 documents pass. */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.VectorFunctions.wordShingles(toks, n)
 
-  /** Every n-gram POSITION (no array_distinct, unlike [[shingles]]) —
-    * for coverage metrics where the repeats are the signal. */
+  /** Every n-gram POSITION (no distinct, unlike [[shingles]]) — for
+    * coverage metrics where the repeats are the signal. */
   def shinglePositions(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.VectorFunctions.wordShinglePositions(toks, n)
 
   /** Shingle HASHES — the n-gram set as a set of longs (xxhash64 over
     * the token tuple, no string construction): what every dedup
     * consumer actually needs. Set cardinalities and intersections
     * agree with [[shingles]] up to 64-bit hash collisions, while the
-    * exchanges and intersections run on fixed-width longs. */
+    * exchanges and intersections run on fixed-width longs. Codegen'd
+    * ([[graft.functions.WordShingleHashes]]); bit-identical to
+    * `array_distinct(transform(sequence(...), j => xxhash64(tok_j,
+    * ..., tok_{j+n-1})))`. */
   def shingleHashes(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        j => xxhash64((0 until n).map(off => element_at(toks, j + lit(off))): _*))))
-      .otherwise(array().cast("array<bigint>"))
+    graft.functions.VectorFunctions.wordShingleHashes(toks, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** DotF32: interpreted eval == codegen == the HOF reference
@@ -284,4 +285,110 @@ class VectorExpressionsSpec extends SparkSpec {
     assert((50L until 100L).count(bloomRows(_)) <= 2,
       "bloom FPR implausibly high at 8192 bits / 50 items")
   }
+
+  /** The Column-chain shingle formulations the codegen'd expressions
+    * replaced (and which the DuckDB oracles still mirror) — kept here
+    * verbatim as the equivalence reference. */
+  private def hofShingles(toks: Column, n: Int, distinct: Boolean): Column = {
+    val raw = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      j => concat_ws(" ", (0 until n).map(off => element_at(toks, j + lit(off))): _*))
+    when(size(toks) >= n, if (distinct) array_distinct(raw) else raw)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def hofShingleHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        j => xxhash64((0 until n).map(off => element_at(toks, j + lit(off))): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
+  test("word_shingles / positions / hashes equal the HOF formulations") {
+    val toks = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "a", "a", "a", "a")), // dup grams → distinct collapses
+      (3L, Seq("x", "y")),                // shorter than wide n
+      (4L, Seq.empty[String]),
+      (5L, Seq("a", null, "b", "c", "b", "c")), // null token: concat_ws skips
+      (6L, Seq("café", "naïve", "日本語", "x")), // non-ASCII
+      (7L, null.asInstanceOf[Seq[String]])      // null array → empty
+    ).toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = toks.select(
+        $"id",
+        VectorFunctions.wordShingles($"toks", n).as("s_fast"),
+        hofShingles($"toks", n, distinct = true).as("s_ref"),
+        VectorFunctions.wordShinglePositions($"toks", n).as("p_fast"),
+        hofShingles($"toks", n, distinct = false).as("p_ref"),
+        VectorFunctions.wordShingleHashes($"toks", n).as("h_fast"),
+        hofShingleHashes($"toks", n).as("h_ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"shingles diverged at n=$n id=${r.getLong(0)}")
+        assert(r.getSeq[String](3) == r.getSeq[String](4),
+          s"positions diverged at n=$n id=${r.getLong(0)}")
+        assert(r.getSeq[Long](5) == r.getSeq[Long](6),
+          s"hashes diverged at n=$n id=${r.getLong(0)}")
+      }
+    }
+    // and on the real corpus, at the dedup operators' widths
+    for (n <- Seq(3, 5)) {
+      val t = split(col("text"), " ")
+      val bad = graft.Tables.documents(spark, sf0001)
+        .select(
+          VectorFunctions.wordShingles(t, n).as("s_fast"),
+          hofShingles(t, n, distinct = true).as("s_ref"),
+          VectorFunctions.wordShingleHashes(t, n).as("h_fast"),
+          hofShingleHashes(t, n).as("h_ref"))
+        .filter(col("s_fast") =!= col("s_ref") || col("h_fast") =!= col("h_ref"))
+        .count()
+      assert(bad == 0L, s"corpus divergence at n=$n")
+    }
+  }
+
+  test("bloom_count_contains equals the filter+might_contain HOF chain") {
+    // build a filter over half the corpus's 3-gram hashes
+    val t = split(col("text"), " ")
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), VectorFunctions.wordShingles(t, 3).as("grams"))
+    val bytes = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("grams")).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .agg(VectorFunctions.bloomAgg(col("h"), 1000L, 1L << 16).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    val rows = docs.select(
+      col("doc_id"),
+      VectorFunctions.bloomCountContains(col("grams"), lit(bytes)).as("fast"),
+      size(filter(col("grams"),
+        g => VectorFunctions.bloomMightContain(lit(bytes), xxhash64(g))))
+        .cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)} diverged"))
+    // null grams element: both sides hash it as xxhash64(NULL) == seed
+    val edge = Seq((1L, Seq("a", null, "b"))).toDF("id", "grams")
+    val e = edge.select(
+      VectorFunctions.bloomCountContains($"grams", lit(bytes)).as("fast"),
+      size(filter($"grams",
+        g => VectorFunctions.bloomMightContain(lit(bytes), xxhash64(g))))
+        .cast("long").as("ref")).collect().head
+    assert(e.getLong(0) == e.getLong(1))
+    // null bloom literal → NULL out, matching might_contain semantics
+    val nb = edge.select(VectorFunctions.bloomCountContains(
+      $"grams", lit(null).cast("binary")).as("c")).collect().head
+    assert(nb.isNullAt(0))
+    // SQL registration path agrees with the Column form
+    VectorFunctions.register(spark)
+    docs.limit(50).createOrReplaceTempView("bcc_docs")
+    val sqlBad = spark.sql(
+      s"SELECT bloom_count_contains(grams, ${literalHex(bytes)}) AS c FROM bcc_docs")
+      .collect().map(_.getLong(0))
+    val colSide = docs.limit(50)
+      .select(VectorFunctions.bloomCountContains(col("grams"), lit(bytes)))
+      .collect().map(_.getLong(0))
+    assert(sqlBad.sorted.sameElements(colSide.sorted))
+  }
+
+  private def literalHex(b: Array[Byte]): String =
+    "X'" + b.map("%02X".format(_)).mkString + "'"
 }

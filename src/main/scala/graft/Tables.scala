@@ -20,12 +20,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; read the nanos as a long and convert to
-    * a microsecond timestamp (matching DuckDB's ns→µs truncation). */
+  /** events.ts has shipped in two fixture generations: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects outright — read the nanos
+    * as a long and convert, matching DuckDB's ns→µs truncation) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ — cast to the session-zone timestamp, a numeric
+    * no-op under the UTC session both engines run with). Normalizing
+    * here keeps every downstream query and oracle schema-stable across
+    * fixture regenerations. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

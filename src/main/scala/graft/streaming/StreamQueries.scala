@@ -34,15 +34,36 @@ object StreamQueries {
 
   private val sentinelType = "zz_sentinel"
 
-  /** Raw physical schema of the events parquet: ts is TIMESTAMP(NANOS),
-    * read as a long (spark.sql.legacy.parquet.nanosAsLong) exactly as
-    * the batch loader does (graft.Tables.events). */
-  private val rawEventSchema: StructType = StructType(Seq(
+  /** Raw physical ts type of the events parquet — the fixture has
+    * shipped as both TIMESTAMP(NANOS) (read as a long via
+    * spark.sql.legacy.parquet.nanosAsLong, like graft.Tables.events)
+    * and plain TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ). readStream needs the schema up front, so sniff
+    * it once per sf dir from the parquet footer and build the stream
+    * schema, the ts-normalizing projection, and the sentinel-row
+    * writer from the same answer. */
+  private val tsPhysicalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def rawTsType(s: SparkSession, dir: String): DataType =
+    tsPhysicalCache.computeIfAbsent(dir, _ => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    })
+
+  private def rawEventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
+
+  /** Session-zone timestamp from the raw ts column; numeric no-op for
+    * the NTZ generation under the UTC session both engines use. */
+  private def tsToTimestamp(tsType: DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _        => col("ts").cast("timestamp")
+    }
 
   private val streamDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   sys.addShutdownHook {
@@ -72,9 +93,18 @@ object StreamQueries {
         .agg(max(col("ts"))).first().getTimestamp(0).getTime
       val base = Files.createTempDirectory("graft_sentinels")
       streamDirs.add(base.toString)
+      // The sentinel part-file must be byte-compatible with the feed
+      // schema, so mirror the fixture's physical ts encoding.
+      val tsType = rawTsType(s, dir)
       def write(tag: String, tsMs: Long): java.nio.file.Path = {
-        Seq((-1L, -1L, tsMs * 1000000L, sentinelType, 0.0))
-          .toDF("event_id", "user_id", "ts", "event_type", "value")
+        val tsCol = tsType match {
+          case LongType => lit(tsMs * 1000000L)
+          case t => timestamp_micros(lit(tsMs * 1000L)).cast(t)
+        }
+        Seq((-1L, -1L, sentinelType, 0.0))
+          .toDF("event_id", "user_id", "event_type", "value")
+          .select(col("event_id"), col("user_id"), tsCol.as("ts"),
+                  col("event_type"), col("value"))
           .coalesce(1).write.mode("overwrite").parquet(s"$base/$tag")
         val found = Files.list(base.resolve(tag)).toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
@@ -139,7 +169,8 @@ object StreamQueries {
     val phaseFiles: Seq[java.nio.file.Path] =
       if (phases.isEmpty) Nil
       else {
-        val raw = s.read.schema(rawEventSchema).parquet(s"$dir/events.parquet")
+        val raw = s.read.schema(rawEventSchema(rawTsType(s, dir)))
+          .parquet(s"$dir/events.parquet")
         phases.zipWithIndex.map { case (pred, i) =>
           val stage = tmp.resolve(s"stage$i")
           raw.filter(pred).coalesce(1).write.parquet(stage.toString)
@@ -158,9 +189,10 @@ object StreamQueries {
       linkOrCopy(src, tmp.resolve(s"sentinel$sentinelNo.parquet"))
     }
     val name = s"${prefix}_${runId.incrementAndGet()}"
-    val src = s.readStream.schema(rawEventSchema).parquet(tmp.toString)
+    val src = s.readStream.schema(rawEventSchema(rawTsType(s, dir)))
+      .parquet(tmp.toString)
       .select(col("event_id"), col("user_id"),
-              expr("timestamp_micros(ts div 1000)").as("ts"),
+              tsToTimestamp(rawTsType(s, dir)).as("ts"),
               col("event_type"), col("value"))
     // Checkpoints for the gate queries live on tmpfs when available:
     // the per-batch commit fsync is pure harness overhead here (a

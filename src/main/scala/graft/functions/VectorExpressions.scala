@@ -792,6 +792,112 @@ object WordShingleHashes {
   }
 }
 
+/** Scatter-matrix aggregate for distributed PCA (q169): folds each
+  * quantized vector's full d×d outer product, the d linear sums, and
+  * a row count into ONE flat `long[d*d + d + 1]` buffer per task —
+  * the explode-free replacement for emitting 4,161 structs per row
+  * into a hash aggregate. Each task ships one ~33 KB buffer (d=64);
+  * merge is element-wise add. That is the minimal possible
+  * communication for an exact scatter matrix — the same tree-reduce
+  * shape, without the d²-per-row row amplification on the CPU side.
+  *
+  * Buffer layout: `[i*d + j] = Σ qᵢqⱼ`, `[d*d + i] = Σ qᵢ`,
+  * `[d*d + d] = count`.
+  *
+  * Overflow contract: per-element partial sums are plain longs.
+  * |q| ≤ 1e4 micros (unit-ish embeddings) bounds each product by
+  * 1e8, so a single merged buffer is exact to ~9·10¹⁰ rows; the
+  * caller (q169ScatterTerms) shards the aggregation by
+  * hash(vec_id) into G groups and re-sums the G partials in
+  * decimal(38,0), pushing the bound to G·9·10¹⁰ rows. `merge` uses
+  * addExact so an overflow beyond that fails loudly instead of
+  * silently wrapping (Spark's non-ANSI sum would wrap).
+  *
+  * Rows whose vector is null, ragged (≠ d wide), or contains null
+  * elements are skipped entirely — matching the HOF formulation,
+  * where `concat` over a null array nulls the whole explode. */
+case class ScatterMatrixAgg(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(d > 0 && d <= 4096, "scatter_matrix_agg needs 0 < d <= 4096")
+
+  private val len = d * d + d + 1
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"scatter_matrix_agg requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "scatter_matrix_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == d) {
+        val q = new Array[Long](d)
+        var i = 0
+        var ok = true
+        while (ok && i < d) {
+          if (arr.isNullAt(i)) ok = false else q(i) = arr.getLong(i)
+          i += 1
+        }
+        if (ok) {
+          val dd = d * d
+          i = 0
+          while (i < d) {
+            val qi = q(i)
+            val base = i * d
+            var j = 0
+            while (j < d) { buf(base + j) += qi * q(j); j += 1 }
+            buf(dd + i) += qi
+            i += 1
+          }
+          buf(len - 1) += 1L
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(len * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](len)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScatterMatrixAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScatterMatrixAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ScatterMatrixAgg =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL-registration surface for the custom
   * expressions. */
 object VectorFunctions {
@@ -883,6 +989,14 @@ object VectorFunctions {
     * [[WordShingleHashes]]. */
   def wordShingleHashes(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(toks), n))
+
+  /** One-buffer-per-task scatter matrix (outer products + linear
+    * sums + count) over an array<bigint> column — see
+    * [[ScatterMatrixAgg]]. Column-only, like [[minhashSig]]: d is a
+    * constructor parameter. */
+  def scatterMatrixAgg(q: Column, d: Int): Column =
+    ColumnBridge.column(
+      ScatterMatrixAgg(ColumnBridge.expression(q), d).toAggregateExpression())
 
   private[functions] val dotF32Info =
     (new FunctionIdentifier("dot_f32"),

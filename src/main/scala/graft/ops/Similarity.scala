@@ -1015,40 +1015,52 @@ object Similarity {
     * the q27 fixed-Lloyd's recipe. Sign is pinned by the start
     * vector, not by convention.
     *
-    * Scale shape — the heavy part is ONE explode + hash aggregate:
-    * each row emits its 64×64 outer product (plus linear terms and a
-    * count sentinel) and partial aggregation collapses every task to
-    * ≤ d²+d+1 rows before the shuffle, the tree-reduce shape that
-    * holds at any corpus size. The driver then iterates on a d×d
-    * integer matrix — O(T·d²) BigInt flops independent of N (the
-    * same bounded-driver-work argument as the IVF quantizer: FAISS
-    * trains PCA on one node for the same reason). Dividing M by n
-    * keeps matvec magnitudes ≤ ~N·3.3e7·1e6·d, inside HUGEINT even
-    * at 10¹⁰ rows; BigInt on the engine side is unbounded anyway. */
+    * Scale shape — the heavy part is ONE ObjectHashAggregate over
+    * [[graft.functions.ScatterMatrixAgg]]: each task folds its rows
+    * into a single flat long[d²+d+1] buffer (outer products + linear
+    * sums + count), so the shuffle carries one ~33 KB buffer per
+    * task — the minimal communication for an exact scatter matrix,
+    * with none of the d²-structs-per-row amplification the explode
+    * formulation paid (4,161 structs/row; 10× the aggregate's cost
+    * at sf0.1). The aggregation shards by hash(vec_id) into 64
+    * groups whose long partials are re-summed in decimal(38,0):
+    * exact to 64·9·10¹⁰ rows, with addExact failing loudly beyond
+    * (see the ScatterMatrixAgg overflow contract). The driver then
+    * iterates on a d×d integer matrix — O(T·d²) BigInt flops
+    * independent of N (the same bounded-driver-work argument as the
+    * IVF quantizer: FAISS trains PCA on one node for the same
+    * reason). Dividing M by n keeps matvec magnitudes ≤
+    * ~N·3.3e7·1e6·d, inside HUGEINT even at 10¹⁰ rows; BigInt on
+    * the engine side is unbounded anyway. */
   /** The distributed half of q169: the (i, j) → Σterm scatter frame.
-    * Exposed so PlanAuditSpec can pin the tree-reduce shape (partial
-    * HashAggregate below the exchange, no window/sort on the row
-    * stream) — the returned q169 frame itself is a driver-built
-    * literal and carries no plan to audit. */
+    * Exposed so PlanAuditSpec can pin the shape (buffers aggregated
+    * before the explode — the Generate must consume aggregate
+    * output, never the raw row stream) — the returned q169 frame
+    * itself is a driver-built literal and carries no plan to audit. */
   private[graft] def q169ScatterTerms(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    // (i, j, term) triples per row: (i,j,qᵢqⱼ) outer product,
-    // (i,-1,qᵢ) linear sums, (-1,-1,1) count — one explode, one agg.
+    val d = 64
+    val shards = 64
     val quant = Tables.embeddings(s, dir).select(
+      pmod(xxhash64(col("vec_id")), lit(shards)).as("g"),
       transform(col("embedding"),
                 x => floor(x.cast("double") * lit(10000d) + lit(0.5d))
                   .cast("long")).as("q"))
-    quant.select(explode(concat(
-      flatten(transform(col("q"), (xi, i) =>
-        transform(col("q"), (xj, j) =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-                 (xi * xj).as("t"))))),
-      transform(col("q"), (xi, i) =>
-        struct(i.cast("int").as("i"), lit(-1).as("j"), xi.as("t"))),
-      array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("t")))))
-      .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.t").cast(dec)).as("s"))
+    // One flat buffer per (task, shard); posexplode AFTER aggregation
+    // unpacks shards·(d²+d+1) rows — bounded, data-size independent.
+    quant.groupBy(col("g"))
+      .agg(graft.functions.VectorFunctions.scatterMatrixAgg(col("q"), d)
+        .as("buf"))
+      .select(posexplode(col("buf")).as(Seq("pos", "t")))
+      .select(
+        when(col("pos") < d * d, floor(col("pos") / lit(d)).cast("int"))
+          .when(col("pos") < d * d + d, (col("pos") - d * d).cast("int"))
+          .otherwise(lit(-1)).as("i"),
+        when(col("pos") < d * d, (col("pos") % d).cast("int"))
+          .otherwise(lit(-1)).as("j"),
+        col("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("t").cast(dec)).as("s"))
   }
 
   def q169PcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {

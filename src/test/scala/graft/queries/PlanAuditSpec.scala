@@ -222,16 +222,22 @@ class PlanAuditSpec extends SparkSpec {
     auditPrefixWindows("q171_curriculum_order")
   }
 
-  test("q169 scatter matrix partially aggregates below its only exchange") {
-    // tree-reduce shape: the shuffle may only carry the (i, j) term
-    // domain, so a partial HashAggregate must sit below the exchange
-    // and nothing may sort or window the raw row stream
+  test("q169 scatter matrix aggregates buffers before any explode") {
+    // tree-reduce shape, explode-free on the row stream: the raw rows
+    // must feed the ScatterMatrixAgg ObjectHashAggregate (one flat
+    // buffer per task), and the only Generate (posexplode) may consume
+    // aggregate OUTPUT — it must sit above the object aggregate in the
+    // plan, never between the scan and it. Plans print root-first, so
+    // "above" means an earlier string index.
     val p = graft.ops.Similarity.q169ScatterTerms(spark, sf0001)
       .queryExecution.executedPlan.toString
-    val aggs = "HashAggregate".r.findAllIn(p).length
-    assert(aggs >= 2, s"expected partial+final aggregate pair:\n${p.take(1000)}")
-    assert(p.indexOf("HashAggregate", p.indexOf("Exchange")) > 0,
-      "no partial aggregate below the exchange")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs >= 2,
+      s"expected partial+final ScatterMatrixAgg pair:\n${p.take(1000)}")
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, s"expected a posexplode of the buffers:\n${p.take(1000)}")
+    assert(gen < p.indexOf("ObjectHashAggregate"),
+      "the explode must consume aggregated buffers, not raw rows")
     assert(!p.contains("WindowExec") && !p.contains("SortExec"),
       s"row stream must not sort/window:\n${p.take(1000)}")
   }

@@ -147,7 +147,8 @@ object StreamQueries {
   private def runStream(s: SparkSession, dir: String, prefix: String,
                         drops: Int = 1,
                         phases: Seq[org.apache.spark.sql.Column] = Nil,
-                        flushViaNoData: Boolean = false)
+                        flushViaNoData: Boolean = false,
+                        sentinelPicks: Seq[Int] = Nil)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
@@ -201,7 +202,11 @@ object StreamQueries {
     val ckptBase =
       if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
       else Paths.get(System.getProperty("java.io.tmpdir"))
-    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+    // 2 state partitions at bench scale: the r7 sweep (1/2/4/8/16)
+    // put the knee at 2 — per-partition state-store commit cost
+    // dominates parallelism gains on a 200k-row state. A real
+    // cluster deployment sizes this to executor count instead.
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "2")
     // Debug knob, scoped per query (e.g. SPARK_GRAFT_STREAM_SENTINELS_q51):
     // a uniform override would silently strip another query's required
     // watermark-advancing sentinel while iterating on this one.
@@ -238,6 +243,38 @@ object StreamQueries {
             s"rows=${e.progress.numInputRows} eventTime=${e.progress.eventTime} " +
             s"durations=${e.progress.durationMs}")
       })
+    // Which sentinel files to drop: default the first `drops` of
+    // (s1 +3h, s2 +30h, s3 +60h); a query whose watermark delay
+    // makes the early sentinel useless picks explicitly (q156's
+    // 24 h delay: s1 only reaches max−21h, so it pays a full
+    // batch+no-data cycle to close nothing — jump straight to s2).
+    // The env override stays count-based and wins for debugging.
+    val pickSeq =
+      if (sys.env.contains(s"SPARK_GRAFT_STREAM_SENTINELS_$prefix"))
+        Seq(1, 2, 3).take(sentinelDrops)
+      else if (sentinelPicks.nonEmpty) sentinelPicks
+      else Seq(1, 2, 3).take(sentinelDrops)
+    val sentFile: Int => java.nio.file.Path = {
+      case 1 => sent.s1
+      case 2 => sent.s2
+      case _ => sent.s3
+    }
+    // Single-snapshot queries fold the first watermark-LIFTING
+    // sentinel into batch 0 itself: during batch 0 the watermark is
+    // still the epoch (it only advances AFTER a batch), so the extra
+    // row can never drop data or trigger emissions early — it just
+    // means batch 1 already runs under the lifted watermark, saving
+    // one full micro-batch commit cycle per query (r7: the gate's
+    // per-trigger floor is ~0.45 s; q51/q94/q52/q101 go 3 → 2
+    // triggers). Linked BEFORE start() so the source's first listing
+    // is guaranteed to see it. Phased feeds keep the sentinel
+    // sequence explicit — their arrival order IS the semantics under
+    // test — as do flushViaNoData queries (their emissions ride
+    // no-data batches).
+    val seedFirst = phases.isEmpty && !flushViaNoData && pickSeq.nonEmpty
+    if (seedFirst)
+      linkOrCopy(sentFile(pickSeq.head), tmp.resolve("seed_sentinel.parquet"))
+    val remainingPicks = if (seedFirst) pickSeq.tail else pickSeq
     val q = try transformed.writeStream.queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)
@@ -259,16 +296,8 @@ object StreamQueries {
         linkOrCopy(f, tmp.resolve(s"phase${i + 1}.parquet"))
         q.processAllAvailable()
       }
-      if (sentinelDrops >= 1) {
-        dropSentinel(sent.s1)
-        q.processAllAvailable()
-      }
-      if (sentinelDrops >= 2) {
-        dropSentinel(sent.s2)
-        q.processAllAvailable()
-      }
-      if (sentinelDrops >= 3) {
-        dropSentinel(sent.s3)
+      remainingPicks.foreach { i =>
+        dropSentinel(sentFile(i))
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -433,8 +462,8 @@ object StreamQueries {
   def q156StreamLateData(s: SparkSession, dir: String): DataFrame = {
     val onTime = pmod(col("event_id"), lit(20L)) =!= 0 || col("event_id") < 0
     val late = pmod(col("event_id"), lit(20L)) === 0 && col("event_id") >= 0
-    runStream(s, dir, "q156", drops = 2, phases = Seq(onTime, late),
-              flushViaNoData = true)(
+    runStream(s, dir, "q156", drops = 1, phases = Seq(onTime, late),
+              flushViaNoData = true, sentinelPicks = Seq(2))(
       EventStreams.tumblingCounts(_, "1 hour", "24 hours"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),

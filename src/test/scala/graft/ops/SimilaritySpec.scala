@@ -280,4 +280,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got >= 0.9 * lambda1,
       s"8 rounds captured only ${got / lambda1} of the top eigenvalue")
   }
+
+  test("q169 scatter terms equal the explode/outer-product reference") {
+    // The pre-r7 explode formulation (which the DuckDB oracle still
+    // mirrors) kept verbatim as the equivalence reference for the
+    // ScatterMatrixAgg rework: every (i, j) cell, the linear sums,
+    // and the count sentinel must agree exactly.
+    val dec = "decimal(38,0)"
+    val quant = graft.Tables.embeddings(spark, sf0001).select(
+      transform(col("embedding"),
+                x => floor(x.cast("double") * lit(10000d) + lit(0.5d))
+                  .cast("long")).as("q"))
+    val ref = quant.select(explode(concat(
+        flatten(transform(col("q"), (xi, i) =>
+          transform(col("q"), (xj, j) =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                   (xi * xj).as("t"))))),
+        transform(col("q"), (xi, i) =>
+          struct(i.cast("int").as("i"), lit(-1).as("j"), xi.as("t"))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("t")))))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.t").cast(dec)).as("s"))
+    val fast = Similarity.q169ScatterTerms(spark, sf0001)
+    assert(fast.count() == 64L * 64 + 64 + 1, "term domain must be d²+d+1")
+    val diff = fast.as("f").join(ref.as("r"), Seq("i", "j"), "full_outer")
+      .filter(col("f.s").isNull || col("r.s").isNull ||
+              col("f.s") =!= col("r.s"))
+      .count()
+    assert(diff == 0L, s"$diff scatter cells diverged from the reference")
+  }
 }

@@ -290,13 +290,27 @@ object StreamQueries {
           s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
     }
+    // Phased feeds under no-data flushing can co-drop the first
+    // sentinel WITH the final phase file: both land in one
+    // micro-batch, and the late-event filter applied during that
+    // batch uses the watermark aged by the preceding no-data batch —
+    // the co-arriving sentinel only lifts the watermark AFTER the
+    // batch, exactly as a separate drop would, so the no-data batch
+    // that follows performs the same emissions one full commit cycle
+    // earlier (q156: 6 triggers → 4).
+    val mergeIntoLastPhase =
+      phases.nonEmpty && flushViaNoData && remainingPicks.nonEmpty
+    val tailPicks =
+      if (mergeIntoLastPhase) remainingPicks.tail else remainingPicks
     try {
       q.processAllAvailable()
       phaseFiles.drop(1).zipWithIndex.foreach { case (f, i) =>
         linkOrCopy(f, tmp.resolve(s"phase${i + 1}.parquet"))
+        if (mergeIntoLastPhase && i == phaseFiles.length - 2)
+          dropSentinel(sentFile(remainingPicks.head))
         q.processAllAvailable()
       }
-      remainingPicks.foreach { i =>
+      tailPicks.foreach { i =>
         dropSentinel(sentFile(i))
         q.processAllAvailable()
       }

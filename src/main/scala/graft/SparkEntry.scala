@@ -197,6 +197,9 @@ object SparkEntry {
     "q169_pca_power"       -> ((s, d) => Similarity.q169PcaPower(s, d)),
     "q170_bpe_pairs"       -> ((s, d) => TextOps.q170BpePairs(s, d)),
     "q171_curriculum_order" -> ((s, d) => graft.ops.Sampling.q171CurriculumOrder(s, d)),
+    "q172_user_gini"       -> EventOps.q172UserGini,
+    "q173_hapax_richness"  -> TextOps.q173HapaxRichness,
+    "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2241,5 +2244,30 @@ object SparkEntry {
            (r.rn - 1) * ns.s + si.src_idx AS global_pos
          FROM r JOIN si USING (source) CROSS JOIN ns
          ORDER BY global_pos""",
+    "q172_user_gini" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS c
+           FROM events GROUP BY user_id),
+         r AS (SELECT c,
+           row_number() OVER (ORDER BY c, user_id)::BIGINT AS rn FROM c)
+         SELECT count(*)::BIGINT AS n_users,
+           sum(c)::BIGINT AS total_events,
+           CAST((2::HUGEINT * sum(rn::HUGEINT * c::HUGEINT)
+                 - (count(*)::HUGEINT + 1) * sum(c)::HUGEINT) * 1000000
+                // (count(*)::HUGEINT * sum(c)::HUGEINT) AS BIGINT)
+             AS gini_micro
+         FROM r""",
+    "q173_hapax_richness" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         c AS (SELECT source, token, count(*)::BIGINT AS c
+           FROM t GROUP BY source, token)
+         SELECT source, sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           (count(*)::BIGINT * 1000000 // sum(c)::BIGINT) AS ttr_micro,
+           (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT * 1000000
+              // count(*)::BIGINT) AS hapax_micro
+         FROM c GROUP BY source ORDER BY source""",
+    "q174_kcenter_coreset" -> graft.ops.Similarity.q174OracleSql(),
   )
 }

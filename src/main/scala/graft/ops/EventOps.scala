@@ -875,4 +875,43 @@ object EventOps {
           .cast("long"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** q172 — user-activity concentration: the exact Gini coefficient
+    * of the per-user event-count distribution, the "how top-heavy is
+    * this corpus/user-base" audit that decides whether per-user caps
+    * or contributor-level dedup are needed before training (a handful
+    * of power users dominating the event stream is the behavioural
+    * twin of a boilerplate-dominated crawl).
+    *
+    * Gini needs every user's GLOBAL rank by activity — the same
+    * total-order-prefix problem as the pack family, so it reuses
+    * [[Sampling.distributedPrefix]]: per-bucket local ranks (bucket =
+    * the count value itself, order-contiguous by construction) plus
+    * broadcast per-bucket offsets; no single-partition window ever
+    * sees the user table. The formula
+    * G = (2·Σᵢ i·cᵢ − (n+1)·Σᵢ cᵢ) / (n·Σᵢ cᵢ) over counts sorted
+    * ascending is evaluated in DECIMAL(38,0) (HUGEINT on the oracle) —
+    * Σ i·cᵢ is O(n·total), past int64 at ~10⁹ users × 10⁹ events —
+    * and emitted as an exact integer micro ratio.
+    *
+    * Scale shape: one map-combined aggregate over events (out:
+    * |users| rows), the distributed-prefix rank (bucket totals frame
+    * ≈ |distinct counts|), and a final single-row aggregate. */
+  def q172UserGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .select(lit("all").as("source"), col("user_id"),
+              col("c").cast("long").as("n_tokens"))
+    Sampling.distributedPrefix(counts, col("n_tokens"), Seq(col("user_id")))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+           sum(col("n_tokens")).cast("long").as("total_events"),
+           sum((col("rn") * col("n_tokens")).cast("decimal(38,0)")).as("wsum"))
+      .select(col("n_users"), col("total_events"),
+        expr("""CAST((2 * wsum
+                      - (CAST(n_users AS DECIMAL(38,0)) + 1)
+                        * CAST(total_events AS DECIMAL(38,0))) * 1000000
+                     div (CAST(n_users AS DECIMAL(38,0))
+                          * CAST(total_events AS DECIMAL(38,0))) AS LONG)""")
+          .as("gini_micro"))
+  }
 }

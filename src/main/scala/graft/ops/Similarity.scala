@@ -1124,4 +1124,87 @@ object Similarity {
        SELECT i AS dim, CAST(v AS BIGINT) AS v_scaled FROM v$iters
        ORDER BY dim"""
   }
+
+  /** q174 — greedy k-center coreset selection (farthest-point
+    * traversal, the classic 2-approximation): pick the vector with
+    * the smallest id as the seed, then repeatedly add the vector
+    * farthest from its nearest already-chosen center. This is the
+    * diversity-first curation primitive — a k-row coreset whose
+    * covering radius is within 2× optimal, used to seed diverse
+    * fine-tuning subsets and k-means++-style initializations.
+    *
+    * Determinism: distances are EXACT integers — embeddings are
+    * milli-quantized (`floor(x·1000 + 0.5)`, the q63/q169 rule) and
+    * compared by squared L2, ties broken on vec_id — so engine and
+    * oracle agree bit-for-bit with no float-comparison drift.
+    *
+    * Scale shape: k passes over the table, each a map-side
+    * min-over-≤k literal centers (the center set is k·d longs — a few
+    * KB broadcast inside the plan as literals) into a
+    * TakeOrderedAndProject(1). Nothing shuffles; driver state is the
+    * k selected rows. The quantized table is cached across the k
+    * scans. Output: one row per selected center in selection order,
+    * with the distance that made it the farthest point (the covering
+    * radius of the previous set). */
+  def q174KCenterCoreset(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+              transform(col("embedding"),
+                x => floor(x.cast("double") * 1000d + lit(0.5d)).cast("long"))
+                .as("qv"))
+      .persist()
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                lit(0L), (acc, v) => acc + v)
+    try {
+      val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+      var centers =
+        Vector((1L, seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
+      for (step <- 2 to k) {
+        val minDist = centers
+          .map { case (_, _, cv, _) => sqDist(col("qv"), typedLit(cv.toSeq)) }
+          .reduce(least(_, _))
+        val far = q.select(col("vec_id"), col("qv"), minDist.as("d"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+        centers = centers :+
+          ((step.toLong, far.getLong(0), far.getSeq[Long](1).toArray,
+            far.getLong(2)))
+      }
+      centers.map { case (st, id, _, d) => (st, id, d) }
+        .toDF("step", "vec_id", "dist_sq").orderBy(col("step"))
+    } finally q.unpersist()
+  }
+
+  /** DuckDB oracle for q174 — the same greedy traversal unrolled to
+    * k CTE pairs (candidate distances, then argmax with the vec_id
+    * tie-break) over the identical milli-quantized integer vectors. */
+  def q174OracleSql(k: Int = 4): String = {
+    val steps = (2 to k).map { j =>
+      val prev = if (j == 2) "d1" else s"d${j - 1}"
+      s"""c$j AS (SELECT vec_id, qv, d FROM $prev
+                  ORDER BY d DESC, vec_id LIMIT 1),
+          d$j AS (SELECT p.vec_id, p.qv,
+                  least(p.d, list_sum(list_transform(list_zip(p.qv, c.qv),
+                    t -> (t[1]-t[2])*(t[1]-t[2])))::BIGINT) AS d
+                  FROM $prev p, c$j c)"""
+    }.mkString(",\n")
+    val sel = (2 to k).map { j =>
+      s"UNION ALL SELECT ${j}::BIGINT, vec_id, d FROM c$j"
+    }.mkString("\n")
+    s"""WITH q AS (SELECT vec_id::BIGINT AS vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+       c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       d1 AS (SELECT p.vec_id, p.qv,
+              list_sum(list_transform(list_zip(p.qv, c.qv),
+                t -> (t[1]-t[2])*(t[1]-t[2])))::BIGINT AS d
+              FROM q p, c1 c),
+       $steps
+       SELECT * FROM (
+         SELECT 1::BIGINT AS step, vec_id, 0::BIGINT AS dist_sq FROM c1
+         $sel
+       ) ORDER BY step"""
+  }
 }

@@ -896,4 +896,31 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** q173 — lexical-richness audit per source: type-token ratio and
+    * hapax-legomenon share (tokens occurring exactly once in the
+    * source). Low TTR / low hapax share flags templated or
+    * machine-generated sources whose n-gram LM stats (q79/q123) look
+    * fine but whose vocabulary is degenerate — the complement of
+    * q147's Simpson concentration (which weights the HEAD of the
+    * distribution; hapax share measures the TAIL).
+    *
+    * Scale shape: two cascaded map-combined aggregates — (source,
+    * token) counts off one scan's explode, then a |sources|-row
+    * rollup. The first shuffle carries the per-task-distinct
+    * (source, token) pairs only; nothing downstream sees raw
+    * tokens. Ratios are exact integer micros (the q54/q79 rule). */
+  def q173HapaxRichness(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+           count(lit(1)).cast("long").as("n_types"),
+           sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L)))
+             .cast("long").as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+              expr("(n_types * 1000000L) div n_tokens").as("ttr_micro"),
+              expr("(n_hapax * 1000000L) div n_types").as("hapax_micro"))
+      .orderBy(col("source"))
 }

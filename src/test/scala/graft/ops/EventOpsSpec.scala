@@ -512,4 +512,26 @@ class EventOpsSpec extends SparkSpec {
       assert(pm == math.floor(n * 1000000.0 / fromTot(k._1)).toLong, s"$k prob")
     }
   }
+
+  test("q172 gini matches an independent sorted-rank recomputation") {
+    val counts = graft.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, c) => (c, u) } // ascending, vec tie on user
+      .map(_._2)
+    val n = counts.length.toLong
+    val tot = counts.sum
+    val wsum = counts.zipWithIndex
+      .map { case (c, i) => BigInt(i + 1) * BigInt(c) }.sum
+    val expected =
+      (BigInt(2) * wsum - BigInt(n + 1) * BigInt(tot)) * BigInt(1000000) /
+        (BigInt(n) * BigInt(tot))
+    val row = EventOps.q172UserGini(spark, sf0001).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == n)
+    assert(row(0).getLong(1) == tot)
+    assert(row(0).getLong(2) == expected.toLong)
+    // sanity: a concentration coefficient lives in [0, 1)
+    assert(row(0).getLong(2) >= 0L && row(0).getLong(2) < 1000000L)
+  }
 }

@@ -310,4 +310,33 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(diff == 0L, s"$diff scatter cells diverged from the reference")
   }
+
+  test("q174 k-center matches an exact greedy driver replay") {
+    val vecs = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000d + 0.5d).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val k = 4
+    var sel = Vector((vecs.head._1, 0L))
+    var centers = Vector(vecs.head._2)
+    while (sel.length < k) {
+      val far = vecs
+        .map { case (id, v) => (id, centers.map(c => d2(v, c)).min, v) }
+        .maxBy { case (id, d, _) => (d, -id) }
+      sel = sel :+ ((far._1, far._2))
+      centers = centers :+ far._3
+    }
+    val got = Similarity.q174KCenterCoreset(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1 to k).map(_.toLong))
+    assert(got.map(r => (r._2, r._3)).toSeq == sel)
+    // farthest-point invariants: ids distinct, selection distances
+    // (covering radius of the growing set) non-increasing
+    assert(got.map(_._2).distinct.length == k)
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a })
+  }
 }

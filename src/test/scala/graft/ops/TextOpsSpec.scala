@@ -322,4 +322,24 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"top-20 merge candidates diverge:\n$got\n$want")
   }
+
+  test("q173 hapax/TTR matches an exact driver replay") {
+    val bySrc = graft.Tables.documents(spark, sf0001).collect()
+      .map(r => (r.getString(3), r.getString(1)))
+      .groupBy(_._1)
+    val want = bySrc.map { case (src, docs) =>
+      val toks = docs.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).map { case (_, v) => v.length.toLong }
+      val nTok = toks.length.toLong
+      val nTyp = counts.size.toLong
+      val nHap = counts.count(_ == 1L).toLong
+      src -> (nTok, nTyp, nHap, nTyp * 1000000L / nTok, nHap * 1000000L / nTyp)
+    }
+    val got = TextOps.q173HapaxRichness(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, v) => assert(got(src) == v, s"source $src") }
+  }
 }

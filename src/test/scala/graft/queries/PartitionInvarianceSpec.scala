@@ -28,7 +28,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q150_skyline",           // r6 mapPartitions local frontier
     "q168_bloom_decontaminate", // r6 driver-built bloom literal
     "q169_pca_power",         // r6 integer scatter + power iteration
-    "q171_curriculum_order")  // r6 prefix-rank round-robin interleave
+    "q171_curriculum_order",  // r6 prefix-rank round-robin interleave
+    "q172_user_gini",         // r7 prefix-rank weighted sum
+    "q174_kcenter_coreset")   // r7 driver-iterated argmax rounds
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -86,6 +86,80 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two array<long> columns — the exact
+  * integer-geometry kernel behind the k-center traversal (q174),
+  * where each row is probed against up to k literal centers per
+  * scan: the `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), +)`
+  * HOF allocates an intermediate array and runs interpreted lambdas
+  * per element; this codegens to a primitive long loop. Arithmetic
+  * (sequential index-order sum, 64-bit wraparound) is bit-identical
+  * to the HOF formulation, so swapping it in cannot change any
+  * oracle-checked result.
+  */
+case class SqDistL64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sqdist_l64 requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sqdist_l64"
+
+  // Same null contract as DotF32: mismatched lengths or any null
+  // element → null, mirroring the HOF's null propagation.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature sketch as ONE codegen'd pass: slot i of the
   * signature is min over shingle hashes h of
   * XXH64(a_i ^ h, seed=42) — the identical hash family the
@@ -908,6 +982,11 @@ object VectorFunctions {
 
   def l2normF32(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF32(a, a))
+
+  /** Exact squared L2 distance over two array<long> columns. */
+  def sqDistL64(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqDistL64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** k-slot MinHash signature over an array<long> of element hashes. */
   def minhashSig(hashes: Column, k: Int): Column =

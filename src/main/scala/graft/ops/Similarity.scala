@@ -1154,9 +1154,11 @@ object Similarity {
                 x => floor(x.cast("double") * 1000d + lit(0.5d)).cast("long"))
                 .as("qv"))
       .persist()
+    // codegen'd integer kernel; bit-equal to the HOF formulation
+    // `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, +)`
+    // (VectorExpressionsSpec pins the equivalence)
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-                lit(0L), (acc, v) => acc + v)
+      graft.functions.VectorFunctions.sqDistL64(a, b)
     try {
       val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
       var centers =

@@ -27,6 +27,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(byId(3L) == 0.0)
   }
 
+  test("sqdist_l64 equals the HOF reference formulation") {
+    val ldf = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 6L, 3L)),
+      (2L, Seq(-1000L, 1000L), Seq(1000L, -1000L)),
+      (3L, Seq.empty[Long], Seq.empty[Long]),
+      (4L, Seq(7L), Seq(7L))
+    ).toDF("id", "a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+                        lit(0L), (acc, x) => acc + x)
+    val rows = ldf.select($"id",
+        VectorFunctions.sqDistL64($"a", $"b").as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 9L + 16L + 0L)
+    assert(byId(2L) == 4000000L + 4000000L)
+    assert(byId(3L) == 0L)
+    assert(byId(4L) == 0L)
+    // length mismatch and null elements null out, like the HOF
+    val edge = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(VectorFunctions.sqDistL64($"a", $"b").as("d")).collect()
+    assert(edge(0).isNullAt(0))
+  }
+
   test("rolling_hash31 equals the split+ascii HOF formulation") {
     val M = 1000000007L
     val texts = Seq(

@@ -200,6 +200,7 @@ object SparkEntry {
     "q172_user_gini"       -> EventOps.q172UserGini,
     "q173_hapax_richness"  -> TextOps.q173HapaxRichness,
     "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
+    "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -209,7 +210,8 @@ object SparkEntry {
   val streamingQueries: Set[String] =
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
-        "q101_stream_outer_join", "q156_stream_late_data")
+        "q101_stream_outer_join", "q156_stream_late_data",
+        "q175_stream_lifetime")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2269,5 +2271,11 @@ object SparkEntry {
               // count(*)::BIGINT) AS hapax_micro
          FROM c GROUP BY source ORDER BY source""",
     "q174_kcenter_coreset" -> graft.ops.Similarity.q174OracleSql(),
+    "q175_stream_lifetime" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT
+             AS total_micro,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+         FROM events GROUP BY user_id ORDER BY user_id""",
   )
 }

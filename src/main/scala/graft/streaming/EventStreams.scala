@@ -22,6 +22,10 @@ case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
 case class UserStats(user_id: Long, n_events: Long, total_value: Double,
                      last_seen: Option[Timestamp])
 
+/** Order-independent lifetime stats (integer micros; q175 output). */
+case class UserStatsMicro(user_id: Long, n_events: Long, total_micro: Long,
+                          last_seen: Option[Timestamp])
+
 /** Structured Streaming twins of the batch event operators
   * (graft.ops.EventOps): the SAME logical shapes — tumbling window
   * aggregation and gap-based sessionization — expressed as an
@@ -99,6 +103,33 @@ object EventStreams {
               .reduceOption((a, b) => if (a.after(b)) a else b))
           state.update(next)
           next
+      }
+  }
+
+  /** Integer-micro lifetime stats per user — the oracle-gated twin of
+    * [[userStats]] (q175): value totals accumulate as exact long
+    * micros (`floor(v·10⁶ + 0.5)` per event), so the result is
+    * independent of the order rows reach the group iterator — the
+    * property a cross-engine hash compare needs and double
+    * accumulation can't give. One fixed-size state record per user;
+    * one output row per user per batch (Update mode). */
+  def userStatsMicro(events: Dataset[EventRow]): Dataset[UserStatsMicro] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStatsMicro, UserStatsMicro](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val prev = state.getOption.getOrElse(UserStatsMicro(uid, 0L, 0L, None))
+        var n = prev.n_events
+        var tot = prev.total_micro
+        var last = prev.last_seen.orNull
+        rows.foreach { r =>
+          n += 1
+          tot += math.floor(r.value * 1e6d + 0.5d).toLong
+          if (last == null || r.ts.after(last)) last = r.ts
+        }
+        val next = UserStatsMicro(uid, n, tot, Option(last))
+        state.update(next)
+        next
       }
   }
 

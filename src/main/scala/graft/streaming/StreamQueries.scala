@@ -148,7 +148,8 @@ object StreamQueries {
                         drops: Int = 1,
                         phases: Seq[org.apache.spark.sql.Column] = Nil,
                         flushViaNoData: Boolean = false,
-                        sentinelPicks: Seq[Int] = Nil)
+                        sentinelPicks: Seq[Int] = Nil,
+                        outputMode: OutputMode = OutputMode.Append)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
@@ -280,7 +281,7 @@ object StreamQueries {
         batch.write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", ckpt.toString)
-      .outputMode(OutputMode.Append).start()
+      .outputMode(outputMode).start()
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       prevNoData match {
@@ -499,4 +500,29 @@ object StreamQueries {
               col("event_type"), col("n_events"))
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /** q175 — ARBITRARY-STATE streaming (mapGroupsWithState), oracle-
+    * gated: per-user lifetime stats accumulated in a typed GroupState
+    * record, the custom-state API production pipelines reach for when
+    * windows/sessions can't express the accumulator. Update mode; the
+    * feed is the single-snapshot events file, so the one micro-batch
+    * emits exactly one finalized row per user and the append sink
+    * holds no stale snapshots. Totals accumulate as exact long micros
+    * ([[EventStreams.userStatsMicro]]) so the result is independent
+    * of group-iterator order — a double sum would hash-diverge from
+    * the oracle run to run. No watermark, no sentinels: state is
+    * keyed by user and never evicted (NoTimeout), which at 100 TB is
+    * the documented active-user-set bound, not a history bound.
+    * Oracle: the plain batch per-user aggregate. */
+  def q175StreamLifetime(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q175", drops = 0,
+              outputMode = OutputMode.Update) { src =>
+      import src.sparkSession.implicits._
+      EventStreams.userStatsMicro(
+        src.filter(col("event_type") =!= sentinelType).as[EventRow]).toDF()
+    }
+      .select(col("user_id"), col("n_events"), col("total_micro"),
+              date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("last_seen"))
+      .orderBy(col("user_id"))
 }

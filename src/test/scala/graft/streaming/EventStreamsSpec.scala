@@ -230,6 +230,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("userStatsMicro: integer totals accumulate across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.userStatsMicro(in.toDS())
+      .writeStream.format("memory").queryName("user_stats_micro")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 1, "10:00", v = 1.25), ev(2, 1, "10:05", v = 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "11:00", v = 0.125), ev(4, 2, "11:00", v = 9.0))
+      q.processAllAvailable()
+      val latest = spark.table("user_stats_micro").as[UserStatsMicro].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n_events) }
+      val u1 = latest.find(_.user_id == 1L).get
+      assert(u1.n_events == 3 && u1.total_micro == 3875000L)
+      assert(u1.last_seen.contains(ts("11:00")))
+      val u2 = latest.find(_.user_id == 2L).get
+      assert(u2.n_events == 1 && u2.total_micro == 9000000L)
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet drops flow end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     def drop(events: (Long, Long, String, Double)*): Unit =

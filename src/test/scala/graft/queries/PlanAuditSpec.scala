@@ -241,4 +241,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec") && !p.contains("SortExec"),
       s"row stream must not sort/window:\n${p.take(1000)}")
   }
+
+  test("q172 gini rank uses the two-phase distributed prefix sum") {
+    // q172's prefix source is a constant (one global rank), which the
+    // optimizer rightly prunes from the partition specs — so the
+    // stronger form of the pack-family audit applies: NO window may
+    // run unpartitioned over the raw user stream; any window whose
+    // partition spec pruned to empty/degenerate must consume the
+    // per-bucket totals AGGREGATE, and the local rank window must
+    // keep its bucket key.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = graft.SparkEntry.queries("q172_user_gini")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the plan")
+    wins.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"unpartitioned window over the raw row stream:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "no bucket-partitioned local window found")
+  }
+
+  test("q174 k-center probe is shuffle-free codegen'd top-1 scans") {
+    // Each greedy round must be a map-side probe (literal centers,
+    // codegen'd sqdist_l64) into TakeOrderedAndProject(limit=1) —
+    // never a global sort, never an exchange of the vector table.
+    val probe = graft.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.transform(
+                org.apache.spark.sql.functions.col("embedding"),
+                x => org.apache.spark.sql.functions.floor(
+                  x.cast("double") * 1000d + 0.5d).cast("long")).as("qv"))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              graft.functions.VectorFunctions.sqDistL64(
+                org.apache.spark.sql.functions.col("qv"),
+                org.apache.spark.sql.functions.typedLit(Seq.fill(64)(0L)))
+                .as("d"))
+      .orderBy(org.apache.spark.sql.functions.col("d").desc,
+               org.apache.spark.sql.functions.col("vec_id"))
+      .limit(1)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"probe must be top-1, not a global sort:\n${p.take(800)}")
+    assert(!p.contains("Exchange"),
+      s"probe must not shuffle the vector table:\n${p.take(800)}")
+    assert(p.contains("sqdist_l64"),
+      s"probe must use the codegen'd kernel:\n${p.take(800)}")
+  }
 }

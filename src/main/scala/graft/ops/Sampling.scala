@@ -331,24 +331,53 @@ object Sampling {
   private[graft] def distributedPrefix(
       df: DataFrame, bucket: Column, tieOrder: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One EXPLICIT exchange on (source, bucket) feeds BOTH consumers,
+    // and the bucket TOTALS are read off the local window's own
+    // output (the bucket-final running sum / row number) instead of a
+    // separate aggregation of the raw input — so the input lineage is
+    // planned ONCE: one scan, one fact shuffle, with the totals
+    // aggregate running post-window in the same stage (it is already
+    // clustered by the grouping keys). The previous formulation
+    // re-derived the full input lineage per branch: at 25 B docs a
+    // second scan + tokenize of the corpus just to count bucket
+    // occupancy (r7 plan-audit catch, ScanReuseSpec pins it).
+    // Null keys are excluded EXPLICITLY (the pre-r7 inner join dropped
+    // them implicitly): with the isnotnull predicates present below
+    // the exchange, constraint inference adds nothing branch-specific
+    // above it, keeping the two consumers' subtrees canonically equal.
     val in = df.withColumn("pb", bucket)
+      .filter(col("source").isNotNull && col("pb").isNotNull)
+      .repartition(col("source"), col("pb"))
     val localW = Window.partitionBy(col("source"), col("pb"))
       .orderBy(tieOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = in.groupBy(col("source"), col("pb"))
-      .agg(sum(col("n_tokens")).cast("long").as("b_sum"),
-           count(lit(1)).as("b_cnt"))
+    val ranked = in
+      .withColumn("loc_cum", sum(col("n_tokens")).over(localW))
+      .withColumn("loc_rn", row_number().over(localW).cast("long"))
+    // bucket-final running values = the bucket totals (max over the
+    // unique loc_rn picks the LAST row, so this holds for any sign
+    // of n_tokens, not just monotone running sums)
+    val totals = ranked.groupBy(col("source"), col("pb"))
+      .agg(max(struct(col("loc_rn"), col("loc_cum")))
+             .getField("loc_cum").cast("long").as("b_sum"),
+           max(col("loc_rn")).as("b_cnt"))
     val offW = Window.partitionBy(col("source")).orderBy(col("pb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("off_sum", coalesce(sum(col("b_sum")).over(offW), lit(0L)))
       .withColumn("off_cnt", coalesce(sum(col("b_cnt")).over(offW), lit(0L)))
       .select(col("source"), col("pb"), col("off_sum"), col("off_cnt"))
-    in.withColumn("loc_cum", sum(col("n_tokens")).over(localW))
-      .withColumn("loc_rn", row_number().over(localW).cast("long"))
-      .join(broadcast(offsets), Seq("source", "pb"))
-      .withColumn("cum_before", col("off_sum") + col("loc_cum") - col("n_tokens"))
-      .withColumn("rn", col("off_cnt") + col("loc_rn"))
+    // LEFT join, not inner: every (source, pb) on the left exists in
+    // offsets BY CONSTRUCTION (offsets derive from ranked), so the
+    // semantics are identical — but an inner join would infer an
+    // isnotnull(bucket) filter into the probe branch's scan only,
+    // breaking the canonical equality that lets the planner reuse
+    // the shared exchange (ScanReuseSpec).
+    ranked
+      .join(broadcast(offsets), Seq("source", "pb"), "left")
+      .withColumn("cum_before",
+        coalesce(col("off_sum"), lit(0L)) + col("loc_cum") - col("n_tokens"))
+      .withColumn("rn", coalesce(col("off_cnt"), lit(0L)) + col("loc_rn"))
       .drop("pb", "loc_cum", "loc_rn", "off_sum", "off_cnt")
   }
 

@@ -404,12 +404,18 @@ object TextOps {
     // — never as computed sums like k1+1, whose double result can
     // differ from the parsed literal the SQL oracle uses
     val toksOf = tokens(col("text"))
+    // persist: the per-doc (dl, tf…) frame feeds BOTH the corpus
+    // stats aggregate and the scoring projection — without the cache
+    // the scan+tokenize+term-count lineage runs twice (the
+    // distributedPrefix r7 lesson). The cached frame is |docs| rows
+    // of a few longs, a fraction of the corpus bytes.
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), toksOf.as("toks"))
       .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
         bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
         }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statAggs = sum(col("dl")).as("sdl") +:
       bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
@@ -480,17 +486,29 @@ object TextOps {
     * is exactly the vocabulary-build sort every tokenizer pipeline
     * already pays; output is ~log2(|V|) rows. */
   def q131ZipfCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // persist the collapsed vocab frame: it feeds the grand total AND
+    // the rank/cum prefix — uncached, the scan+explode+aggregate
+    // lineage would run twice (the distributedPrefix r7 lesson).
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum(col("c")).cast("long").as("n_total"))
-    val byFreq = Window.orderBy(col("c").desc, col("token"))
-    counts
-      .withColumn("rank", row_number().over(byFreq).cast("long"))
-      .withColumn("cum", sum(col("c")).over(
-        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+    // global (c desc, token) rank + running sum via the two-phase
+    // distributed prefix — the pre-r7 single-partition window over
+    // the whole vocabulary is the thing that dies first at corpus
+    // scale. Bucket = (-c, 4-char token prefix): order-contiguous
+    // w.r.t. the rank order, and the prefix sub-splits the huge
+    // hapax bucket (c = 1 holds ~half a Zipfian vocabulary — without
+    // the sub-split one task would sort it alone).
+    val pref = Sampling.distributedPrefix(
+      counts.select(lit("all").as("source"), col("token"),
+                    col("c").cast("long").as("n_tokens")),
+      struct(-col("n_tokens"), substring(col("token"), 1, 4)),
+      Seq(col("token")))
+    pref
+      .select(col("rn").as("rank"), col("token"),
+              (col("cum_before") + col("n_tokens")).cast("long").as("cum"))
       // keep power-of-two ranks only: rank & (rank-1) == 0
       .filter(expr("(rank & (rank - 1)) = 0"))
       .crossJoin(broadcast(tot))
@@ -656,14 +674,21 @@ object TextOps {
     * rollup — nothing global but two scalar aggs. Overflow: ratio
     * diffs ≤ 1e6, squared ≤ 1e12, summed over V ≪ long range. */
   def q109TokenDrift(s: SparkSession, dir: String, v: Int = 32): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // ONE scan+tokenize pass, collapsed immediately to (source, token)
+    // counts and persisted — corpus totals, per-source totals, the
+    // top-v vocab, and the observed-vocab counts are all rollups of
+    // this one small frame (pre-r7, each was a separate derivation of
+    // the full explode lineage: four corpus scans at warehouse scale).
+    val st = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
-    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("stc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = st.groupBy(col("token")).agg(sum(col("stc")).as("c"))
     val vocab = broadcast(corpus.orderBy(col("c").desc, col("token")).limit(v))
-    val perSrc = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val tot = toks.agg(count(lit(1)).as("n_corpus"))
-    val obs = toks.join(vocab.select(col("token")), Seq("token"))
-      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("o"))
+    val perSrc = st.groupBy(col("source")).agg(sum(col("stc")).as("n_s"))
+    val tot = st.agg(sum(col("stc")).as("n_corpus"))
+    val obs = st.join(vocab.select(col("token")), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(sum(col("stc")).as("o"))
     perSrc.crossJoin(vocab)
       .join(obs, Seq("source", "token"), "left")
       .na.fill(0L, Seq("o"))

@@ -816,8 +816,12 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val cent = centroidsWithNorm(e, C = 16, iters = 2)
+    // persist: the C-row cell-population frame feeds both the total
+    // and the share projection — uncached, the grand total re-runs
+    // the whole assign (a second distance pass over every vector).
     val sizes = assignCells(e, cent)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = sizes.agg(sum(col("n_vecs")).cast("long").as("n_total"))
     sizes.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),

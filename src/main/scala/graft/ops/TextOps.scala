@@ -455,17 +455,24 @@ object TextOps {
     * down or widen to DECIMAL. */
   def q79LmQuality(s: SparkSession, dir: String, v: Int = 64): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val docToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val vocab = docToks.groupBy(col("token"))
-      .agg(count(lit(1)).as("freq"))
+    // ONE scan+tokenize, collapsed to per-(doc, token) counts and
+    // persisted: the vocab ranking, the corpus total, and the per-doc
+    // score are all rollups of this frame (pre-r7: three separate
+    // derivations of the explode lineage). Occurrence-level sums are
+    // recovered exactly as count-weighted sums.
+    val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = dt.groupBy(col("token"))
+      .agg(sum(col("tc")).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(v)
-    val ntok = docs.agg(sum(size(tokens(col("text")))).cast("long").as("n_corpus"))
-    val perDoc = docToks
+    val ntok = dt.agg(sum(col("tc")).cast("long").as("n_corpus"))
+    val perDoc = dt
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-           sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
+      .agg(sum(col("tc")).as("n_tokens"),
+           sum(coalesce(col("freq"), lit(0L)) * col("tc")).as("sum_freq"))
     perDoc.crossJoin(broadcast(ntok))
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
               expr("(sum_freq * 1000000) div (n_tokens * n_corpus)")
@@ -608,9 +615,15 @@ object TextOps {
   def q113CooccurrenceLift(s: SparkSession, dir: String,
                            v: Int = 32): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // persist: the distinct (doc, token) incidence feeds the df-vocab
+    // ranking AND both sides of the pair self-join — uncached, the
+    // scan+explode+distinct lineage runs three times. The cache IS
+    // the collapsed incidence frame; the vocab-filtered join output
+    // downstream is v-bounded regardless.
     val docTok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = broadcast(
       docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(v))

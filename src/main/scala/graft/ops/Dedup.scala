@@ -602,6 +602,12 @@ object Dedup {
                 .as("segs"))
       .select(col("doc_id"), posexplode(col("segs")))
       .select(col("doc_id"), (col("pos") + 1).as("seg_idx"), col("col").as("seg"))
+      // persist: the segment stream feeds the keeper election, the
+      // keeper join AND the per-doc totals — uncached, the
+      // scan+tokenize+segment lineage runs three times (r7
+      // single-planning audit; the spill is corpus-sized but two
+      // full re-derivations are strictly worse at every scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keeper per distinct segment text: global min (doc_id, seg_idx)
     val first = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))

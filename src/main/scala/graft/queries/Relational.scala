@@ -484,10 +484,14 @@ object Relational {
     * aggregate-then-broadcast pass (the F8 two-phase pattern);
     * clamping is map-side; sums are integer micros. */
   def q120Winsorize(s: SparkSession, dir: String): DataFrame = {
+    // persist: the 2-column projection feeds the band computation AND
+    // the clamped rollup — uncached, the orders scan runs twice (r7
+    // single-planning audit)
     val o = graft.Tables.orders(s, dir)
       .select(col("o_orderpriority").as("prio"),
               floor(col("o_totalprice") * lit(1e6d) + lit(0.5d)).cast("long")
                 .as("p_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = o.groupBy(col("prio"))
       // percentile_disc picks a MEMBER value but returns double;
       // cast back to the exact integer micro it selected

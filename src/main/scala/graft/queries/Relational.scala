@@ -822,9 +822,45 @@ object Relational {
     val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
     val pa = Tables.part(s, dir); val na = Tables.nation(s, dir)
     val re = Tables.region(s, dir)
-    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
-      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"))
-      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"))
+    // The FACT table is audited once for all three of its edges: one
+    // scan, three broadcast probes, one aggregate, exploded to the
+    // same three report rows (pre-r7: three full lineitem scans, one
+    // per edge — the single-planning audit's worst offender). The
+    // dimension edges keep the generic per-edge form; their child
+    // scans are dimension-sized.
+    val liAudit = {
+      def probe(key: String, parent: DataFrame, pkey: String,
+                tag: String): (DataFrame, Column, Column) = {
+        val p = parent.select(col(pkey).as(s"__pk_$tag")).distinct()
+        (broadcast(p),
+         sum(when(col(key).isNull, 1L).otherwise(0L))
+           .cast("long").as(s"nn_$tag"),
+         sum(when(col(key).isNotNull && col(s"__pk_$tag").isNull, 1L)
+           .otherwise(0L)).cast("long").as(s"no_$tag"))
+      }
+      val (po, nnO, noO) = probe("l_orderkey", o, "o_orderkey", "o")
+      val (pp, nnP, noP) = probe("l_partkey", pa, "p_partkey", "p")
+      val (ps, nnS, noS) = probe("l_suppkey", su, "s_suppkey", "s")
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(po, col("l_orderkey") === col("__pk_o"), "left")
+        .join(pp, col("l_partkey") === col("__pk_p"), "left")
+        .join(ps, col("l_suppkey") === col("__pk_s"), "left")
+        .agg(count(lit(1)).as("n_rows"), nnO, noO, nnP, noP, nnS, noS)
+        .select(explode(array(
+          struct(lit("lineitem.l_orderkey->orders").as("fk"),
+                 col("n_rows"), col("nn_o").as("n_null_keys"),
+                 col("no_o").as("n_orphans")),
+          struct(lit("lineitem.l_partkey->part").as("fk"),
+                 col("n_rows"), col("nn_p").as("n_null_keys"),
+                 col("no_p").as("n_orphans")),
+          struct(lit("lineitem.l_suppkey->supplier").as("fk"),
+                 col("n_rows"), col("nn_s").as("n_null_keys"),
+                 col("no_s").as("n_orphans")))).as("e"))
+        .select(col("e.fk").as("fk"), col("e.n_rows").as("n_rows"),
+                col("e.n_null_keys").as("n_null_keys"),
+                col("e.n_orphans").as("n_orphans"))
+    }
+    liAudit
       .unionByName(edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
       .unionByName(edge("customer.c_nationkey->nation", c, "c_nationkey", na, "n_nationkey"))
       .unionByName(edge("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"))

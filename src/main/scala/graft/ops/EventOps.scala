@@ -674,9 +674,11 @@ object EventOps {
                        x => x.getField("event_type")),
              ">").as("path"))
     val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    // TakeOrdered the k survivors FIRST; the rank window then runs
+    // over k rows, not a single-partition sort of every distinct path
     val wTop = Window.orderBy(col("n_sessions").desc, col("path"))
-    counts.withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= k)
+    counts.orderBy(col("n_sessions").desc, col("path")).limit(k)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
       .select(col("rk"), col("path"), col("n_sessions"))
       .orderBy(col("rk"))
   }

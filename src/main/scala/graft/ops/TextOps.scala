@@ -234,15 +234,18 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
               size(slice(col("toks"), col("chunk_no") * chunkTokens + 1,
                          lit(chunkTokens))).cast("long").as("n_chunk_tokens"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("doc_id"), col("chunk_no"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+    // Two-phase distributed prefix (the q103/q151/q153 machinery —
+    // q62 was the one pack query still running a per-source window
+    // over the raw chunk stream, caught by the r7 audit): bucket =
+    // doc_id div 256 is order-contiguous w.r.t. (doc_id, chunk_no),
+    // and bin_id needs only the EXCLUSIVE prefix, which the helper
+    // emits directly.
+    Sampling.distributedPrefix(
+        chunks.withColumnRenamed("n_chunk_tokens", "n_tokens"),
+        expr("doc_id div 256L"), Seq(col("doc_id"), col("chunk_no")))
       .select(col("source"), col("doc_id"), col("chunk_no"),
-              col("n_chunk_tokens"),
-              floor((col("cum") - col("n_chunk_tokens")) / capacity)
-                .as("bin_id"))
+              col("n_tokens").as("n_chunk_tokens"),
+              floor(col("cum_before") / capacity).as("bin_id"))
       .orderBy(col("source"), col("doc_id"), col("chunk_no"))
   }
 

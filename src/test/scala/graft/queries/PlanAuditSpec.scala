@@ -210,6 +210,10 @@ class PlanAuditSpec extends SparkSpec {
     auditPrefixWindows("q103_token_budget")
   }
 
+  test("q62 chunk packing uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q62_pack_chunks")
+  }
+
   test("q151 shard pack uses the two-phase distributed prefix sum") {
     auditPrefixWindows("q151_shard_pack")
   }

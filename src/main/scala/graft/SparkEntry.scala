@@ -201,6 +201,7 @@ object SparkEntry {
     "q173_hapax_richness"  -> TextOps.q173HapaxRichness,
     "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
     "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
+    "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2277,5 +2278,21 @@ object SparkEntry {
              AS total_micro,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q176_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+                 list_transform(generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' '))
+               ELSE [] END AS grams FROM t),
+         p AS (SELECT doc_id, unnest(grams) AS span FROM g),
+         pg AS (SELECT span, doc_id, count(*) AS c FROM p GROUP BY 1, 2),
+         a AS (SELECT span, sum(c)::BIGINT AS n_occurrences,
+                 count(*)::BIGINT AS n_docs,
+                 min(doc_id)::BIGINT AS first_doc
+               FROM pg GROUP BY 1)
+         SELECT span, n_occurrences, n_docs, first_doc FROM a
+         WHERE n_docs >= 2
+         ORDER BY n_occurrences DESC, span LIMIT 20""",
   )
 }

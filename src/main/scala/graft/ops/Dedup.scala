@@ -1088,4 +1088,36 @@ object Dedup {
                 .as("is_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** q176 — duplicated-SPAN extraction: the top-k n-token windows
+    * that appear in two or more documents, with their occurrence and
+    * document counts and the smallest containing doc — the actionable
+    * report behind substring-level dedup (q74 measures how much of
+    * each doc is duplicated; this names WHAT is duplicated, i.e. the
+    * boilerplate/licence/template spans an operator then strips).
+    * Overlapping windows of a longer shared region each count — the
+    * report ranks "most-repeated window", and a maximal-span
+    * reconstruction is a downstream pass over these rows.
+    *
+    * Scale shape: one map-side position explode (codegen'd
+    * WordShingles) collapsed FIRST to per-(span, doc) counts — the
+    * only corpus-sized exchange carries those collapsed pairs — then
+    * a span-keyed rollup (no Expand: the distinct-doc count is the
+    * second-level count(*)) into a TakeOrderedAndProject. */
+  def q176DupSpans(s: SparkSession, dir: String,
+                   n: Int = 8, k: Int = 20): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              explode(TextOps.shinglePositions(
+                TextOps.tokens(col("text")), n)).as("span"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("span"))
+      .agg(sum(col("c")).cast("long").as("n_occurrences"),
+           count(lit(1)).cast("long").as("n_docs"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(k)
+  }
 }

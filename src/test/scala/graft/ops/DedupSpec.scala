@@ -461,4 +461,27 @@ class DedupSpec extends SparkSpec {
     assert(falseFlags <= math.max(1, clean.size / 100),
       s"$falseFlags of ${clean.size} clean docs falsely flagged")
   }
+
+  test("q176 duplicated spans match an exact driver replay") {
+    val n = 8
+    val docs = graft.Tables.documents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = scala.collection.mutable.Map[(String, Long), Long]()
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to toks.length - n).foreach { i =>
+        val span = toks.slice(i, i + n).mkString(" ")
+        perDoc((span, id)) = perDoc.getOrElse((span, id), 0L) + 1L
+      }
+    }
+    val agg = perDoc.groupBy(_._1._1).map { case (span, m) =>
+      (span, m.values.sum, m.size.toLong, m.keys.map(_._2).min)
+    }
+    val want = agg.filter(_._3 >= 2).toSeq
+      .sortBy { case (span, occ, _, _) => (-occ, span) }.take(20)
+    val got = graft.ops.Dedup.q176DupSpans(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"top duplicated spans diverge:\n$got\n$want")
+  }
 }

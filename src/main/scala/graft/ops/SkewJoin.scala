@@ -26,7 +26,8 @@ object SkewJoin {
     // deterministic per-row spread: hash of the whole fact row; a
     // monotonically_increasing_id or rand() would also do, but a
     // content hash keeps the plan fully deterministic for testing
-    val salt = pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
+    val salt = pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)),
+                    lit(saltBuckets))
     val saltedFact = fact.withColumn("__salt", salt)
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<bigint>")))

@@ -253,7 +253,7 @@ object EventStreams {
           state.update(s)
           // never set a timeout at/below the current watermark
           state.setTimeoutTimestamp(
-            math.max(s.last.getTime + gapMs + 1, state.getCurrentWatermarkMs + 1))
+            math.max(s.last.getTime + gapMs + 1, state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }

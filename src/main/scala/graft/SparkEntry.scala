@@ -202,6 +202,7 @@ object SparkEntry {
     "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
     "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
     "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
+    "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2294,5 +2295,28 @@ object SparkEntry {
          SELECT span, n_occurrences, n_docs, first_doc FROM a
          WHERE n_docs >= 2
          ORDER BY n_occurrences DESC, span LIMIT 20""",
+    "q177_mix_allocation" ->
+      """WITH a AS (SELECT source,
+             sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+           FROM documents GROUP BY source),
+         p AS (SELECT source, avail_tokens,
+             ((sum(avail_tokens) OVER ())::BIGINT // 2) AS budget,
+             (count(*) OVER ())::BIGINT AS n_src FROM a),
+         q AS (SELECT *, (budget // n_src) AS base,
+             CASE WHEN avail_tokens < (budget // n_src) THEN 1 ELSE 0 END
+               AS capped FROM p),
+         r AS (SELECT *,
+             (sum(CASE WHEN capped = 1 THEN base - avail_tokens ELSE 0 END)
+                OVER ())::BIGINT AS surplus,
+             (sum(1 - capped) OVER ())::BIGINT AS n_uncapped FROM q)
+         SELECT source, avail_tokens, base::BIGINT AS base_alloc,
+           capped::BIGINT AS capped,
+           (CASE WHEN capped = 1 THEN avail_tokens
+                 ELSE least(avail_tokens,
+                            base + CASE WHEN n_uncapped > 0
+                                        THEN surplus // n_uncapped
+                                        ELSE 0 END) END)::BIGINT
+             AS final_alloc
+         FROM r ORDER BY source""",
   )
 }

@@ -519,4 +519,53 @@ object Sampling {
               ((col("rn") - 1) * lit(nSrc) + col("src_idx")).as("global_pos"))
       .orderBy(col("global_pos"))
   }
+
+  /** q177 — training-mix token allocation (single-round waterfill):
+    * split a token budget equally across sources, cap each source at
+    * what it actually has, and redistribute the surplus of the capped
+    * sources equally among the uncapped ones (one round — the
+    * documented contract; iterate to a fixpoint downstream if a
+    * second cap matters). This is the "how many tokens do I take
+    * from each source" planning step that turns per-source counts
+    * into a sampling plan, run before q103's per-source greedy
+    * selection executes it. Budget defaults to half the corpus, so
+    * the plan is data-derived and scale-free.
+    *
+    * All arithmetic is integer (div with documented remainders:
+    * allocation never exceeds the budget). Everything downstream of
+    * the per-source count aggregate runs on a |sources|-row frame —
+    * window sums over that aggregate, never a second corpus pass.
+    *
+    * Scale shape: ONE map-combined aggregate over documents (out:
+    * |sources| rows); the waterfill is window arithmetic on that
+    * tiny frame. */
+  def q177MixAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = Tables.documents(s, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("avail_tokens"))
+    val all = Window.partitionBy()
+    avail
+      .withColumn("budget", expr("(sum(avail_tokens) OVER ()) div 2L"))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("base", expr("budget div n_src"))
+      .withColumn("capped", (col("avail_tokens") < col("base")).cast("long"))
+      .withColumn("surplus",
+        sum(when(col("capped") === 1, col("base") - col("avail_tokens"))
+          .otherwise(0L)).over(all))
+      .withColumn("n_uncapped",
+        sum(lit(1L) - col("capped")).over(all))
+      .withColumn("extra",
+        when(col("n_uncapped") > 0, expr("surplus div n_uncapped"))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("avail_tokens"), col("base").as("base_alloc"),
+              col("capped"),
+              least(col("avail_tokens"),
+                    when(col("capped") === 1, col("avail_tokens"))
+                      .otherwise(col("base") + col("extra")))
+                .cast("long").as("final_alloc"))
+      .orderBy(col("source"))
+  }
 }

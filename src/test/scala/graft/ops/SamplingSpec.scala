@@ -356,4 +356,26 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("q177 waterfill caps the starved source and redistributes") {
+    // A: 10 tokens, B: 100, C: 100 → total 210, budget 105, base 35.
+    // A capped at 10 (surplus 25); B/C get 35 + 25 div 2 = 47 each.
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    (Seq(doc(1, 10, "a")) ++ (2 to 11).map(i => doc(i, 10, "b")) ++
+      (12 to 21).map(i => doc(i, 10, "c")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.q177MixAllocation(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((10L, 35L, 1L, 10L)), s"capped source: ${got("a")}")
+    assert(got("b") == ((100L, 35L, 0L, 47L)), s"uncapped: ${got("b")}")
+    assert(got("c") == ((100L, 35L, 0L, 47L)), s"uncapped: ${got("c")}")
+    // invariant: never allocate more than the budget (105)
+    assert(got.values.map(_._4).sum <= 105L)
+  }
 }

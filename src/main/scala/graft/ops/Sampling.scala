@@ -328,8 +328,21 @@ object Sampling {
     * partitioning-independent: the order (bucket, tieOrder) is a
     * total order on rows, so every value is unique and deterministic.
     */
+  /** `withSum = false` emits the global RANK only (no `cum_before`):
+    * a consumer that drops the running sum would otherwise get its
+    * sum window expression eliminated in the main branch while the
+    * totals branch keeps it — canonically unequal subtrees, no shared
+    * exchange, double-planned input (the q171 ScanReuseSpec catch).
+    *
+    * `keepBucket = true` returns the `pb` bucket column: a consumer
+    * whose output needs the value the bucket was derived from should
+    * read it back off `pb` (e.g. score = −pb) instead of carrying the
+    * original column through the exchange — an output-only column is
+    * pruned from the totals branch but not the rank branch, which
+    * also breaks the subtree equality. */
   private[graft] def distributedPrefix(
-      df: DataFrame, bucket: Column, tieOrder: Seq[Column]): DataFrame = {
+      df: DataFrame, bucket: Column, tieOrder: Seq[Column],
+      withSum: Boolean = true, keepBucket: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One EXPLICIT exchange on (source, bucket) feeds BOTH consumers,
     // and the bucket TOTALS are read off the local window's own
@@ -351,34 +364,49 @@ object Sampling {
     val localW = Window.partitionBy(col("source"), col("pb"))
       .orderBy(tieOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = in
-      .withColumn("loc_cum", sum(col("n_tokens")).over(localW))
-      .withColumn("loc_rn", row_number().over(localW).cast("long"))
+    val withRn = in.withColumn("loc_rn", row_number().over(localW).cast("long"))
+    val ranked =
+      if (withSum) withRn.withColumn("loc_cum", sum(col("n_tokens")).over(localW))
+      else withRn
     // bucket-final running values = the bucket totals (max over the
     // unique loc_rn picks the LAST row, so this holds for any sign
     // of n_tokens, not just monotone running sums)
-    val totals = ranked.groupBy(col("source"), col("pb"))
-      .agg(max(struct(col("loc_rn"), col("loc_cum")))
-             .getField("loc_cum").cast("long").as("b_sum"),
-           max(col("loc_rn")).as("b_cnt"))
+    val totals =
+      if (withSum)
+        ranked.groupBy(col("source"), col("pb"))
+          .agg(max(struct(col("loc_rn"), col("loc_cum")))
+                 .getField("loc_cum").cast("long").as("b_sum"),
+               max(col("loc_rn")).as("b_cnt"))
+      else
+        ranked.groupBy(col("source"), col("pb"))
+          .agg(max(col("loc_rn")).as("b_cnt"))
     val offW = Window.partitionBy(col("source")).orderBy(col("pb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("off_sum", coalesce(sum(col("b_sum")).over(offW), lit(0L)))
+    val offsets0 = totals
       .withColumn("off_cnt", coalesce(sum(col("b_cnt")).over(offW), lit(0L)))
-      .select(col("source"), col("pb"), col("off_sum"), col("off_cnt"))
+    val offsets =
+      if (withSum)
+        offsets0
+          .withColumn("off_sum", coalesce(sum(col("b_sum")).over(offW), lit(0L)))
+          .select(col("source"), col("pb"), col("off_sum"), col("off_cnt"))
+      else offsets0.select(col("source"), col("pb"), col("off_cnt"))
     // LEFT join, not inner: every (source, pb) on the left exists in
     // offsets BY CONSTRUCTION (offsets derive from ranked), so the
     // semantics are identical — but an inner join would infer an
     // isnotnull(bucket) filter into the probe branch's scan only,
     // breaking the canonical equality that lets the planner reuse
     // the shared exchange (ScanReuseSpec).
-    ranked
+    val joined = ranked
       .join(broadcast(offsets), Seq("source", "pb"), "left")
-      .withColumn("cum_before",
-        coalesce(col("off_sum"), lit(0L)) + col("loc_cum") - col("n_tokens"))
       .withColumn("rn", coalesce(col("off_cnt"), lit(0L)) + col("loc_rn"))
-      .drop("pb", "loc_cum", "loc_rn", "off_sum", "off_cnt")
+    val out =
+      if (withSum)
+        joined.withColumn("cum_before",
+          coalesce(col("off_sum"), lit(0L)) + col("loc_cum") - col("n_tokens"))
+          .drop("off_sum", "loc_cum")
+      else joined
+    val cleaned = out.drop("loc_rn", "off_cnt")
+    if (keepBucket) cleaned else cleaned.drop("pb")
   }
 
   /** Order-contiguous bucket for doc_id-ordered prefixes: dense ids
@@ -450,17 +478,29 @@ object Sampling {
     * [[distributedPrefix]] (length-bucketed and doc_id-bucketed), so
     * neither routes a whole source through one window partition;
     * batch stats are a groupBy over batch ids. */
-  def q153PadBatching(s: SparkSession, dir: String,
-                      batchSize: Int = 32): DataFrame = {
+  /** q153's double-prefix frame, un-persisted — split out so the
+    * plan audit can inspect the window shapes that the persist in
+    * [[q153PadBatching]] hides inside the cached relation. */
+  private[graft] def q153SizedFrame(s: SparkSession, dir: String,
+                                    batchSize: Int = 32): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
               size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     val withLen = distributedPrefix(base, negLenBucket, Seq(col("doc_id")))
       .withColumnRenamed("rn", "rn_len").drop("cum_before")
-    val sized = distributedPrefix(withLen, docIdBucket, Seq(col("doc_id")))
+    distributedPrefix(withLen, docIdBucket, Seq(col("doc_id")))
       .withColumnRenamed("rn", "rn_arr").drop("cum_before")
       .withColumn("b_len", expr(s"(rn_len - 1L) div $batchSize"))
       .withColumn("b_arr", expr(s"(rn_arr - 1L) div $batchSize"))
+  }
+
+  def q153PadBatching(s: SparkSession, dir: String,
+                      batchSize: Int = 32): DataFrame = {
+    // persist: both waste rollups consume the double-prefix frame —
+    // uncached, the scan+tokenize+two-prefix chain runs twice (r7
+    // single-planning audit); the cache is |docs| rows of five longs
+    val sized = q153SizedFrame(s, dir, batchSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lenWaste = sized.groupBy(col("source"), col("b_len"))
       .agg((count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
         .cast("long").as("w"))
@@ -498,17 +538,29 @@ object Sampling {
     * routes the corpus through one partition at any scale. */
   def q171CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    // The score exists ONLY as the (negated) bucket column: q171's
+    // output doesn't use the running sum (withSum = false) and reads
+    // the score back as −pb (keepBucket = true) — any column one
+    // branch uses and the other prunes would make the rank/totals
+    // subtrees canonically unequal, costing the shared exchange and
+    // double-scanning the corpus (r7 ScanReuseSpec catch).
     val scored = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
               size(toks).cast("long").as("n_tokens"),
               size(array_distinct(toks)).cast("long").as("n_unique"))
       .withColumn("score_micro", expr("(n_unique * 1000000L) div n_tokens"))
+      .drop("n_unique")
     val ranked = distributedPrefix(
-      scored, -col("score_micro"), Seq(col("doc_id")))
-      .drop("cum_before")
+      scored, -col("score_micro"), Seq(col("doc_id")),
+      withSum = false, keepBucket = true)
+      .withColumn("score_micro", -col("pb"))
     val srcIdx = {
       import org.apache.spark.sql.expressions.Window
-      ranked.select(col("source")).distinct()
+      // straight off the documents scan (the oracle's own
+      // formulation): a one-column pruned scan, not a re-derivation
+      // of the ranked lineage (which would re-tokenize the corpus
+      // just to list sources)
+      Tables.documents(s, dir).select(col("source")).distinct()
         .withColumn("src_idx",
                     row_number().over(Window.orderBy(col("source")))
                       .cast("long"))

@@ -191,10 +191,13 @@ class PlanAuditSpec extends SparkSpec {
     * alone may only run over the per-bucket TOTALS frame (an
     * Aggregate), never the raw row stream, and at least one window
     * must partition by (source, bucket). */
-  private def auditPrefixWindows(name: String): Unit = {
+  private def auditPrefixWindows(name: String): Unit =
+    auditPrefixWindowsOf(name, graft.SparkEntry.queries(name)(spark, sf0001))
+
+  private def auditPrefixWindowsOf(
+      name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val lp = graft.SparkEntry.queries(name)(spark, sf0001)
-      .queryExecution.optimizedPlan
+    val lp = df.queryExecution.optimizedPlan
     val wins = lp.collect { case w: LWindow => w }
     assert(wins.nonEmpty, s"$name: expected window nodes in the plan")
     wins.foreach { w =>
@@ -219,7 +222,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q153 pad batching uses the two-phase distributed prefix sum") {
-    auditPrefixWindows("q153_pad_batching")
+    // audited on the un-persisted frame: the full query caches it
+    // (both waste rollups share one derivation), which hides the
+    // window nodes inside the InMemoryRelation
+    auditPrefixWindowsOf("q153_pad_batching",
+      graft.ops.Sampling.q153SizedFrame(spark, sf0001))
   }
 
   test("q171 curriculum rank uses the two-phase distributed prefix sum") {

@@ -30,7 +30,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q169_pca_power",         // r6 integer scatter + power iteration
     "q171_curriculum_order",  // r6 prefix-rank round-robin interleave
     "q172_user_gini",         // r7 prefix-rank weighted sum
-    "q174_kcenter_coreset")   // r7 driver-iterated argmax rounds
+    "q174_kcenter_coreset",   // r7 driver-iterated argmax rounds
+    "q176_dup_spans",         // r7 two-level span rollup + top-k
+    "q177_mix_allocation")    // r7 waterfill window arithmetic
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -908,7 +908,15 @@ object EventOps {
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .select(lit("all").as("source"), col("user_id"),
               col("c").cast("long").as("n_tokens"))
-    Sampling.distributedPrefix(counts, col("n_tokens"), Seq(col("user_id")))
+    // bucket = (count, user-id range): order-contiguous w.r.t. the
+    // rank order, and the id-range term sub-splits the MODAL count
+    // bucket — activity counts concentrate (a 10⁹-user event log
+    // puts millions of users on the modal count; without the
+    // sub-split one task would sort them alone — the q131 hapax
+    // lesson applied to counts)
+    Sampling.distributedPrefix(counts,
+      struct(col("n_tokens"), expr("user_id div 1024L")),
+      Seq(col("user_id")))
       .agg(count(lit(1)).cast("long").as("n_users"),
            sum(col("n_tokens")).cast("long").as("total_events"),
            sum((col("rn") * col("n_tokens")).cast("decimal(38,0)")).as("wsum"))

@@ -417,13 +417,14 @@ object Sampling {
   private val docIdBucket: Column = expr("doc_id div 256L")
 
   /** Order-contiguous bucket for (n_tokens DESC, doc_id) prefixes:
-    * one bucket per distinct token count (negated so bucket-ascending
-    * = tokens-descending); within a bucket n_tokens is constant, so
-    * doc_id alone is the tie order. Doc lengths concentrate into a
-    * few hundred distinct values, so occupancy is high; a single
-    * dominant length (e.g. a truncation cap) is the one skew case,
-    * handled by sub-splitting on doc_id div like [[docIdBucket]]. */
-  private val negLenBucket: Column = -col("n_tokens")
+    * (negated count, doc-id range) — bucket-ascending = tokens-
+    * descending, and within a count the id-range term keeps the
+    * order while SUB-SPLITTING the bucket, because doc lengths
+    * concentrate (a truncation cap puts a large share of the corpus
+    * on one exact length — without the sub-split that one window
+    * partition would sort it alone; r7, the q131 hapax lesson). */
+  private val negLenBucket: Column =
+    struct((-col("n_tokens")).as("nl"), expr("doc_id div 256L").as("dr"))
 
   def q103TokenBudget(s: SparkSession, dir: String,
                       budget: Long = 1500): DataFrame = {
@@ -551,9 +552,13 @@ object Sampling {
       .withColumn("score_micro", expr("(n_unique * 1000000L) div n_tokens"))
       .drop("n_unique")
     val ranked = distributedPrefix(
-      scored, -col("score_micro"), Seq(col("doc_id")),
+      scored,
+      // (negated score, doc-id range): scores concentrate too — the
+      // same modal-bucket sub-split as negLenBucket
+      struct((-col("score_micro")).as("ns"), expr("doc_id div 256L").as("dr")),
+      Seq(col("doc_id")),
       withSum = false, keepBucket = true)
-      .withColumn("score_micro", -col("pb"))
+      .withColumn("score_micro", -col("pb.ns"))
     val srcIdx = {
       import org.apache.spark.sql.expressions.Window
       // straight off the documents scan (the oracle's own

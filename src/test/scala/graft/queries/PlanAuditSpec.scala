@@ -224,7 +224,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q153 pad batching uses the two-phase distributed prefix sum") {
     // audited on the un-persisted frame: the full query caches it
     // (both waste rollups share one derivation), which hides the
-    // window nodes inside the InMemoryRelation
+    // window nodes inside the InMemoryRelation. Clear the cache
+    // first — if another suite ran q153 in this shared session, the
+    // cache manager would substitute the cached relation into THIS
+    // plan too and the audit would see no windows.
+    spark.catalog.clearCache()
     auditPrefixWindowsOf("q153_pad_batching",
       graft.ops.Sampling.q153SizedFrame(spark, sf0001))
   }

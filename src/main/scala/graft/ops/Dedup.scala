@@ -998,8 +998,10 @@ object Dedup {
     * equi-join on prefix shingles — and because prefixes hold the
     * RAREST shingles, the join's per-key fan-out is smallest where
     * the data is densest. A length filter (max ≤ min·(1/t), here
-    * 2·min for t = 0.5) prunes survivors before the exact
-    * verification intersect.
+    * 2·min for t = 0.5) and the PPJoin POSITIONAL filter (the shared
+    * element's position in each doc's canonical order upper-bounds
+    * the achievable overlap — see [[q145Parts]]) prune survivors
+    * before the exact verification intersect.
     *
     * Scale shape: df ranks come from one aggregation over the
     * exploded shingles; prefixes are a map-side slice; candidates
@@ -1009,6 +1011,31 @@ object Dedup {
     * the rarest-first prefix keeps near-linear on real corpora. */
   def q145PrefixJaccard(s: SparkSession, dir: String,
                         tMicro: Long = 500000L): DataFrame = {
+    val (docs, cands) = q145Parts(s, dir, tMicro)
+    val verified = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+            Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("sha"), col("shb")))
+                .cast("long").as("i"),
+              size(col("sha")).cast("long").as("ma"),
+              size(col("shb")).cast("long").as("mb"))
+      .filter(col("i") * lit(1000000L) >=
+              lit(tMicro) * (col("ma") + col("mb") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+              expr("(i * 1000000L) div (ma + mb - i)").as("jac_micro"))
+    verified.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q145's candidate generation, split out so DedupSpec can assert
+    * the candidate count stays within a small factor of the verified
+    * output on the planted corpus (the PPJoin efficiency contract:
+    * positional + length filters keep verification output-sized).
+    * Returns (persisted doc-shingle table, filtered candidate pairs). */
+  private[graft] def q145Parts(s: SparkSession, dir: String,
+                               tMicro: Long): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
               TextOps.shingleHashes(TextOps.tokens(col("text"))).as("sh"))
@@ -1034,31 +1061,66 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val wdoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("g"))
+    // The prefix index is MATERIALIZED (persist) because the
+    // candidate self-join consumes it twice: without it each side
+    // replans the ranks-aggregate + df-join + window lineage from the
+    // corpus (plan-verified r8 — one side becomes a BroadcastExchange,
+    // so ReusedExchange can never kick in). This is the standard
+    // distributed-AllPairs shape: the prefix table is a ~(1-t)/1
+    // fraction of the corpus' token stream with 4 fixed-width
+    // columns — far smaller than the documents themselves.
     val prefixes = withKeep
       .withColumn("rn", row_number().over(wdoc))
       .filter(col("rn") <= col("keep"))
-      .select(col("doc_id"), col("m"), col("g"))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
+      .select(col("doc_id"), col("m"), col("g"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08), two layers:
+    //
+    // Per-EVENT (before the pair exchange, to cut shuffled rows): a
+    // shared prefix element at canonical positions (pa, pb) bounds
+    // the achievable set intersection by
+    //   i <= min(pa-1, pb-1) + min(ma-pa, mb-pb) + 1
+    // (common elements strictly before g fit in the shorter preceding
+    // segment; strictly after, the shorter following segment; plus g
+    // itself — valid with repeated shingles, since distinct commons
+    // <= occurrence counts).
+    //
+    // Per-PAIR (replacing the old distinct() with a same-shuffle
+    // aggregate): because both docs list shingles in ONE global
+    // canonical order, shared events are position-monotone, so the
+    // LAST shared prefix element sits at (max pa, max pb) — and every
+    // common element canonically before it is provably inside BOTH
+    // prefixes (its occurrences precede a position <= keep). Hence
+    //   i <= o_p + min(ma - max_pa, mb - max_pb)
+    // with o_p >= the distinct shared-prefix overlap. This is the
+    // tight PPJoin bound; Jaccard >= t needs i*(1e6+t) >= t*(ma+mb),
+    // so pairs whose bound can't reach that never hit the exact
+    // verification intersect.
+    val events = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .filter(greatest(col("a.m"), col("b.m")) * lit(tMicro) <=
               least(col("a.m"), col("b.m")) * lit(1000000L))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val verified = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-            Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-            Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              size(array_intersect(col("sha"), col("shb")))
-                .cast("long").as("i"),
-              size(col("sha")).cast("long").as("ma"),
-              size(col("shb")).cast("long").as("mb"))
-      .filter(col("i") * lit(1000000L) >=
-              lit(tMicro) * (col("ma") + col("mb") - col("i")))
-      .select(col("doc_a"), col("doc_b"),
-              expr("(i * 1000000L) div (ma + mb - i)").as("jac_micro"))
-    verified.orderBy(col("doc_a"), col("doc_b"))
+      .filter((least(col("a.rn"), col("b.rn")) +
+               least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn"))) *
+              lit(1000000L + tMicro) >=
+              lit(tMicro) * (col("a.m") + col("b.m")))
+    // op uses count(*), not countDistinct(g): duplicate-shingle
+    // prefixes can inflate the event count above the distinct shared
+    // overlap, which only RAISES the upper bound (sound, marginally
+    // weaker pruning) — and a plain count keeps the pair rollup a
+    // single-exchange two-phase aggregate instead of the 4-phase
+    // distinct-rewrite plan.
+    val cands = events
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("op"),
+           max(col("a.rn")).as("pa"), max(col("b.rn")).as("pb"),
+           max(col("a.m")).as("ma"), max(col("b.m")).as("mb"))
+      .filter((col("op") +
+               least(col("ma") - col("pa"), col("mb") - col("pb"))) *
+              lit(1000000L + tMicro) >=
+              lit(tMicro) * (col("ma") + col("mb")))
+      .select(col("doc_a"), col("doc_b"))
+    (docs, cands)
   }
 
   /** q164 — BAG-OF-WORDS dedup: documents whose sorted token

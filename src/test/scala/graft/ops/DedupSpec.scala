@@ -407,6 +407,22 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"prefix join must be exact: missing=${brute -- got} extra=${got -- brute}")
     assert(got.nonEmpty, "harness corpus has planted near-dups")
   }
+
+  test("q145 positional filter keeps candidate verification output-sized") {
+    // the PPJoin efficiency contract on the planted corpus: the pairs
+    // surviving prefix + length + positional filters (what the exact
+    // intersect must verify) stay within a small factor of the true
+    // output — with only prefix + length filters this corpus yields
+    // 30x (856 candidates vs 28 verified at sf0.001, measured r8).
+    val t = 500000L
+    val (_, cands) = Dedup.q145Parts(spark, sf0001, t)
+    val nCands = cands.count()
+    val nOut = Dedup.q145PrefixJaccard(spark, sf0001, t).count()
+    info(s"candidates=$nCands verified=$nOut")
+    assert(nOut > 0, "harness corpus has planted near-dups")
+    assert(nCands <= 8L * nOut,
+      s"candidates ($nCands) must stay within 8x the verified output ($nOut)")
+  }
   test("q164 bag-of-words groups are exactly the sorted-token-multiset dups") {
     // the harness corpus has no exact-multiset dups at any SF, so plant
     // a corpus: token permutations (BOW-dup but not byte-dup), one exact

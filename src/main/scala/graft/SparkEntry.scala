@@ -2296,27 +2296,31 @@ object SparkEntry {
          WHERE n_docs >= 2
          ORDER BY n_occurrences DESC, span LIMIT 20""",
     "q177_mix_allocation" ->
-      """WITH a AS (SELECT source,
+      """WITH RECURSIVE
+         a AS (SELECT source,
              sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
            FROM documents GROUP BY source),
-         p AS (SELECT source, avail_tokens,
-             ((sum(avail_tokens) OVER ())::BIGINT // 2) AS budget,
-             (count(*) OVER ())::BIGINT AS n_src FROM a),
-         q AS (SELECT *, (budget // n_src) AS base,
-             CASE WHEN avail_tokens < (budget // n_src) THEN 1 ELSE 0 END
-               AS capped FROM p),
-         r AS (SELECT *,
-             (sum(CASE WHEN capped = 1 THEN base - avail_tokens ELSE 0 END)
-                OVER ())::BIGINT AS surplus,
-             (sum(1 - capped) OVER ())::BIGINT AS n_uncapped FROM q)
-         SELECT source, avail_tokens, base::BIGINT AS base_alloc,
-           capped::BIGINT AS capped,
-           (CASE WHEN capped = 1 THEN avail_tokens
-                 ELSE least(avail_tokens,
-                            base + CASE WHEN n_uncapped > 0
-                                        THEN surplus // n_uncapped
-                                        ELSE 0 END) END)::BIGINT
-             AS final_alloc
-         FROM r ORDER BY source""",
+         t AS (SELECT ((sum(avail_tokens)) // 2)::BIGINT AS budget,
+                      count(*)::BIGINT AS n FROM a),
+         lv(level) AS (
+           SELECT (budget // n)::BIGINT FROM t
+           UNION ALL
+           SELECT x.next FROM (
+             SELECT CASE WHEN t.n - (SELECT count(*) FROM a
+                                     WHERE avail_tokens < l.level) > 0
+               THEN ((t.budget - (SELECT coalesce(sum(avail_tokens), 0)
+                                  FROM a WHERE avail_tokens < l.level))
+                     // (t.n - (SELECT count(*) FROM a
+                                WHERE avail_tokens < l.level)))::BIGINT
+               ELSE l.level END AS next, l.level AS level
+             FROM lv l, t) x
+           WHERE x.next <> x.level),
+         f AS (SELECT max(level)::BIGINT AS level FROM lv)
+         SELECT source, avail_tokens,
+           (SELECT (budget // n)::BIGINT FROM t) AS base_alloc,
+           (CASE WHEN avail_tokens < f.level THEN 1 ELSE 0 END)::BIGINT
+             AS capped,
+           least(avail_tokens, f.level)::BIGINT AS final_alloc
+         FROM a, f ORDER BY source""",
   )
 }

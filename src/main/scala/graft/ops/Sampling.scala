@@ -577,52 +577,60 @@ object Sampling {
       .orderBy(col("global_pos"))
   }
 
-  /** q177 — training-mix token allocation (single-round waterfill):
-    * split a token budget equally across sources, cap each source at
-    * what it actually has, and redistribute the surplus of the capped
-    * sources equally among the uncapped ones (one round — the
-    * documented contract; iterate to a fixpoint downstream if a
-    * second cap matters). This is the "how many tokens do I take
+  /** q177 — training-mix token allocation (FIXPOINT waterfill): split
+    * a token budget equally across sources, cap each source at what
+    * it actually has, and redistribute the freed budget among the
+    * uncapped sources — repeated until no redistribution round caps a
+    * new source (r7's single-round contract under-allocated whenever
+    * the redistribution itself capped a second source, the common
+    * case in long-tail mixes). This is the "how many tokens do I take
     * from each source" planning step that turns per-source counts
     * into a sampling plan, run before q103's per-source greedy
     * selection executes it. Budget defaults to half the corpus, so
     * the plan is data-derived and scale-free.
     *
-    * All arithmetic is integer (div with documented remainders:
-    * allocation never exceeds the budget). Everything downstream of
-    * the per-source count aggregate runs on a |sources|-row frame —
-    * window sums over that aggregate, never a second corpus pass.
+    * The iterate is a SCALAR fixpoint: because a source is capped iff
+    * avail < level, and the level sequence
+    *   level(k+1) = (budget − Σ_{avail<level(k)} avail) div (n − #capped)
+    * is provably non-decreasing (freed budget spreads over fewer
+    * heads), the capped set is a function of the current level alone —
+    * so the loop carries one long, converges in ≤ |sources| rounds,
+    * and runs DRIVER-side on the collected |sources|-row aggregate
+    * (bounded by the source domain, never the corpus). All arithmetic
+    * is integer; final_alloc = min(avail, final level) never exceeds
+    * the budget. The DuckDB oracle replays the identical iterate as a
+    * recursive CTE.
     *
     * Scale shape: ONE map-combined aggregate over documents (out:
-    * |sources| rows); the waterfill is window arithmetic on that
-    * tiny frame. */
+    * |sources| rows, persisted so the collect and the output frame
+    * share the single corpus pass); the waterfill is a driver loop on
+    * that tiny frame plus literal arithmetic on its persisted copy. */
   def q177MixAllocation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val avail = Tables.documents(s, dir)
       .select(col("source"), size(TextOps.tokens(col("text"))).cast("long")
         .as("n_tokens"))
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).cast("long").as("avail_tokens"))
-    val all = Window.partitionBy()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val av = avail.collect().map(_.getLong(1)).sorted
+    val n = av.length.toLong
+    val budget = av.sum / 2L
+    val base = if (n > 0) budget / n else 0L
+    var level = base
+    var done = n == 0
+    while (!done) {
+      val capped = av.takeWhile(_ < level) // sorted: capped = prefix
+      val next =
+        if (n - capped.length > 0) (budget - capped.sum) / (n - capped.length)
+        else level
+      if (next == level) done = true else level = next
+    }
+    val lv = level
     avail
-      .withColumn("budget", expr("(sum(avail_tokens) OVER ()) div 2L"))
-      .withColumn("n_src", count(lit(1)).over(all))
-      .withColumn("base", expr("budget div n_src"))
-      .withColumn("capped", (col("avail_tokens") < col("base")).cast("long"))
-      .withColumn("surplus",
-        sum(when(col("capped") === 1, col("base") - col("avail_tokens"))
-          .otherwise(0L)).over(all))
-      .withColumn("n_uncapped",
-        sum(lit(1L) - col("capped")).over(all))
-      .withColumn("extra",
-        when(col("n_uncapped") > 0, expr("surplus div n_uncapped"))
-          .otherwise(lit(0L)))
-      .select(col("source"), col("avail_tokens"), col("base").as("base_alloc"),
-              col("capped"),
-              least(col("avail_tokens"),
-                    when(col("capped") === 1, col("avail_tokens"))
-                      .otherwise(col("base") + col("extra")))
-                .cast("long").as("final_alloc"))
+      .select(col("source"), col("avail_tokens"), lit(base).as("base_alloc"),
+              (col("avail_tokens") < lv).cast("long").as("capped"),
+              least(col("avail_tokens"), lit(lv)).cast("long")
+                .as("final_alloc"))
       .orderBy(col("source"))
   }
 }

@@ -359,7 +359,7 @@ class SamplingSpec extends SparkSpec {
 
   test("q177 waterfill caps the starved source and redistributes") {
     // A: 10 tokens, B: 100, C: 100 → total 210, budget 105, base 35.
-    // A capped at 10 (surplus 25); B/C get 35 + 25 div 2 = 47 each.
+    // A capped at 10; fixpoint level = (105 - 10) div 2 = 47 for B/C.
     val tmp = java.nio.file.Files.createTempDirectory("mix").toString
     def doc(id: Long, n: Int, src: String) =
       (id, Seq.fill(n)("w").mkString(" "), src)
@@ -377,5 +377,29 @@ class SamplingSpec extends SparkSpec {
     assert(got("c") == ((100L, 35L, 0L, 47L)), s"uncapped: ${got("c")}")
     // invariant: never allocate more than the budget (105)
     assert(got.values.map(_._4).sum <= 105L)
+  }
+
+  test("q177 waterfill iterates when the redistribution caps a second source") {
+    // A: 2, B: 13, C: 60 → total 75, budget 37, base 12. Round 1 caps
+    // only A (2 < 12) and lifts the level to (37-2) div 2 = 17 — which
+    // caps B (13 < 17); round 2 lifts to (37-15) div 1 = 22 and
+    // converges. r7's single-round contract would have left B at 13
+    // but C at only min(60, 12+5) = 17, stranding 5 budget tokens;
+    // the fixpoint allocates 2 + 13 + 22 = 37 = the whole budget.
+    val tmp = java.nio.file.Files.createTempDirectory("mixfp").toString
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    Seq(doc(1, 2, "a"), doc(2, 13, "b"), doc(3, 60, "c"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.q177MixAllocation(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, 12L, 1L, 2L)), s"round-1 cap: ${got("a")}")
+    assert(got("b") == ((13L, 12L, 1L, 13L)), s"round-2 cap: ${got("b")}")
+    assert(got("c") == ((60L, 12L, 0L, 22L)), s"fixpoint level: ${got("c")}")
+    assert(got.values.map(_._4).sum == 37L, "fixpoint exhausts the budget")
   }
 }

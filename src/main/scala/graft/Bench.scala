@@ -112,8 +112,17 @@ object Bench {
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
     spark.stop()
-    // printed AFTER spark.stop(): the very last stdout line, so a
-    // tail-capture of any reasonable size still contains it whole
+    // printed AFTER spark.stop(): the last stdout lines, so a
+    // tail-capture of any reasonable size still contains them
     println(line)
+    // The full per-query line is ~5 KB and the driver's tail capture
+    // has cut it mid-JSON every round (BENCH_r01..r07 `parsed: null`).
+    // Repeat the totals as a SHORT final line so even a small tail
+    // window carries them whole; the complete per-query + gc_sec map
+    // stays in target/bench.json.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

@@ -888,8 +888,15 @@ object WordShingleHashes {
   * silently wrapping (Spark's non-ANSI sum would wrap).
   *
   * Rows whose vector is null, ragged (≠ d wide), or contains null
-  * elements are skipped entirely — matching the HOF formulation,
-  * where `concat` over a null array nulls the whole explode. */
+  * elements are skipped entirely. For a fully-null array this matches
+  * the HOF formulation (`concat` over a null array nulls the whole
+  * explode); a vector with individual NULL ELEMENTS diverges from it —
+  * the HOF explode would still emit the row's count sentinel and its
+  * non-null linear terms, while this aggregate drops the row outright
+  * (ADVICE r7). Whole-row skip is the deliberate contract: a partial
+  * embedding contributing to some covariance cells but not others
+  * would bias the matrix; no fixture ships null elements, and
+  * VectorExpressionsSpec pins all three skip cases. */
 case class ScatterMatrixAgg(
     child: Expression,
     d: Int,

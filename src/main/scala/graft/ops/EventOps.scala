@@ -919,7 +919,12 @@ object EventOps {
       Seq(col("user_id")))
       .agg(count(lit(1)).cast("long").as("n_users"),
            sum(col("n_tokens")).cast("long").as("total_events"),
-           sum((col("rn") * col("n_tokens")).cast("decimal(38,0)")).as("wsum"))
+           // each factor is widened to decimal BEFORE the multiply:
+           // the int64 product rn * n_tokens silently wraps (non-ANSI)
+           // once rank·count exceeds 2^63, exactly the >10⁹-user
+           // regime the decimal sum exists for (ADVICE r7)
+           sum(col("rn").cast("decimal(38,0)") *
+               col("n_tokens").cast("decimal(38,0)")).as("wsum"))
       .select(col("n_users"), col("total_events"),
         expr("""CAST((2 * wsum
                       - (CAST(n_users AS DECIMAL(38,0)) + 1)

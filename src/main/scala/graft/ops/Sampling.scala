@@ -564,8 +564,13 @@ object Sampling {
       // straight off the documents scan (the oracle's own
       // formulation): a one-column pruned scan, not a re-derivation
       // of the ranked lineage (which would re-tokenize the corpus
-      // just to list sources)
-      Tables.documents(s, dir).select(col("source")).distinct()
+      // just to list sources). The explicit isNotNull mirrors
+      // distributedPrefix's own filter so both sides of the join
+      // agree on the source domain — without it a null-source row
+      // would inflate nSrc and shift every global_pos stride
+      // (ADVICE r7).
+      Tables.documents(s, dir).select(col("source"))
+        .filter(col("source").isNotNull).distinct()
         .withColumn("src_idx",
                     row_number().over(Window.orderBy(col("source")))
                       .cast("long"))

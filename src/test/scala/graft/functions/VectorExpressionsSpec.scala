@@ -415,4 +415,30 @@ class VectorExpressionsSpec extends SparkSpec {
 
   private def literalHex(b: Array[Byte]): String =
     "X'" + b.map("%02X".format(_)).mkString + "'"
+
+  test("scatter_matrix_agg skips null / ragged / null-element rows whole") {
+    // the documented whole-row-skip contract (ADVICE r7): a vector
+    // with a null ELEMENT must not contribute its count sentinel or
+    // any partial terms — only fully-valid d-wide rows aggregate
+    import spark.implicits._
+    val d = 2
+    val rows = Seq(
+      Some(Seq(Some(2L), Some(3L))),   // valid
+      Some(Seq(Some(5L), Some(7L))),   // valid
+      None,                            // null array
+      Some(Seq(Some(1L))),             // ragged (d=1)
+      Some(Seq(Some(9L), None))        // null element
+    ).toDF("q")
+    // flat buffer layout: [i*d+j] products, [d*d+i] linear, [d*d+d] count
+    val buf = rows
+      .select(VectorFunctions.scatterMatrixAgg($"q", d).as("buf"))
+      .collect().head.getSeq[Long](0)
+    assert(buf.length == d * d + d + 1)
+    assert(buf(d * d + d) == 2L, s"count must see only the 2 valid rows: $buf")
+    assert(buf(d * d) == 2L + 5L)           // linear sums
+    assert(buf(d * d + 1) == 3L + 7L)
+    assert(buf(0) == 4L + 25L)              // quadratic cells
+    assert(buf(1) == 6L + 35L)
+    assert(buf(3) == 9L + 49L)
+  }
 }

@@ -203,6 +203,7 @@ object SparkEntry {
     "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
     "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
     "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
+    "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2295,6 +2296,26 @@ object SparkEntry {
          SELECT span, n_occurrences, n_docs, first_doc FROM a
          WHERE n_docs >= 2
          ORDER BY n_occurrences DESC, span LIMIT 20""",
+    "q178_max_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+                 list_transform(generate_series(1, len(toks) - 7),
+                   i -> md5(array_to_string(toks[i:i+7], ' ')))
+               ELSE [] END AS grams FROM t),
+         p AS (SELECT doc_id, unnest(grams) AS h,
+                      unnest(generate_series(1, len(grams))) AS pos FROM g),
+         dup AS (SELECT h FROM (SELECT h, doc_id FROM p GROUP BY 1, 2)
+                 GROUP BY h HAVING count(*) >= 2),
+         d AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)),
+         i AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS isl
+               FROM d)
+         SELECT doc_id, min(pos)::BIGINT AS start_pos,
+           max(pos)::BIGINT AS end_pos, count(*)::BIGINT AS n_windows,
+           (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+         FROM i GROUP BY doc_id, isl ORDER BY doc_id, start_pos""",
     "q177_mix_allocation" ->
       """WITH RECURSIVE
          a AS (SELECT source,

@@ -1182,4 +1182,50 @@ object Dedup {
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
   }
+
+  /** q178 — MAXIMAL duplicated-span reconstruction: the downstream
+    * pass q176's scaladoc promises. q176 ranks individual n-token
+    * windows, so one long duplicated region shows up as many
+    * overlapping window rows; this query merges, per document, every
+    * run of consecutive window positions whose window occurs in ≥ 2
+    * distinct documents into ONE maximal span — the actual byte
+    * range an operator would strip. Output: (doc_id, start_pos,
+    * end_pos, n_windows, span_tokens = end − start + n), 1-based
+    * token positions.
+    *
+    * Scale shape: windows carry only an md5 fingerprint (never span
+    * text) and collapse to per-(h, doc) rows before the first
+    * corpus-sized exchange (q176's shape); the cross-doc duplicate
+    * set joins back against the position stream on h (the second and
+    * last corpus-sized exchange); the gaps-and-islands merge
+    * (pos − row_number) then runs per-doc over DUPLICATED positions
+    * only — output-sized, and a 100 TB corpus with little boilerplate
+    * pays almost nothing for it. */
+  def q178MaxSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              posexplode(TextOps.shinglePositions(
+                TextOps.tokens(col("text")), n)).as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+              md5(col("span")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dup, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+           max(col("pos")).cast("long").as("end_pos"),
+           count(lit(1)).cast("long").as("n_windows"),
+           (max(col("pos")) - min(col("pos")) + lit(n)).cast("long")
+             .as("span_tokens"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+              col("n_windows"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
 }

@@ -467,18 +467,6 @@ object Sampling {
       .orderBy(col("source"), col("shard_id"))
   }
 
-  /** q153 — length-bucketed batch padding audit: docs sorted by token
-    * count DESC within each source and cut into fixed-size batches of
-    * `batchSize`; a batch pads every member to its longest doc, so
-    * waste = n·max − Σtokens. Sorting by length first is exactly why
-    * dataloaders length-bucket: the report quantifies the padding this
-    * saves vs arrival order (the arrival-order waste is computed in
-    * the same pass for comparison).
-    *
-    * Scale shape: both rankings come from the two-phase
-    * [[distributedPrefix]] (length-bucketed and doc_id-bucketed), so
-    * neither routes a whole source through one window partition;
-    * batch stats are a groupBy over batch ids. */
   /** q153's double-prefix frame, un-persisted — split out so the
     * plan audit can inspect the window shapes that the persist in
     * [[q153PadBatching]] hides inside the cached relation. */
@@ -495,6 +483,18 @@ object Sampling {
       .withColumn("b_arr", expr(s"(rn_arr - 1L) div $batchSize"))
   }
 
+  /** q153 — length-bucketed batch padding audit: docs sorted by token
+    * count DESC within each source and cut into fixed-size batches of
+    * `batchSize`; a batch pads every member to its longest doc, so
+    * waste = n·max − Σtokens. Sorting by length first is exactly why
+    * dataloaders length-bucket: the report quantifies the padding this
+    * saves vs arrival order (the arrival-order waste is computed in
+    * the same pass for comparison).
+    *
+    * Scale shape: both rankings come from the two-phase
+    * [[distributedPrefix]] (length-bucketed and doc_id-bucketed), so
+    * neither routes a whole source through one window partition;
+    * batch stats are a groupBy over batch ids. */
   def q153PadBatching(s: SparkSession, dir: String,
                       batchSize: Int = 32): DataFrame = {
     // persist: both waste rollups consume the double-prefix frame —

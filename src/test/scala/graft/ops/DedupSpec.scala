@@ -423,6 +423,30 @@ class DedupSpec extends SparkSpec {
     assert(nCands <= 8L * nOut,
       s"candidates ($nCands) must stay within 8x the verified output ($nOut)")
   }
+  test("q178 merges a planted 3-window contiguous duplicate into one maximal span") {
+    // both docs embed the same 10-token region at different offsets:
+    // with n = 8 that region yields exactly 3 consecutive duplicated
+    // window positions per doc, which must come back as ONE span of
+    // span_tokens = 10 — not three overlapping window rows (q176's
+    // report shape). The boundary-crossing windows mix in each doc's
+    // private prefix, so nothing else is cross-doc duplicated.
+    val tmp = java.nio.file.Files.createTempDirectory("mspan").toString
+    val region = (1 to 10).map(i => s"r$i").mkString(" ")
+    Seq(
+      (1L, s"a1 a2 a3 $region"), // dup windows at positions 4..6
+      (2L, s"b1 b2 $region"),    // dup windows at positions 3..5
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q178MaxSpans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 4L, 6L, 3L, 10L), (2L, 3L, 5L, 3L, 10L)),
+      s"got ${got.toSeq}")
+  }
+
   test("q164 bag-of-words groups are exactly the sorted-token-multiset dups") {
     // the harness corpus has no exact-multiset dups at any SF, so plant
     // a corpus: token permutations (BOW-dup but not byte-dup), one exact

@@ -101,11 +101,49 @@ object Parse {
     * input version so repeated loads (bench loops) scan once. */
   private val multiLineCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val driverScanLimit = 64L << 20
   private def hasMultiLineRecords(spark: SparkSession, path: String): Boolean =
     multiLineCache.computeIfAbsent(cacheKey(path), _ => {
-      val quotes = length(col("value")) -
-        length(regexp_replace(col("value"), "\"", ""))
-      !spark.read.text(path).filter(quotes % 2 === 1).isEmpty
+      // Local files up to 64 MB are peeked on the DRIVER with an
+      // early-exit byte scan: the answer is one bit, and a Spark job
+      // (scheduler + codegen + full-file regexp) costs ~1.5 s of the
+      // pipeline's wall for it (r8 profile). Anything bigger or
+      // non-local falls back to the distributed scan — the same
+      // early-exit CollectLimit(1) shape, sized for inputs a driver
+      // must not slurp.
+      val local = try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isRegularFile(p) &&
+            java.nio.file.Files.size(p) <= driverScanLimit) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var odd = false
+            var found = false
+            var n = in.read(buf)
+            while (n > 0 && !found) {
+              var i = 0
+              while (i < n && !found) {
+                buf(i) match {
+                  case '"'  => odd = !odd
+                  case '\n' => if (odd) found = true else ()
+                  case _    => ()
+                }
+                i += 1
+              }
+              if (!found) n = in.read(buf)
+            }
+            // quoted region still open at EOF counts too
+            Some(java.lang.Boolean.valueOf(found || odd))
+          } finally in.close()
+        } else None
+      } catch { case _: Exception => None }
+      local.getOrElse {
+        val quotes = length(col("value")) -
+          length(regexp_replace(col("value"), "\"", ""))
+        java.lang.Boolean.valueOf(
+          !spark.read.text(path).filter(quotes % 2 === 1).isEmpty)
+      }
     })
 
   /** Scrub→temp-text→multiLine-CSV round-trip, for multi-line corpora
@@ -122,7 +160,33 @@ object Parse {
                                path: String): DataFrame = {
     val tmp = roundTripDirs.computeIfAbsent(cacheKey(path), _ => {
       val t = java.nio.file.Files.createTempDirectory("graft_scrub").toString
-      scrubbed.coalesce(1).write.mode("overwrite").text(s"$t/clean")
+      // Small local files scrub on the DRIVER via the reference
+      // fixpoint loop (ScrubSpec property-pins it equal to the
+      // Column chain): the distributed scrub+write cost two Spark
+      // jobs ≈ 4 s of a 1.7 MB pipeline's wall (r8 profile). The
+      // distributed path below is the shape for inputs a driver
+      // must not slurp.
+      val local = try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isRegularFile(p) &&
+            java.nio.file.Files.size(p) <= driverScanLimit) {
+          val outDir = java.nio.file.Paths.get(t, "clean")
+          java.nio.file.Files.createDirectories(outDir)
+          val out = java.nio.file.Files.newBufferedWriter(
+            outDir.resolve("part-00000.txt"))
+          try {
+            val src = scala.io.Source.fromFile(path, "UTF-8")
+            try src.getLines().foreach { line =>
+              if (line.trim.nonEmpty && line != header) {
+                out.write(Scrub.asciiScrubReference(line)); out.newLine()
+              }
+            } finally src.close()
+          } finally out.close()
+          true
+        } else false
+      } catch { case _: Exception => false }
+      if (!local)
+        scrubbed.coalesce(1).write.mode("overwrite").text(s"$t/clean")
       t
     })
     spark.read.schema(rawSchema)

@@ -86,6 +86,11 @@ object StreamQueries {
                                s3: java.nio.file.Path)
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Sentinels]()
+  private val phaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
+  // the dev trace listener is installed once per JVM — one listener
+  // per runStream call re-printed every progress line N times
+  private val traceInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sentinels(s: SparkSession, dir: String): Sentinels =
     sentinelCache.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -168,19 +173,26 @@ object StreamQueries {
     // Phased feed: one filtered copy of the file per predicate,
     // dropped sequentially (each its own micro-batch) — the arrival
     // ORDER is the experiment (late-data semantics are order-defined).
+    // Phase files are built ONCE per (sf dir, query) and hard-linked
+    // into each run's stream directory, the same once-per-dir
+    // economics as the sentinel cache: the predicates are fixed per
+    // query, so repeat runs were paying two filter+write Spark jobs
+    // for byte-identical files (r8 streaming-floor cut).
     val phaseFiles: Seq[java.nio.file.Path] =
       if (phases.isEmpty) Nil
-      else {
+      else phaseCache.computeIfAbsent(s"$dir/$prefix", _ => {
         val raw = s.read.schema(rawEventSchema(rawTsType(s, dir)))
           .parquet(s"$dir/events.parquet")
+        val base = Files.createTempDirectory(s"graft_phases_$prefix")
+        streamDirs.add(base.toString)
         phases.zipWithIndex.map { case (pred, i) =>
-          val stage = tmp.resolve(s"stage$i")
+          val stage = base.resolve(s"stage$i")
           raw.filter(pred).coalesce(1).write.parquet(stage.toString)
           Files.list(stage).toArray.map(_.toString)
             .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
             .map(Paths.get(_)).head
         }
-      }
+      })
     if (phases.isEmpty)
       linkOrCopy(Paths.get(s"$dir/events.parquet"), tmp.resolve("batch0.parquet"))
     else
@@ -234,7 +246,8 @@ object StreamQueries {
     // durationMs breakdown (triggerExecution / addBatch / walCommit /
     // stateStore commit) — the evidence behind the gate's fixed-cost
     // tuning (VERDICT r5 #3)
-    if (sys.env.contains("SPARK_GRAFT_STREAM_TRACE"))
+    if (sys.env.contains("SPARK_GRAFT_STREAM_TRACE") &&
+        traceInstalled.compareAndSet(false, true))
       s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()

@@ -1133,7 +1133,38 @@ object VectorFunctions {
     (new FunctionIdentifier("bloom_count_contains"),
      new ExpressionInfo(classOf[BloomCountContains].getName,
        "bloom_count_contains"),
-     (c: Seq[Expression]) => BloomCountContains(c(0), c(1)): Expression))
+     (c: Seq[Expression]) => BloomCountContains(c(0), c(1)): Expression),
+    (new FunctionIdentifier("sqdist_l64"),
+     new ExpressionInfo(classOf[SqDistL64].getName, "sqdist_l64"),
+     (c: Seq[Expression]) => SqDistL64(c(0), c(1)): Expression),
+    // n/d ride as foldable int literals in SQL (the Column API takes
+    // them as constructor params); non-literal arguments fail the
+    // call loudly at analysis instead of silently misparsing
+    (new FunctionIdentifier("word_shingles"),
+     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+     (c: Seq[Expression]) =>
+       WordShingles(c(0), litInt(c(1), "word_shingles"), distinct = true): Expression),
+    (new FunctionIdentifier("word_shingle_positions"),
+     new ExpressionInfo(classOf[WordShingles].getName, "word_shingle_positions"),
+     (c: Seq[Expression]) =>
+       WordShingles(c(0), litInt(c(1), "word_shingle_positions"), distinct = false): Expression),
+    (new FunctionIdentifier("word_shingle_hashes"),
+     new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+     (c: Seq[Expression]) =>
+       WordShingleHashes(c(0), litInt(c(1), "word_shingle_hashes")): Expression),
+    (new FunctionIdentifier("scatter_matrix_agg"),
+     new ExpressionInfo(classOf[ScatterMatrixAgg].getName, "scatter_matrix_agg"),
+     (c: Seq[Expression]) =>
+       ScatterMatrixAgg(c(0), litInt(c(1), "scatter_matrix_agg")): Expression))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other if other.foldable &&
+        other.dataType == org.apache.spark.sql.types.IntegerType =>
+      other.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a foldable INT parameter, got $other")
+  }
 
   /** Register every custom expression into an existing session's
     * function registry (same builders the SparkSessionExtensions

@@ -308,6 +308,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert((0L until 50L).forall(bloomRows(_)), "bloom false negative")
     assert((50L until 100L).count(bloomRows(_)) <= 2,
       "bloom FPR implausibly high at 8192 bits / 50 items")
+    // r8 registrations: the shingle/distance/scatter family callable
+    // from SQL, each agreeing with its Column form (n/d as foldable
+    // int literals)
+    val sq = spark.sql(
+      "SELECT sqdist_l64(array(1L, 2L), array(4L, 6L)) AS d").collect().head
+    assert(sq.getLong(0) == 9L + 16L)
+    val sh2 = spark.sql(
+      """SELECT word_shingles(array('a','b','c','a','b'), 2) AS s,
+                word_shingle_positions(array('a','b','c','a','b'), 2) AS p,
+                word_shingle_hashes(array('a','b','c','a','b'), 2) AS h""")
+      .collect().head
+    assert(sh2.getSeq[String](0) == Seq("a b", "b c", "c a", "a b").distinct)
+    assert(sh2.getSeq[String](1) == Seq("a b", "b c", "c a", "a b"))
+    assert(sh2.getSeq[Long](2).length == 3) // distinct hash set
+    val sc = spark.sql(
+      """SELECT scatter_matrix_agg(q, 2) AS buf
+         FROM VALUES (array(2L, 3L)), (array(5L, 7L)) t(q)""").collect().head
+    assert(sc.getSeq[Long](0) == Seq(29L, 41L, 41L, 58L, 7L, 10L, 2L))
+    // non-foldable n fails loudly at analysis, never misparses
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(array('a','b'), CAST(rand()*2 AS INT))")
+        .collect()
+    }
   }
 
   /** The Column-chain shingle formulations the codegen'd expressions

@@ -32,7 +32,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q172_user_gini",         // r7 prefix-rank weighted sum
     "q174_kcenter_coreset",   // r7 driver-iterated argmax rounds
     "q176_dup_spans",         // r7 two-level span rollup + top-k
-    "q177_mix_allocation")    // r7 waterfill window arithmetic
+    "q177_mix_allocation",    // r7 waterfill window arithmetic
+    "q145_prefix_jaccard",    // r8 PPJoin candidate agg + verify joins
+    "q178_max_spans")         // r8 gaps-and-islands span merge
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1012,16 +1012,27 @@ object Dedup {
   def q145PrefixJaccard(s: SparkSession, dir: String,
                         tMicro: Long = 500000L): DataFrame = {
     val (docs, cands) = q145Parts(s, dir, tMicro)
+    // Verification WITHOUT array payloads crossing an exchange (the
+    // r7 shape joined the full shingle arrays onto every candidate
+    // pair and ran array_intersect — two sort-merge joins shuffling
+    // ~100 B/row array columns, 3.2 s of the query's 3.6 s at sf0.1).
+    // Instead: one DISTINCT (doc, shingle) event table (set semantics,
+    // matching array_intersect), candidates fan out over doc_a's
+    // events, and the equi-join on (doc_b, g) keeps exactly the shared
+    // shingles — a count aggregate is the intersection size. Every
+    // join key and payload is a fixed-width long; the intermediate is
+    // Σ_cand m_a rows, candidate-bounded, never corpus-squared. The
+    // per-doc dedup is array_distinct off the persisted docs cache —
+    // a pure map projection (a groupBy(doc,g) formulation planned its
+    // exchange TWICE here: the doc_a/doc_b renames defeat canonical
+    // exchange reuse).
+    val ev = docs.select(col("doc_id"),
+                         explode(array_distinct(col("sh"))).as("g"))
     val verified = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-            Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-            Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              size(array_intersect(col("sha"), col("shb")))
-                .cast("long").as("i"),
-              size(col("sha")).cast("long").as("ma"),
-              size(col("shb")).cast("long").as("mb"))
+      .join(ev.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(ev.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("ma"), col("mb"))
+      .agg(count(lit(1)).as("i"))
       .filter(col("i") * lit(1000000L) >=
               lit(tMicro) * (col("ma") + col("mb") - col("i")))
       .select(col("doc_a"), col("doc_b"),
@@ -1110,6 +1121,18 @@ object Dedup {
     // weaker pruning) — and a plain count keeps the pair rollup a
     // single-exchange two-phase aggregate instead of the 4-phase
     // distinct-rewrite plan.
+    // GENERALIZED prefix-count filter (the j-overlap extension of the
+    // prefix theorem): if |A∩B| ≥ α := ⌈t/(1+t)·(ma+mb)⌉, then the
+    // j-th smallest common element (canonical order) has ≥ α−j commons
+    // after it in BOTH docs, so its first occurrence sits within the
+    // first m−α+j positions — i.e. the two KEEP-prefixes must share at
+    // least j = α − ⌈t·max(ma,mb)⌉ + 1 distinct elements, and op (an
+    // occurrence-pair count ≥ the distinct count) must reach j. On a
+    // small-vocabulary corpus the per-event positional filter barely
+    // prunes (every doc pair shares a few mid-prefix shingles), but
+    // true near-dups share ~j·2 prefix elements while false pairs
+    // share 1-3 — this filter is what keeps verification output-sized
+    // (sf0.1: 119,743 → ~1k candidates for 256 verified pairs).
     val cands = events
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("op"),
@@ -1119,7 +1142,12 @@ object Dedup {
                least(col("ma") - col("pa"), col("mb") - col("pb"))) *
               lit(1000000L + tMicro) >=
               lit(tMicro) * (col("ma") + col("mb")))
-      .select(col("doc_a"), col("doc_b"))
+      .filter(col("op") >=
+              expr(s"($tMicro * (ma + mb) + ${1000000L + tMicro - 1}) " +
+                   s"div ${1000000L + tMicro}") -
+              expr(s"($tMicro * greatest(ma, mb) + 999999) div 1000000") +
+              lit(1L))
+      .select(col("doc_a"), col("doc_b"), col("ma"), col("mb"))
     (docs, cands)
   }
 

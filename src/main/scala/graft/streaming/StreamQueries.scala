@@ -156,6 +156,17 @@ object StreamQueries {
                         sentinelPicks: Seq[Int] = Nil,
                         outputMode: OutputMode = OutputMode.Append)
                        (transform: DataFrame => DataFrame): DataFrame = {
+    // dev-only phase timer (SPARK_GRAFT_STREAM_TRACE=1): attributes the
+    // gate's per-query wall time to setup / start / drain / stop so the
+    // fixed-cost floor work aims at the right component
+    val tr0 = System.nanoTime()
+    var trLast = tr0
+    val doTrace = sys.env.contains("SPARK_GRAFT_STREAM_TRACE")
+    def mark(stage: String): Unit = if (doTrace) {
+      val now = System.nanoTime()
+      System.err.println(f"[phase] $prefix $stage ${(now - trLast) / 1e9}%.3f")
+      trLast = now
+    }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sent = sentinels(s, dir)
     // Source dir, sink dir and checkpoints all live on tmpfs when
@@ -289,6 +300,7 @@ object StreamQueries {
     if (seedFirst)
       linkOrCopy(sentFile(pickSeq.head), tmp.resolve("seed_sentinel.parquet"))
     val remainingPicks = if (seedFirst) pickSeq.tail else pickSeq
+    mark("setup")
     val q = try transformed.writeStream.queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)
@@ -316,27 +328,43 @@ object StreamQueries {
       phases.nonEmpty && flushViaNoData && remainingPicks.nonEmpty
     val tailPicks =
       if (mergeIntoLastPhase) remainingPicks.tail else remainingPicks
+    mark("start")
     try {
       q.processAllAvailable()
+      mark("drain0")
       phaseFiles.drop(1).zipWithIndex.foreach { case (f, i) =>
         linkOrCopy(f, tmp.resolve(s"phase${i + 1}.parquet"))
         if (mergeIntoLastPhase && i == phaseFiles.length - 2)
           dropSentinel(sentFile(remainingPicks.head))
         q.processAllAvailable()
+        mark(s"phase${i + 1}")
       }
       tailPicks.foreach { i =>
         dropSentinel(sentFile(i))
         q.processAllAvailable()
+        mark(s"drop$i")
       }
     } finally q.stop()
+    mark("stop")
     // explicit schema: a zero-emission run leaves no files to infer from
     s.read.schema(outSchema).parquet(outDir)
   }
 
   /** q51 — streaming tumbling windows over the whole events table;
-    * same oracle as batch q29. */
+    * same oracle as batch q29. UPDATE mode over the single-snapshot
+    * feed (the q175 argument): all data lands in micro-batch 0, so
+    * each window's batch-0 update IS its final value and the append
+    * sink holds exactly one row per key — one trigger, no sentinels
+    * (r8 streaming-floor cut; was append mode + 2 watermark-advancing
+    * drops = 2 triggers). The watermark stays on the plan — it is the
+    * state-eviction bound a long-running deployment relies on — and
+    * the append-mode FINALIZATION path (a window only emits once the
+    * watermark passes its end) remains pinned by q156, whose late-data
+    * oracle depends on it batch-exactly. */
   def q51StreamTumbling(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q51", drops = 2)(EventStreams.tumblingCounts(_, "1 hour", "1 hour"))
+    runStream(s, dir, "q51", drops = 0,
+              outputMode = OutputMode.Update)(
+      EventStreams.tumblingCounts(_, "1 hour", "1 hour"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
               col("event_type"), col("n_events"),
@@ -346,9 +374,11 @@ object StreamQueries {
   /** q94 — streaming SLIDING windows (1 h length, 30 min slide) over
     * the whole events table: the overlapping-window stateful shape
     * (every event feeds two window instances). Same oracle as batch
-    * q44; one sentinel drop finalizes the tail windows. */
+    * q44. Update mode over the single-snapshot feed — one trigger, no
+    * sentinels; see q51 for the argument. */
   def q94StreamSliding(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q94", drops = 2)(
+    runStream(s, dir, "q94", drops = 0,
+              outputMode = OutputMode.Update)(
       EventStreams.slidingCounts(_, "1 hour", "30 minutes", "1 hour"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),

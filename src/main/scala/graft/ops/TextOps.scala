@@ -458,33 +458,34 @@ object TextOps {
     * down or widen to DECIMAL. */
   def q79LmQuality(s: SparkSession, dir: String, v: Int = 64): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // ONE scan+tokenize, collapsed to per-(doc, token) counts and
-    // persisted: the vocab ranking, the corpus total, and the per-doc
-    // score are all rollups of this frame (pre-r7: three separate
-    // derivations of the explode lineage). Occurrence-level sums are
-    // recovered exactly as count-weighted sums. The persist is gated
-    // on input size (metadata-only check): at bench scale the cache
-    // write costs more than the two extra tokenize passes it saves
-    // (r7: 0.39 s → 0.70 s), while at corpus scale it removes two
-    // full scans — persist only when the input outgrows the
-    // 256 MB line (VERDICT r7 #7).
-    val dtBase = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tc"))
-    val dt =
-      if (Tables.tableBytes(dir, "documents") > (256L << 20))
-        dtBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else dtBase
-    val vocab = dt.groupBy(col("token"))
-      .agg(sum(col("tc")).as("freq"))
+    // Two tokenize passes, ONE tiny cache — the same shape at every
+    // scale (replaces the r7 size-gated persist of the corpus-sized
+    // (doc, token) frame, VERDICT r7 #7): pass 1 collapses straight
+    // to per-TOKEN counts (vocabulary-sized — map-side combine does
+    // the corpus-linear work), persisted so the top-V ranking and the
+    // corpus total are both rollups of one frame instead of two more
+    // scans; pass 2 re-tokenizes and aggregates per DOCUMENT against
+    // the broadcast vocab. At 100 TB the cache is |vocab| rows —
+    // never a corpus-sized spill — and the second scan is the price
+    // of not materializing a corpus-sized intermediate, the cheaper
+    // side of that trade at every SF measured.
+    val tokCounts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tokCounts
       .orderBy(col("freq").desc, col("token"))
       .limit(v)
-    val ntok = dt.agg(sum(col("tc")).cast("long").as("n_corpus"))
-    val perDoc = dt
+    val ntok = tokCounts.agg(sum(col("freq")).cast("long").as("n_corpus"))
+    // per-doc pass: partial aggregation collapses the explode to one
+    // row per (doc, partition) map-side, so the only shuffle carries
+    // per-doc partials, not token occurrences
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tc")).as("n_tokens"),
-           sum(coalesce(col("freq"), lit(0L)) * col("tc")).as("sum_freq"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
     perDoc.crossJoin(broadcast(ntok))
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
               expr("(sum_freq * 1000000) div (n_tokens * n_corpus)")

@@ -204,6 +204,7 @@ object SparkEntry {
     "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
     "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
     "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
+    "q179_cms_heavy_hitters" -> ((s, d) => TextOps.q179CmsHeavyHitters(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2343,5 +2344,6 @@ object SparkEntry {
              AS capped,
            least(avail_tokens, f.level)::BIGINT AS final_alloc
          FROM a, f ORDER BY source""",
+    "q179_cms_heavy_hitters" -> graft.ops.TextOps.q179OracleSql(),
   )
 }

@@ -974,4 +974,94 @@ object TextOps {
               expr("(n_types * 1000000L) div n_tokens").as("ttr_micro"),
               expr("(n_hapax * 1000000L) div n_types").as("hapax_micro"))
       .orderBy(col("source"))
+
+  /** Count-Min row-hash parameters shared by the Spark query and the
+    * DuckDB oracle: row i maps a token's base-31 fingerprint H to
+    * bucket ((A(i)·H + B(i)) mod P) mod W. Every operand is positive
+    * and A(i)·H < 1e13 fits a long, so `%` and `pmod` agree and the
+    * arithmetic replays bit-exactly in any engine. */
+  private[graft] val CmsP = 1000000007L
+  private[graft] val CmsA = Seq(31L, 131L, 1031L, 10007L)
+  private[graft] val CmsB = Seq(7L, 101L, 997L, 10009L)
+
+  /** q179 — Count-Min-sketch heavy hitters, FULLY oracle-gated (the
+    * deterministic-sketch move that q168's bloom twin could not make:
+    * CMS counters are pure integer arithmetic, so the oracle replays
+    * the exact sketch, estimates and all). A d×w counter matrix
+    * (d=4 rows, w=512 buckets) is built over the token stream; each
+    * token's estimate is min over rows of its bucket's counter —
+    * ≥ the true count always (no false negatives among heavy
+    * hitters), with bounded overcount ~N/w per row. Output: the
+    * top-k tokens ranked BY THE SKETCH (the production shape — the
+    * ranking a streaming heavy-hitter pipeline acts on), with the
+    * exact count and the overcount alongside, so the estimate error
+    * is visible row by row.
+    *
+    * Scale shape: one corpus-linear explode collapses map-side to
+    * per-token counts (vocabulary-sized); by linearity the sketch
+    * built from collapsed counts equals the sketch built from the
+    * raw stream (CMS is a linear sketch — the property that makes it
+    * mergeable across executors/days in production). Everything after
+    * the first aggregate is vocabulary-sized: a d-way explode, a
+    * d×w-row counter aggregate broadcast back onto the per-token
+    * frame, and a TakeOrdered top-k. The counter matrix is ~2 KB —
+    * the same "tiny state, corpus-linear single pass" contract as
+    * q41's HLL and q168's bloom. */
+  def q179CmsHeavyHitters(s: SparkSession, dir: String,
+                          d: Int = 4, w: Int = 512, k: Int = 25): DataFrame = {
+    // per-token exact counts: the one corpus-linear stage, persisted —
+    // it feeds the counter build AND the estimate probe (caller owns
+    // cache cleanup per the documented lifecycle contract)
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = (0 until d).map { i =>
+      struct(lit(i).as("row_i"),
+             pmod(pmod(lit(CmsA(i)) * col("h") + lit(CmsB(i)), lit(CmsP)),
+                  lit(w.toLong)).as("bucket"))
+    }
+    val hashed = counts
+      .withColumn("h", graft.functions.VectorFunctions.rollingHash31(col("token")))
+      .select(col("token"), col("c"), explode(array(rows: _*)).as("rb"))
+      .select(col("token"), col("c"),
+              col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+    // the d×w counter matrix — tiny, broadcast back for the probe
+    val sketch = hashed.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("c")).cast("long").as("counter"))
+    hashed.join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("counter")).as("cms_est"),
+           min(col("c")).cast("long").as("exact_c"))
+      .orderBy(col("cms_est").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("cms_est"), col("exact_c"),
+              (col("cms_est") - col("exact_c")).as("overcount"))
+  }
+
+  /** DuckDB oracle for q179 — the identical sketch, replayed: same
+    * base-31 fingerprint, same (A·H+B) mod P mod W row hashes, same
+    * min-over-rows estimate. */
+  def q179OracleSql(d: Int = 4, w: Int = 512, k: Int = 25): String = {
+    val aList = CmsA.take(d).mkString("[", ",", "]")
+    val bList = CmsB.take(d).mkString("[", ",", "]")
+    val iList = (0 until d).mkString("[", ",", "]")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       counts AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+       fp AS (SELECT token, c,
+         list_reduce(list_prepend(0, list_transform(string_split(token, ''),
+           ch -> ascii(ch)::BIGINT)), (acc, ch) -> (acc * 31 + ch) % $CmsP) AS h
+         FROM counts),
+       rows_ AS (SELECT token, c, i,
+         ((($aList[i + 1]) * h + ($bList[i + 1])) % $CmsP) % $w AS bucket
+         FROM fp, unnest($iList) AS t(i)),
+       sketch AS (SELECT i, bucket, sum(c)::BIGINT AS counter
+         FROM rows_ GROUP BY i, bucket),
+       est AS (SELECT r.token, min(s.counter)::BIGINT AS cms_est,
+                      min(r.c)::BIGINT AS exact_c
+         FROM rows_ r JOIN sketch s ON r.i = s.i AND r.bucket = s.bucket
+         GROUP BY r.token)
+       SELECT token, cms_est, exact_c, cms_est - exact_c AS overcount
+       FROM est ORDER BY cms_est DESC, token LIMIT $k"""
+  }
 }

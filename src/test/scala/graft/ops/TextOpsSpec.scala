@@ -127,6 +127,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 6L, 333333L)))
   }
 
+  test("q179 CMS: planted heavy hitter tops the sketch ranking; no underestimates") {
+    val tmp = java.nio.file.Files.createTempDirectory("cms").toString
+    // token "hot" occurs 5× in each of 40 docs (200 total); every doc
+    // also carries 4 unique tail tokens (u<i>_*) — a Zipf-ish corpus
+    // where the sketch must surface "hot" first despite 160 tail types
+    val rows = (1L to 40L).map { i =>
+      (i, s"hot hot hot hot hot u${i}_a u${i}_b u${i}_c u${i}_d")
+    }
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q179CmsHeavyHitters(spark, tmp).collect()
+    assert(got.head.getString(0) == "hot", "sketch ranking must lead with the heavy hitter")
+    assert(got.head.getLong(2) == 200L, "exact count rides alongside")
+    // defining CMS guarantee: estimate >= exact count, always
+    got.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"underestimate at ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
   test("q92 flags the planted length outlier by exact integer algebra") {
     val tmp = java.nio.file.Files.createTempDirectory("outl").toString
     // 10 docs of 100 chars + one of 500: n=11, S=1500, Q=350000

@@ -205,6 +205,7 @@ object SparkEntry {
     "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
     "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
     "q179_cms_heavy_hitters" -> ((s, d) => TextOps.q179CmsHeavyHitters(s, d)),
+    "q180_peak_concurrency" -> EventOps.q180PeakConcurrency,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2345,5 +2346,6 @@ object SparkEntry {
            least(avail_tokens, f.level)::BIGINT AS final_alloc
          FROM a, f ORDER BY source""",
     "q179_cms_heavy_hitters" -> graft.ops.TextOps.q179OracleSql(),
+    "q180_peak_concurrency" -> graft.ops.EventOps.q180OracleSql(),
   )
 }

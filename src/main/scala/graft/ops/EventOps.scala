@@ -933,4 +933,86 @@ object EventOps {
                           * CAST(total_events AS DECIMAL(38,0))) AS LONG)""")
           .as("gini_micro"))
   }
+
+  /** q180 — peak session concurrency per day, by distributed sweep
+    * line: how many user sessions are simultaneously open at the
+    * busiest instant of each day — the capacity-planning number every
+    * serving/ingest deployment sizes against. The naive formulation
+    * is an interval self-join (|sessions|² candidate pairs, the q86
+    * trap at corpus scale); the sweep line is linear: each session
+    * [t_start, t_end] (q30's gap rule) emits +1 at start and −1 at
+    * end, and the running sum of deltas in global (ts) order IS the
+    * concurrency curve. Intervals are inclusive — at an exact tie a
+    * starting session overlaps an ending one, so +1 sorts before −1.
+    *
+    * Scale shape: sessions aggregate per-user (one shuffle), the
+    * delta stream is 2 rows/session, and the global running sum runs
+    * through [[Sampling.distributedPrefix]] bucketed by HOUR —
+    * order-contiguous w.r.t. ts, so the curve needs no
+    * single-partition window anywhere and a hot day splits across
+    * 24 tasks. Output is one row per day: max over in-day points of
+    * the running concurrency (days without any start/end boundary
+    * carry no point — at the events fixture's density every day has
+    * thousands). */
+  def q180PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"), 1L)
+      .otherwise(0L)
+    val sess = Tables.events(s, dir)
+      .withColumn("session_id", sum(newSession).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    // ±1 boundary rows EXPLODE from each session row (a union of two
+    // selects over `sess` would plan the sessionize lineage twice —
+    // the ScanReuseSpec trap; the explode is one map-side pass)
+    val deltas = sess
+      .select(col("user_id"), col("session_id"),
+              explode(array(
+                struct(col("t_start").as("ts"), lit(1L).as("delta")),
+                struct(col("t_end").as("ts"), lit(-1L).as("delta")))).as("b"))
+      .select(lit("all").as("source"), col("b.ts").as("ts"),
+              col("user_id"), col("session_id"),
+              col("b.delta").as("n_tokens"))
+    // total order: (ts, −delta, user, session) — starts before ends at
+    // a tie (inclusive intervals), then a unique key. Hour buckets are
+    // contiguous w.r.t. that order, so the two-phase prefix applies.
+    Sampling.distributedPrefix(deltas,
+      date_trunc("hour", col("ts")),
+      Seq(col("ts"), negate(col("n_tokens")), col("user_id"), col("session_id")))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+              (col("cum_before") + col("n_tokens")).as("conc"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).cast("long").as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for q180 — q30's session CTE, the ±1 delta union,
+    * one global running-sum window (the oracle may afford the
+    * single-partition window the engine must not), max per day. */
+  def q180OracleSql(): String =
+    """WITH x AS (SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       y AS (SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM x),
+       sess AS (SELECT user_id, session_id,
+         min(ts) AS t_start, max(ts) AS t_end
+         FROM y GROUP BY user_id, session_id),
+       d AS (SELECT t_start AS ts, 1 AS delta, user_id, session_id FROM sess
+             UNION ALL
+             SELECT t_end AS ts, -1 AS delta, user_id, session_id FROM sess),
+       r AS (SELECT ts,
+         sum(delta) OVER (ORDER BY ts, -delta, user_id, session_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+         FROM d)
+       SELECT strftime(ts, '%Y-%m-%d') AS day,
+              max(conc)::BIGINT AS peak_concurrency
+       FROM r GROUP BY 1 ORDER BY 1"""
 }

@@ -25,6 +25,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got.toSet == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("q180 peak concurrency: hand-built overlap pattern, inclusive tie") {
+    val tmp = java.nio.file.Files.createTempDirectory("conc").toString
+    Seq(
+      // u1 session 10:00-10:20; u2 10:10-10:30 (overlap 2);
+      // u3 starts 10:20 EXACTLY as u1 ends -> inclusive tie makes 3;
+      // u4 alone on day 2
+      (1L, 1L, ts("10:00"), "click", 0.0, "{}"),
+      (2L, 1L, ts("10:20"), "click", 0.0, "{}"),
+      (3L, 2L, ts("10:10"), "view", 0.0, "{}"),
+      (4L, 2L, ts("10:30"), "view", 0.0, "{}"),
+      (5L, 3L, ts("10:20"), "click", 0.0, "{}"),
+      (6L, 4L, Timestamp.valueOf("2024-01-02 09:00:00"), "view", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q180PeakConcurrency(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 3L, "2024-01-02" -> 1L))
+  }
+
   test("tumbling window counts add up") {
     val rows = EventOps.q29TumblingWindow(spark, sf0001).collect()
     assert(rows.map(_.getLong(2)).sum == 1000) // every event in exactly one bucket

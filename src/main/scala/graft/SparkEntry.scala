@@ -206,6 +206,7 @@ object SparkEntry {
     "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
     "q179_cms_heavy_hitters" -> ((s, d) => TextOps.q179CmsHeavyHitters(s, d)),
     "q180_peak_concurrency" -> EventOps.q180PeakConcurrency,
+    "q181_hybrid_rrf"      -> ((s, d) => Similarity.q181HybridRrf(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2347,5 +2348,6 @@ object SparkEntry {
          FROM a, f ORDER BY source""",
     "q179_cms_heavy_hitters" -> graft.ops.TextOps.q179OracleSql(),
     "q180_peak_concurrency" -> graft.ops.EventOps.q180OracleSql(),
+    "q181_hybrid_rrf" -> graft.ops.Similarity.q181OracleSql(),
   )
 }

@@ -1213,4 +1213,96 @@ object Similarity {
          $sel
        ) ORDER BY step"""
   }
+
+  /** q181 — HYBRID retrieval with reciprocal-rank fusion, the
+    * standard two-tower serving shape (RAG / search): a lexical
+    * ranking (q77's BM25 over the fixed term query) and a dense
+    * ranking (exact cosine against query vector 0, q26's baseline)
+    * each produce a top-k list, fused as
+    * RRF(d) = Σ_lists floor(1e6 / (60 + rank_list(d))) — the
+    * Cormack/Clarke constant — and the fused top-10 is the answer.
+    * Ranks are deterministic (both score ties break by doc_id) and
+    * the fusion is integer, so the whole pipeline is hash-gated.
+    *
+    * Scale shape: each ranking ends in a TakeOrderedAndProject
+    * (map-side partial top-k, k rows to one reducer — never a global
+    * sort); the rank-assignment windows and the full-outer fusion
+    * join run on k-row frames. The corpus-sized stages are exactly
+    * q77's one-scan scoring pass and one broadcast-query cosine
+    * pass — nothing quadratic, nothing driver-side. */
+  def q181HybridRrf(s: SparkSession, dir: String,
+                    k: Int = 20, kOut: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+    val lex = TextOps.q77Bm25(s, dir)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q0 = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val denseW = Window.orderBy(col("sim").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") =!= 0).crossJoin(q0)
+      .select(col("vec_id").as("doc_id"),
+              (dot(col("q_emb"), col("embedding")) /
+                (col("nrm") * col("q_nrm"))).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(k)
+      .withColumn("dense_rank", row_number().over(denseW).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+              coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+              coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+              (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+               coalesce(expr("1000000L div (60 + dense_rank)"), lit(0L)))
+                .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(kOut)
+  }
+
+  /** DuckDB oracle for q181 — q77's BM25 CTE and q26's cosine shape
+    * restricted to query vector 0, ranked top-k each, RRF-fused. */
+  def q181OracleSql(k: Int = 20, kOut: Int = 10): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+         len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf1,
+         len(list_filter(toks, x -> x = 'window'))::BIGINT AS tf2,
+         len(list_filter(toks, x -> x = 'hash'))::BIGINT AS tf3
+         FROM t),
+       c AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+         FROM d),
+       bm AS (SELECT doc_id,
+         CAST(floor((
+           ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * 2.2::DOUBLE) / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+         + ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * 2.2::DOUBLE) / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+         + ((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE)) * (tf2 * 2.2::DOUBLE) / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+         + ((n - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE)) * (tf3 * 2.2::DOUBLE) / (tf3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+         ) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS bm25_micro
+         FROM d, c),
+       lex AS (SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS lex_rank
+         FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT $k),
+       e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       sims AS (SELECT c.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(q_emb, c.embedding),
+           p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (c.nrm * q_nrm) AS sim
+         FROM q, e c WHERE c.vec_id <> 0),
+       dense AS (SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+         FROM sims ORDER BY sim DESC, doc_id LIMIT $k)
+       SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+         coalesce(de.dense_rank, 0)::BIGINT AS dense_rank,
+         (coalesce(1000000 // (60 + l.lex_rank), 0)
+          + coalesce(1000000 // (60 + de.dense_rank), 0))::BIGINT AS rrf_micro
+       FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+       ORDER BY rrf_micro DESC, doc_id LIMIT $kOut"""
 }

@@ -339,4 +339,21 @@ class SimilaritySpec extends SparkSpec {
     val ds = got.drop(1).map(_._3)
     assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a })
   }
+
+  test("q181 RRF fusion is exactly reconstructible from the emitted ranks") {
+    val rows = Similarity.q181HybridRrf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    def f(rank: Long): Long = if (rank == 0) 0L else 1000000L / (60 + rank)
+    rows.foreach { case (id, lex, dense, rrf) =>
+      assert(lex >= 0 && lex <= 20 && dense >= 0 && dense <= 20)
+      assert(lex > 0 || dense > 0, s"doc $id in neither list")
+      assert(rrf == f(lex) + f(dense), s"doc $id: rrf $rrf != ${f(lex) + f(dense)}")
+    }
+    // fused order is (rrf desc, doc_id) — the emitted order must obey it
+    val keys = rows.map { case (id, _, _, rrf) => (-rrf, id) }
+    assert(keys.sameElements(keys.sorted), "fusion order violated")
+    // both retrievers must actually contribute to the fused page
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0))
+  }
 }

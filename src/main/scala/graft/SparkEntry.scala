@@ -207,6 +207,7 @@ object SparkEntry {
     "q179_cms_heavy_hitters" -> ((s, d) => TextOps.q179CmsHeavyHitters(s, d)),
     "q180_peak_concurrency" -> EventOps.q180PeakConcurrency,
     "q181_hybrid_rrf"      -> ((s, d) => Similarity.q181HybridRrf(s, d)),
+    "q182_curated_mix"     -> graft.ops.Sampling.q182CuratedMix,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2349,5 +2350,6 @@ object SparkEntry {
     "q179_cms_heavy_hitters" -> graft.ops.TextOps.q179OracleSql(),
     "q180_peak_concurrency" -> graft.ops.EventOps.q180OracleSql(),
     "q181_hybrid_rrf" -> graft.ops.Similarity.q181OracleSql(),
+    "q182_curated_mix" -> graft.ops.Sampling.q182OracleSql(),
   )
 }

@@ -638,4 +638,108 @@ object Sampling {
                 .as("final_alloc"))
       .orderBy(col("source"))
   }
+
+  /** q182 — CURATED TRAINING MIX: the end-to-end artifact a data-mix
+    * pipeline actually ships, composing three operators this engine
+    * already gates separately — q73's quality rule chain decides
+    * WHICH documents are eligible, q177's waterfill decides HOW MANY
+    * tokens each source may contribute, and a per-source
+    * quality-ranked greedy prefix decides WHICH eligible documents
+    * fill that budget: rank kept docs by lexical diversity
+    * (distinct-token micro-ratio, doc_id tiebreak) and select the
+    * maximal prefix whose running token total fits final_alloc
+    * (positive sizes ⇒ the cum_before + n ≤ alloc predicate IS the
+    * maximal prefix — no loop needed). Output: per source, the
+    * budget, selected doc/token counts and integer-micro utilization.
+    *
+    * Scale shape: one corpus-linear scan computes eligibility and
+    * the score; the per-source running total goes through
+    * [[distributedPrefix]] (bucket = (−score, id-range) — the q172
+    * modal-bucket sub-split), the |sources|-row allocation frame
+    * broadcasts onto the ranked docs, and the final rollup is
+    * |sources| rows. Nothing driver-side beyond q177's bounded
+    * allocation fixpoint. */
+  def q182CuratedMix(s: SparkSession, dir: String): DataFrame = {
+    val alloc = q177MixAllocation(s, dir)
+      .select(col("source"), col("final_alloc"))
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("source"), col("doc_id"),
+      size(toks).cast("long").as("n"),
+      size(filter(toks, t => t.isin(TextOps.stopwords: _*)))
+        .cast("long").as("stops"),
+      size(array_distinct(toks)).cast("long").as("uniq"),
+      length(col("text")).cast("long").as("len"))
+    val avgLen = (col("len") - col("n") + lit(1L)).cast("double") / col("n")
+    val keep = base.filter(
+      col("n") >= 30 &&
+      col("stops").cast("double") / col("n") >= 0.02 &&
+      col("uniq").cast("double") / col("n") >= 0.35 &&
+      avgLen >= 4.0 && avgLen <= 8.0)
+      .select(col("source"), col("doc_id"),
+              col("n").as("n_tokens"),
+              expr("uniq * 1000000L div n").as("q_score"))
+    val ranked = distributedPrefix(keep,
+      struct(negate(col("q_score")), expr("doc_id div 1024")),
+      Seq(col("doc_id")))
+    ranked.join(broadcast(alloc), Seq("source"))
+      .filter(col("cum_before") + col("n_tokens") <= col("final_alloc"))
+      .groupBy(col("source"), col("final_alloc"))
+      .agg(count(lit(1)).cast("long").as("n_selected"),
+           sum(col("n_tokens")).cast("long").as("sel_tokens"))
+      .select(col("source"), col("final_alloc"), col("n_selected"),
+              col("sel_tokens"),
+              expr("sel_tokens * 1000000L div final_alloc").as("util_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for q182 — q73's rule chain, q177's recursive
+    * waterfill level, the per-source (score desc, doc_id) running
+    * sum, and the same maximal-prefix predicate. */
+  def q182OracleSql(): String =
+    """WITH RECURSIVE
+       td AS (SELECT source, doc_id, string_split(text, ' ') AS toks,
+                length(text) AS len FROM documents),
+       r AS (SELECT source, doc_id, len(toks)::BIGINT AS n,
+              len(list_filter(toks, w ->
+                list_contains(['the','a','of','and','to','in'], w)))::BIGINT AS stops,
+              len(list_distinct(toks))::BIGINT AS uniq, len FROM td),
+       a AS (SELECT source, sum(n)::BIGINT AS avail_tokens FROM r GROUP BY source),
+       t AS (SELECT ((sum(avail_tokens)) // 2)::BIGINT AS budget,
+                    count(*)::BIGINT AS n FROM a),
+       lv(level) AS (
+         SELECT (budget // n)::BIGINT FROM t
+         UNION ALL
+         SELECT x.next FROM (
+           SELECT CASE WHEN t.n - (SELECT count(*) FROM a
+                                   WHERE avail_tokens < l.level) > 0
+             THEN ((t.budget - (SELECT coalesce(sum(avail_tokens), 0)
+                                FROM a WHERE avail_tokens < l.level))
+                   // (t.n - (SELECT count(*) FROM a
+                              WHERE avail_tokens < l.level)))::BIGINT
+             ELSE l.level END AS next, l.level AS level
+           FROM lv l, t) x
+         WHERE x.next <> x.level),
+       f AS (SELECT max(level)::BIGINT AS level FROM lv),
+       alloc AS (SELECT source, least(avail_tokens, f.level)::BIGINT
+                   AS final_alloc FROM a, f),
+       keep AS (SELECT source, doc_id, n AS n_tokens,
+                  (uniq * 1000000 // n)::BIGINT AS q_score
+                FROM r WHERE n >= 30 AND stops::DOUBLE / n >= 0.02
+                  AND uniq::DOUBLE / n >= 0.35
+                  AND (len - n + 1)::DOUBLE / n >= 4.0
+                  AND (len - n + 1)::DOUBLE / n <= 8.0),
+       pr AS (SELECT source, doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY q_score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+              FROM keep),
+       sel AS (SELECT p.source, p.n_tokens, al.final_alloc
+               FROM pr p JOIN alloc al USING (source)
+               WHERE p.cum_before + p.n_tokens <= al.final_alloc)
+       SELECT source, final_alloc, count(*)::BIGINT AS n_selected,
+         sum(n_tokens)::BIGINT AS sel_tokens,
+         (sum(n_tokens) * 1000000 // final_alloc)::BIGINT AS util_micro
+       FROM sel GROUP BY source, final_alloc ORDER BY source"""
 }

@@ -43,7 +43,7 @@ object TextOps {
   def shingleHashes(toks: Column, n: Int = 3): Column =
     graft.functions.VectorFunctions.wordShingleHashes(toks, n)
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** q19 — token counting (whitespace tokenizer). */
   def q19TokenCount(s: SparkSession, dir: String): DataFrame =

@@ -402,4 +402,28 @@ class SamplingSpec extends SparkSpec {
     assert(got("c") == ((60L, 12L, 0L, 22L)), s"fixpoint level: ${got("c")}")
     assert(got.values.map(_._4).sum == 37L, "fixpoint exhausts the budget")
   }
+
+  test("q182 curated mix stops at the budget boundary, hand-computed") {
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    // every doc passes q73's rules: 35 tokens (2×'the' + 33 unique
+    // 5-char), stop ratio 2/35, uniq 34/35, avg token len 171/35≈4.9.
+    def docText(docTag: String): String =
+      ("the" +: (1 to 33).map(i => f"${docTag}w$i%02d") :+ "the").mkString(" ")
+    val rows =
+      (1L to 4L).map(i => (i, "a", docText(s"a$i"))) ++
+      (11L to 12L).map(i => (i, "b", docText(s"b$i")))
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // avail: a=140, b=70 → budget=105, base=52, level fixpoint 52
+    // (no source below 52) → final_alloc 52 each; docs are 35 tokens,
+    // so each source fits exactly ONE doc (35+35 > 52)
+    val got = Sampling.q182CuratedMix(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "a" -> ((52L, 1L, 35L, 35L * 1000000L / 52L)),
+      "b" -> ((52L, 1L, 35L, 35L * 1000000L / 52L))), s"got $got")
+  }
 }

@@ -34,7 +34,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q176_dup_spans",         // r7 two-level span rollup + top-k
     "q177_mix_allocation",    // r7 waterfill window arithmetic
     "q145_prefix_jaccard",    // r8 PPJoin candidate agg + verify joins
-    "q178_max_spans")         // r8 gaps-and-islands span merge
+    "q178_max_spans",         // r8 gaps-and-islands span merge
+    "q179_cms_heavy_hitters", // r8 linear-sketch counters + probe join
+    "q180_peak_concurrency",  // r8 sweep-line prefix over ±1 deltas
+    "q181_hybrid_rrf",        // r8 two top-k rankings + fusion join
+    "q182_curated_mix")       // r8 prefix-budget cut + waterfill
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -237,6 +237,49 @@ class PlanAuditSpec extends SparkSpec {
     auditPrefixWindows("q171_curriculum_order")
   }
 
+  test("q180 sweep line: no GLOBAL window anywhere; prefix is bucketed") {
+    // the generic prefix audit flags any 1-key window over raw rows,
+    // but q180's sessionize window partitions by user_id (per-user
+    // cardinality — scale-safe); what must never appear is a window
+    // with an EMPTY partition spec (the single-task global running
+    // sum the sweep line exists to avoid), and the concurrency prefix
+    // itself must be the bucketed (source, hour) two-phase form
+    // (the lit("all") source column constant-folds out of the specs,
+    // so the totals-offset window legitimately shows an EMPTY spec —
+    // over the occupancy-sized aggregate, never the row stream)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = graft.SparkEntry.queries("q180_peak_concurrency")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"global window over the raw row stream:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "no partitioned window found (sessionize + bucketed prefix expected)")
+  }
+
+  test("q182 budget cut uses the two-phase distributed prefix sum") {
+    auditPrefixWindows("q182_curated_mix")
+  }
+
+  test("q179 CMS probe broadcasts the counter matrix and top-ks without a global sort") {
+    val p = plan("q179_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe must broadcast the d×w counters:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("q181 both retrieval arms end in TakeOrdered; the query vector broadcasts") {
+    val p = plan("q181_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"lexical and dense top-k must both be TakeOrdered:\n${p.take(1200)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query vector must broadcast against the corpus")
+  }
+
   test("q169 scatter matrix aggregates buffers before any explode") {
     // tree-reduce shape, explode-free on the row stream: the raw rows
     // must feed the ScatterMatrixAgg ObjectHashAggregate (one flat

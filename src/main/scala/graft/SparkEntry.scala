@@ -208,6 +208,7 @@ object SparkEntry {
     "q180_peak_concurrency" -> EventOps.q180PeakConcurrency,
     "q181_hybrid_rrf"      -> ((s, d) => Similarity.q181HybridRrf(s, d)),
     "q182_curated_mix"     -> graft.ops.Sampling.q182CuratedMix,
+    "q183_position_attribution" -> EventOps.q183PositionAttribution,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2351,5 +2352,6 @@ object SparkEntry {
     "q180_peak_concurrency" -> graft.ops.EventOps.q180OracleSql(),
     "q181_hybrid_rrf" -> graft.ops.Similarity.q181OracleSql(),
     "q182_curated_mix" -> graft.ops.Sampling.q182OracleSql(),
+    "q183_position_attribution" -> graft.ops.EventOps.q183OracleSql(),
   )
 }

@@ -640,6 +640,78 @@ object EventOps {
       .orderBy(col("view_id"))
   }
 
+  /** q183 — U-SHAPED (position-based) multi-touch attribution, the
+    * standard 40/20/40 upgrade of q112's linear model: within each
+    * purchase's 30-minute touch window, the FIRST view earns 40% of
+    * the purchase value, the LAST view 40%, and the middle views
+    * split the remaining 20% evenly; 1-touch purchases keep 100%,
+    * 2-touch purchases split 50/50. All credits are integer micro
+    * floor-divisions of the purchase's micro value, so no float ever
+    * accumulates and the per-view rollup is order-independent.
+    *
+    * Scale shape: identical to q112 — the view⋈purchase range join
+    * shuffles on user_id (both sides time-bounded by the 30-minute
+    * window), one purchase-keyed window ranks the touches (purchase
+    * cardinality bounds every group), and the final per-view rollup
+    * is map-combined. */
+  def q183PositionAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"),
+              floor(col("value") * lit(1e6d) + lit(0.5d)).cast("long")
+                .as("p_micro"))
+    val touches = v.join(p,
+      col("user_id") === col("p_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    val byTime = perPurchase.orderBy(col("v_ts"), col("view_id"))
+    val credit =
+      when(col("n_views") === 1, col("p_micro"))
+        .when(col("n_views") === 2, expr("p_micro div 2"))
+        .when(col("rn") === 1 || col("rn") === col("n_views"),
+              expr("p_micro * 2 div 5"))
+        .otherwise(expr("p_micro div 5 div (n_views - 2)"))
+    touches
+      .withColumn("rn", row_number().over(byTime).cast("long"))
+      .withColumn("n_views", count(lit(1)).over(perPurchase))
+      .select(col("view_id"), credit.as("credit"))
+      .groupBy(col("view_id"))
+      .agg(sum(col("credit")).cast("long").as("credit_micro"),
+           count(lit(1)).as("n_purchases"))
+      .orderBy(col("view_id"))
+  }
+
+  /** DuckDB oracle for q183 — the same range join, rank window and
+    * integer U-shape credit schedule. */
+  def q183OracleSql(): String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+         FROM events WHERE event_type = 'view'),
+       p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS p_micro
+         FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT view_id, purchase_id, p_micro,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY v_ts, view_id) AS rn,
+         count(*) OVER (PARTITION BY purchase_id) AS n_views
+         FROM v JOIN p ON v.user_id = p.p_user
+           AND v.v_ts <= p.p_ts
+           AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE),
+       c AS (SELECT view_id,
+         CASE WHEN n_views = 1 THEN p_micro
+              WHEN n_views = 2 THEN p_micro // 2
+              WHEN rn = 1 OR rn = n_views THEN p_micro * 2 // 5
+              ELSE p_micro // 5 // (n_views - 2) END AS credit
+         FROM t)
+       SELECT view_id, sum(credit)::BIGINT AS credit_micro,
+         count(*)::BIGINT AS n_purchases
+       FROM c GROUP BY view_id ORDER BY view_id"""
+
   /** q110 — session path mining: the most common event-type
     * sequences (first 5 events per session, joined with ">") across
     * all q30-style gap sessions — the navigation-pattern report a

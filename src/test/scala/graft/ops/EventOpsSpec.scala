@@ -46,6 +46,38 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map("2024-01-01" -> 3L, "2024-01-02" -> 1L))
   }
 
+  test("q183 U-shape credits: 100 / 50-50 / 40-20-40 schedules, hand-computed") {
+    val tmp = java.nio.file.Files.createTempDirectory("att").toString
+    Seq(
+      // user 1: four views then a 1.0 purchase -> 40/10/10/40
+      (1L, 1L, ts("10:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("10:05"), "view", 0.0, "{}"),
+      (3L, 1L, ts("10:10"), "view", 0.0, "{}"),
+      (4L, 1L, ts("10:15"), "view", 0.0, "{}"),
+      (5L, 1L, ts("10:20"), "purchase", 1.0, "{}"),
+      // user 2: two views, 0.5 purchase -> 250000 each
+      (6L, 2L, ts("11:00"), "view", 0.0, "{}"),
+      (7L, 2L, ts("11:10"), "view", 0.0, "{}"),
+      (8L, 2L, ts("11:20"), "purchase", 0.5, "{}"),
+      // user 3: single view, 2.0 purchase -> full credit
+      (9L, 3L, ts("12:00"), "view", 0.0, "{}"),
+      (10L, 3L, ts("12:10"), "purchase", 2.0, "{}"),
+      // user 4: view OUTSIDE the 30-min window -> no credit at all
+      (11L, 4L, ts("09:00"), "view", 0.0, "{}"),
+      (12L, 4L, ts("09:31"), "purchase", 9.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q183PositionAttribution(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((400000L, 1L)), 2L -> ((100000L, 1L)),
+      3L -> ((100000L, 1L)), 4L -> ((400000L, 1L)),
+      6L -> ((250000L, 1L)), 7L -> ((250000L, 1L)),
+      9L -> ((2000000L, 1L))), s"got $got")
+  }
+
   test("tumbling window counts add up") {
     val rows = EventOps.q29TumblingWindow(spark, sf0001).collect()
     assert(rows.map(_.getLong(2)).sum == 1000) // every event in exactly one bucket

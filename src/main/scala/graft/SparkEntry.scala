@@ -209,6 +209,7 @@ object SparkEntry {
     "q181_hybrid_rrf"      -> ((s, d) => Similarity.q181HybridRrf(s, d)),
     "q182_curated_mix"     -> graft.ops.Sampling.q182CuratedMix,
     "q183_position_attribution" -> EventOps.q183PositionAttribution,
+    "q184_minhash_jaccard" -> ((s, d) => Dedup.q184MinhashJaccard(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2353,5 +2354,6 @@ object SparkEntry {
     "q181_hybrid_rrf" -> graft.ops.Similarity.q181OracleSql(),
     "q182_curated_mix" -> graft.ops.Sampling.q182OracleSql(),
     "q183_position_attribution" -> graft.ops.EventOps.q183OracleSql(),
+    "q184_minhash_jaccard" -> graft.ops.Dedup.q184OracleSql(),
   )
 }

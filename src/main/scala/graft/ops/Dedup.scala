@@ -1256,4 +1256,128 @@ object Dedup {
               col("n_windows"), col("span_tokens"))
       .orderBy(col("doc_id"), col("start_pos"))
   }
+
+  /** Affine permutation constants for the oracle-replayable MinHash
+    * (q184): slot j minimizes (A(j)·H + B(j)) mod P over a document's
+    * shingle fingerprints H. A(j)·H < 8.7e7 · 1.1e9 ≈ 9.5e16 fits a
+    * long, every operand is positive, so `%`/`pmod` agree across
+    * engines. */
+  private[ops] val MhP = 1000000007L
+  private[ops] val MhA = Seq(31L, 131L, 1031L, 10007L, 100003L, 999983L,
+    31337L, 65537L, 131071L, 524287L, 1299709L, 15485863L,
+    32452843L, 49979687L, 67867967L, 86028121L)
+  private[ops] val MhB = Seq(7L, 101L, 997L, 10009L, 100019L, 999979L,
+    31357L, 65539L, 131101L, 524309L, 1299721L, 15485867L,
+    32452867L, 49979693L, 67867979L, 86028157L)
+
+  /** q184 — MinHash + LSH, FULLY oracle-gated (the q179 move applied
+    * to the dedup family's estimator): q24's MinHash is rows-only
+    * because its XXH64 signatures can't be replayed in SQL — this
+    * twin derives every shingle fingerprint from the cross-engine
+    * base-31 rolling hash and every signature slot from an affine
+    * (A·H+B) mod P permutation, so the DuckDB oracle rebuilds the
+    * identical 16-slot signatures, the identical 4×4 LSH band keys,
+    * and the identical candidate pairs. For each banded candidate
+    * pair the output carries BOTH the signature estimate (matching
+    * slots / 16, integer micro) and the exact shingle Jaccard —
+    * the estimator's per-pair error is itself hash-gated.
+    *
+    * Scale shape: signatures are one map-side pass (array_min over a
+    * transform — no explode ever materializes per-(doc, slot) rows);
+    * the only corpus exchange is the band-key self-join, whose bucket
+    * population is near-dup-group-sized by construction (the LSH
+    * guarantee); the exact-Jaccard verify joins shingle arrays for
+    * CANDIDATE pairs only — the all-pairs stage never exists. */
+  def q184MinhashJaccard(s: SparkSession, dir: String,
+                         bands: Int = 4, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    require(MhA.length >= k)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hs = transform(col("sh"),
+      x => graft.functions.VectorFunctions.rollingHash31(x))
+    val sig = array((0 until k).map { j =>
+      array_min(transform(hs, h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhP)))
+    }: _*)
+    // per-doc frame feeds band explosion AND both sides of the pair
+    // verify — persisted per the documented cache-lifecycle contract
+    val docs = base.select(col("doc_id"), col("sh"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = docs.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+          .reduce((acc, v) => acc * lit(31L) + v)
+      }: _*)))
+      .toDF("doc_id", "band", "bkey")
+    val cands = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+                        col("sig").as("sig_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+                        col("sig").as("sig_b"))
+    val nEq = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => x === y), p => p))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              nEq.cast("long").as("n_eq"),
+              inter.cast("long").as("inter"),
+              (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("tot"))
+      .select(col("doc_a"), col("doc_b"),
+              expr(s"n_eq * 1000000L div $k").as("est_micro"),
+              expr("inter * 1000000L div (tot - inter)").as("exact_micro"))
+      .filter(col("est_micro") >= 500000L)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for q184 — identical shingles, base-31
+    * fingerprints, affine permutations, band keys, candidates and
+    * Jaccards, replayed with list functions. */
+  def q184OracleSql(bands: Int = 4, rows: Int = 4): String = {
+    val k = bands * rows
+    val params = (0 until k)
+      .map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")
+    val bList = (0 until bands).mkString("[", ",", "]")
+    s"""WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS sh FROM td),
+       shd AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, sh, list_transform(sh, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP))
+           AS hv FROM shd),
+       prm(j, a, b) AS (VALUES $params),
+       sig AS (SELECT doc_id, j,
+           list_min(list_transform(hv, h -> (h * a + b) % $MhP)) AS s
+         FROM hs, prm GROUP BY ALL),
+       sigl AS (SELECT doc_id, list(s ORDER BY j) AS sl
+         FROM sig GROUP BY doc_id),
+       bk AS (SELECT doc_id, b,
+           ((sl[4*b + 1] * 31 + sl[4*b + 2]) * 31 + sl[4*b + 3]) * 31
+             + sl[4*b + 4] AS bkey
+         FROM sigl, unnest($bList) AS t(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id),
+       sc AS (SELECT c.doc_a, c.doc_b,
+           (list_sum(list_transform(generate_series(1, $k),
+              i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END))
+            * 1000000 // $k)::BIGINT AS est_micro,
+           (len(list_intersect(ha.sh, hb.sh)) * 1000000 //
+            (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))))::BIGINT
+             AS exact_micro
+         FROM cand c
+         JOIN sigl sa ON sa.doc_id = c.doc_a
+         JOIN sigl sb ON sb.doc_id = c.doc_b
+         JOIN shd ha ON ha.doc_id = c.doc_a
+         JOIN shd hb ON hb.doc_id = c.doc_b)
+       SELECT doc_a, doc_b, est_micro, exact_micro FROM sc
+       WHERE est_micro >= 500000 ORDER BY doc_a, doc_b"""
+  }
 }

@@ -161,6 +161,31 @@ class DedupSpec extends SparkSpec {
     assert(nVerified > 0) // corpus has planted near-dups
   }
 
+  test("q184 gated MinHash: identical docs estimate 1.0; estimate brackets exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("mhg").toString
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, shared),                      // identical pair -> est = exact = 1e6
+      (2L, shared),
+      (3L, shared + " zz1 zz2 zz3"),     // near-dup of 1/2 (J = 38/41)
+      (4L, (1 to 40).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q184MinhashJaccard(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // identical docs: every slot matches, Jaccard exactly 1
+    assert(got((1L, 2L)) == ((1000000L, 1000000L)))
+    // the planted near-dup pair must surface through its bands, with
+    // the exact Jaccard = 38 shared / 41 union shingles
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(got((1L, 3L))._2 == 38L * 1000000L / 41L)
+    // the unrelated doc shares no band with anyone
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("q74 dup-ngram coverage counts cross-doc and within-doc repeats") {
     val tmp = java.nio.file.Files.createTempDirectory("dng").toString
     Seq(

@@ -210,6 +210,7 @@ object SparkEntry {
     "q182_curated_mix"     -> graft.ops.Sampling.q182CuratedMix,
     "q183_position_attribution" -> EventOps.q183PositionAttribution,
     "q184_minhash_jaccard" -> ((s, d) => Dedup.q184MinhashJaccard(s, d)),
+    "q185_simhash_pairs"   -> ((s, d) => Dedup.q185SimhashPairs(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2355,5 +2356,6 @@ object SparkEntry {
     "q182_curated_mix" -> graft.ops.Sampling.q182OracleSql(),
     "q183_position_attribution" -> graft.ops.EventOps.q183OracleSql(),
     "q184_minhash_jaccard" -> graft.ops.Dedup.q184OracleSql(),
+    "q185_simhash_pairs" -> graft.ops.Dedup.q185OracleSql(),
   )
 }

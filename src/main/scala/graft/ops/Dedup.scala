@@ -1334,6 +1334,98 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q185 — SimHash near-dup pairs, FULLY oracle-gated: completes
+    * the replayable-sketch trilogy (q179 CMS, q184 MinHash). q25's
+    * SimHash stays rows-only because its XXH64 token hashes can't be
+    * replayed in SQL — here each DISTINCT token's 60-bit fingerprint
+    * is two cross-engine base-31 rolling hashes packed side by side
+    * (forward·2³⁰ + reversed — both < 2³⁰, so no overflow in either
+    * engine and bits 60-63 stay clear, keeping the long positive),
+    * and the 64-lane majority vote is the codegen'd [[SimHash64]]
+    * whose ≥0-tie rule the oracle replays bit for bit. Candidate
+    * pairs come from 4×15-bit chunk banding — by pigeonhole COMPLETE
+    * for hamming ≤ 3 (≤3 differing bits can touch at most 3 of the
+    * 4 chunks) — then the exact hamming distance (bit_count of xor)
+    * verifies and is emitted per pair.
+    *
+    * Scale shape: fingerprints are one map-side pass; the only
+    * corpus exchange is the 4-chunk band self-join (bucket
+    * population = near-identical groups); the verify compares two
+    * longs per candidate. */
+  def q185SimhashPairs(s: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame = {
+    // 3-gram shingles, not unigram tokens: same-domain documents
+    // share most of their VOCABULARY (a unigram simhash collapses
+    // them into one giant hamming-≤3 blob — measured 5k+ pairs on a
+    // 500-doc corpus), while shingle SETS are near-dup-distinctive
+    val grams = TextOps.shingles(TextOps.tokens(col("text")), 3)
+    val hv = transform(grams, g =>
+      graft.functions.VectorFunctions.rollingHash31(g) * lit(1L << 30) +
+        graft.functions.VectorFunctions.rollingHash31(reverse(g)))
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              graft.functions.VectorFunctions.simhash64(hv).as("fp"),
+              size(grams).as("ng"))
+      .filter(col("ng") > 0)
+      .select(col("doc_id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = fps.select(col("doc_id"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("fp"), c * 15).bitwiseAND(lit(0x7fffL))
+      }: _*)))
+      .toDF("doc_id", "chunk", "ckey")
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+                .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for q185 — identical packed fingerprints, the
+    * identical ≥0-tie majority vote over 60 lanes (lanes 60-63 vote
+    * all-negative for any non-empty doc, so both engines leave them
+    * clear), the identical chunk banding and hamming verify. */
+  def q185OracleSql(maxHamming: Int = 3): String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS gs FROM t0),
+       td AS (SELECT doc_id, gs FROM sh0 WHERE len(gs) > 0),
+       hv AS (SELECT doc_id, list_transform(gs, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)
+             * 1073741824
+           + list_reduce(list_prepend(0, list_transform(string_split(reverse(g), ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))
+           AS hs FROM td),
+       fp AS (SELECT doc_id, sum(CASE WHEN
+           list_sum(list_transform(hs, h ->
+             CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+         FROM hv, unnest(generate_series(0, 59)) AS t(b)
+         GROUP BY doc_id),
+       ck AS (SELECT doc_id, c, (fp >> (15 * c)) & 32767 AS ckey
+         FROM fp, unnest([0, 1, 2, 3]) AS u(c)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM ck x JOIN ck y ON x.c = y.c AND x.ckey = y.ckey
+           AND x.doc_id < y.doc_id)
+       SELECT c.doc_a, c.doc_b,
+         bit_count(xor(fa.fp, fb.fp))::BIGINT AS hamming
+       FROM cand c
+       JOIN fp fa ON fa.doc_id = c.doc_a
+       JOIN fp fb ON fb.doc_id = c.doc_b
+       WHERE bit_count(xor(fa.fp, fb.fp)) <= $maxHamming
+       ORDER BY c.doc_a, c.doc_b"""
+
   /** DuckDB oracle for q184 — identical shingles, base-31
     * fingerprints, affine permutations, band keys, candidates and
     * Jaccards, replayed with list functions. */

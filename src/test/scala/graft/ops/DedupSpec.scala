@@ -186,6 +186,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("q185 simhash: identical docs at hamming 0; unrelated docs unpaired") {
+    val tmp = java.nio.file.Files.createTempDirectory("shp").toString
+    val body = (1 to 50).map(i => s"alpha$i").mkString(" ")
+    Seq(
+      (1L, body),
+      (2L, body),                                       // identical twin
+      (3L, (1 to 50).map(i => s"beta$i").mkString(" ")) // disjoint shingles
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q185SimhashPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(0L), s"identical pair must be hamming 0: $got")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"disjoint doc must not pair: $got")
+  }
+
   test("q74 dup-ngram coverage counts cross-doc and within-doc repeats") {
     val tmp = java.nio.file.Files.createTempDirectory("dng").toString
     Seq(

@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q179_cms_heavy_hitters", // r8 linear-sketch counters + probe join
     "q180_peak_concurrency",  // r8 sweep-line prefix over ±1 deltas
     "q181_hybrid_rrf",        // r8 two top-k rankings + fusion join
-    "q182_curated_mix")       // r8 prefix-budget cut + waterfill
+    "q182_curated_mix",       // r8 prefix-budget cut + waterfill
+    "q184_minhash_jaccard",   // r8 replayable signatures + band join
+    "q185_simhash_pairs")     // r8 packed fingerprints + chunk bands
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -272,6 +272,19 @@ class PlanAuditSpec extends SparkSpec {
       "top-k must be TakeOrdered, not a global sort")
   }
 
+  test("q184/q185 reuse their persisted per-doc frame across band and verify consumers") {
+    // the signature/fingerprint scan must run once: band explosion and
+    // both verify sides read the cached frame (the q24 pin, extended)
+    for (name <- Seq("q184_minhash_jaccard", "q185_simhash_pairs")) {
+      spark.catalog.clearCache()
+      val plan = graft.SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name: expected cached per-doc frame reuse:\n${plan.take(1200)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q181 both retrieval arms end in TakeOrdered; the query vector broadcasts") {
     val p = plan("q181_hybrid_rrf")
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,

@@ -26,15 +26,31 @@ object TopK {
   }
 
   /** Aggregator keeping the top-`k` (score desc, id asc) per group.
-    * Buffers ride the shuffle kryo-encoded; at most k elements each. */
+    * Buffers ride the shuffle kryo-encoded; at most k elements each.
+    * Invariant: the buffer is ALWAYS sorted by `ord` — reduce
+    * rejects a non-qualifying row with one comparison against the
+    * current k-th element (the overwhelmingly common case on a
+    * corpus-sized input stream) and otherwise binary-inserts, so the
+    * per-row cost is O(1) compare / O(log k) search + O(k) splice
+    * instead of the former O(k log k) re-sort per row. */
   def topK(k: Int): Aggregator[Scored, Vector[Scored], Seq[Scored]] =
     new Aggregator[Scored, Vector[Scored], Seq[Scored]] {
       override def zero: Vector[Scored] = Vector.empty
       override def reduce(b: Vector[Scored], a: Scored): Vector[Scored] =
-        bound(b :+ a, k)
+        if (b.length >= k && ord.lteq(b(k - 1), a)) b
+        else {
+          // binary search for the insertion point in the sorted buffer
+          var lo = 0; var hi = b.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ord.lt(b(mid), a)) lo = mid + 1 else hi = mid
+          }
+          val ins = (b.take(lo) :+ a) ++ b.drop(lo)
+          if (ins.length > k) ins.take(k) else ins
+        }
       override def merge(b1: Vector[Scored], b2: Vector[Scored]): Vector[Scored] =
         bound(b1 ++ b2, k)
-      override def finish(r: Vector[Scored]): Seq[Scored] = r.sorted(ord)
+      override def finish(r: Vector[Scored]): Seq[Scored] = r
       override def bufferEncoder: Encoder[Vector[Scored]] = Encoders.kryo[Vector[Scored]]
       override def outputEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
     }

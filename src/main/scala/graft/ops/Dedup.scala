@@ -1354,6 +1354,12 @@ object Dedup {
     * longs per candidate. */
   def q185SimhashPairs(s: SparkSession, dir: String,
                        maxHamming: Int = 3): DataFrame = {
+    // the 4×15-bit chunk banding below is pigeonhole-COMPLETE only
+    // for hamming ≤ 3 (4 chunks, so ≤3 flipped bits leave one chunk
+    // untouched); a larger maxHamming would silently under-report
+    // pairs in BOTH engines and the gate would hide it (ADVICE r8)
+    require(maxHamming <= 3,
+      s"q185 chunk banding is complete only for maxHamming <= 3, got $maxHamming")
     // 3-gram shingles, not unigram tokens: same-domain documents
     // share most of their VOCABULARY (a unigram simhash collapses
     // them into one giant hamming-≤3 blob — measured 5k+ pairs on a
@@ -1393,7 +1399,9 @@ object Dedup {
     * identical ≥0-tie majority vote over 60 lanes (lanes 60-63 vote
     * all-negative for any non-empty doc, so both engines leave them
     * clear), the identical chunk banding and hamming verify. */
-  def q185OracleSql(maxHamming: Int = 3): String =
+  def q185OracleSql(maxHamming: Int = 3): String = {
+    require(maxHamming <= 3,
+      s"q185 chunk banding is complete only for maxHamming <= 3, got $maxHamming")
     s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
            list_transform(generate_series(1, len(toks) - 2),
@@ -1425,6 +1433,7 @@ object Dedup {
        JOIN fp fb ON fb.doc_id = c.doc_b
        WHERE bit_count(xor(fa.fp, fb.fp)) <= $maxHamming
        ORDER BY c.doc_a, c.doc_b"""
+  }
 
   /** DuckDB oracle for q184 — identical shingles, base-31
     * fingerprints, affine permutations, band keys, candidates and
@@ -1434,6 +1443,11 @@ object Dedup {
     val params = (0 until k)
       .map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")
     val bList = (0 until bands).mkString("[", ",", "]")
+    // band key folded from the rows parameter exactly as the Scala
+    // side folds it (left fold, *31 + next) — a hardcoded rows=4
+    // index list would silently diverge for any other rows (ADVICE r8)
+    val bkeyFold = (2 to rows).foldLeft(s"sl[$rows*b + 1]")(
+      (acc, r) => s"($acc * 31 + sl[$rows*b + $r])")
     s"""WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
            list_transform(generate_series(1, len(toks) - 2),
@@ -1450,9 +1464,7 @@ object Dedup {
          FROM hs, prm GROUP BY ALL),
        sigl AS (SELECT doc_id, list(s ORDER BY j) AS sl
          FROM sig GROUP BY doc_id),
-       bk AS (SELECT doc_id, b,
-           ((sl[4*b + 1] * 31 + sl[4*b + 2]) * 31 + sl[4*b + 3]) * 31
-             + sl[4*b + 4] AS bkey
+       bk AS (SELECT doc_id, b, $bkeyFold AS bkey
          FROM sigl, unnest($bList) AS t(b)),
        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey

@@ -1025,7 +1025,16 @@ object EventOps {
     * 24 tasks. Output is one row per day: max over in-day points of
     * the running concurrency (days without any start/end boundary
     * carry no point — at the events fixture's density every day has
-    * thousands). */
+    * thousands).
+    *
+    * Edge (ADVICE r8): the per-day peak is the max over BOUNDARY
+    * points only. A day whose true maximum is the midnight carryover
+    * level — sessions spanning midnight where the first in-day event
+    * is a session END — reports the post-decrement value, not the
+    * carried-over level itself. Engine and oracle share the
+    * definition (both sweep boundary points), so the gate is exact;
+    * day-accurate peaks would need a synthetic delta-0 probe point
+    * at each midnight in BOTH engines. */
   def q180PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

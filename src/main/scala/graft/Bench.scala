@@ -40,8 +40,12 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // Crosstalk guards (VERDICT r6 #4): per-query GC-time deltas make
     // allocation-storm inflation visible next to the wall time, and
-    // SPARK_GRAFT_BENCH_GC=1 forces a full GC between queries so one
-    // query's garbage can't tax its lexicographic successors.
+    // the full GC between queries stops one query's garbage taxing
+    // its lexicographic successors. The barrier is ON by default
+    // since r9 (VERDICT r8 #2 — the r8 gate run regressed 1.43×
+    // driver-side while a min-of-2 re-run read flat; the unarmed
+    // barrier was half that ambiguity): SPARK_GRAFT_BENCH_GC=0
+    // disables it for raw-throughput experiments.
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans()
     def gcMillis(): Long = {
@@ -49,10 +53,10 @@ object Bench {
       gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
       s
     }
-    val forceGc = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    val forceGc = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timeGroup(group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-        : Seq[(String, Double, Option[String])] = {
+        : Seq[(String, Double, Double, Option[String])] = {
       // JVM/Spark warmup outside the timed region (codegen compilation,
       // parquet footer reads, first-shuffle setup) so timings reflect
       // steady-state execution, not session bring-up.
@@ -86,7 +90,10 @@ object Bench {
         // whose wall time inflates in the full run but whose gc share
         // is flat points at a neighbor's allocations, not its own plan
         gcTimes(name) = (gcMillis() - gc0) / 1e3
-        (name, if (times.nonEmpty && err.isEmpty) times.min else -1.0, err)
+        (name,
+         if (times.nonEmpty && err.isEmpty) times.min else -1.0,
+         if (times.nonEmpty && err.isEmpty) times.max else -1.0,
+         err)
       }
     }
     val results = (timeGroup(batchQs) ++ timeGroup(streamingQs)).sortBy(_._1)
@@ -95,19 +102,26 @@ object Bench {
     // back `parsed: null` — VERDICT r5 #4), so keep the line compact
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // both ends of the per-query spread ride the tail (VERDICT r8
+    // #2): `value` is the min-of-N total (the steady-state number
+    // rounds compare on), `value_max` the max-of-N total — a wide
+    // gap between them says machine-state noise, not plan change
+    val totalMax = results.map(_._3).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —
     // carries the per-query GC seconds the compact stdout line omits
-    val gcs = results.map { case (k, _, _) =>
+    val gcs = results.map { case (k, _, _, _) =>
       "\"" + k + "\":" + r3(gcTimes.getOrElse(k, 0.0)) }.mkString("{", ",", "}")
+    val qmax = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
@@ -121,8 +135,8 @@ object Bench {
     // window carries them whole; the complete per-query + gc_sec map
     // stays in target/bench.json.
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

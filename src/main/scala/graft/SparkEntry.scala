@@ -211,6 +211,8 @@ object SparkEntry {
     "q183_position_attribution" -> EventOps.q183PositionAttribution,
     "q184_minhash_jaccard" -> ((s, d) => Dedup.q184MinhashJaccard(s, d)),
     "q185_simhash_pairs"   -> ((s, d) => Dedup.q185SimhashPairs(s, d)),
+    "q186_linear_count"    -> ((s, d) => Relational.q186LinearCountDistinct(s, d)),
+    "q187_kmv_quantiles"   -> ((s, d) => Relational.q187SampledQuantiles(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2357,5 +2359,7 @@ object SparkEntry {
     "q183_position_attribution" -> graft.ops.EventOps.q183OracleSql(),
     "q184_minhash_jaccard" -> graft.ops.Dedup.q184OracleSql(),
     "q185_simhash_pairs" -> graft.ops.Dedup.q185OracleSql(),
+    "q186_linear_count" -> Relational.q186OracleSql(),
+    "q187_kmv_quantiles" -> Relational.q187OracleSql(),
   )
 }

@@ -867,4 +867,140 @@ object Relational {
       .unionByName(edge("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
       .orderBy(col("fk"))
   }
+
+  // Replayable-hash constants for the q186/q187 estimator twins —
+  // same prime field as the CMS/MinHash family (TextOps.CmsP).
+  private[graft] val LcP = 1000000007L
+  private[graft] val LcA = 100003L
+  private[graft] val LcB = 998244353L
+
+  /** q186 — linear-counting distinct estimation, FULLY oracle-gated:
+    * the deterministic exact-replay twin of q41's HLL (the q179/q184/
+    * q185 move — VERDICT r8 #5). Each o_custkey maps through the
+    * replayable affine hash ((A·key + B) mod P) mod m into one of
+    * m = 65536 buckets; per order-status segment the sketch state is
+    * the OCCUPIED-bucket count (an integer — hash-gated exactly),
+    * and the classic estimator [Whang et al., TODS 1990] is
+    * n̂ = m · ln(m / V) with V = m − occupied empty buckets, emitted
+    * next to the exact distinct so the error is visible row by row.
+    * The estimate is guarded (NULL at full occupancy — impossible at
+    * the gate SFs with m ≫ |customers|, where production would grow
+    * m or fall back to HLL) and rounded to 4dp in both engines.
+    *
+    * Scale shape: identical to q41's HLL contract — one corpus-linear
+    * pass, fixed m-bit state per group, map-side mergeable (bucket
+    * occupancy is a union of sets; the grouped count-distinct plans
+    * as one Expand + partial aggregate, never a shuffle of distinct
+    * values). The exact count rides along only as the gate's
+    * reference column — a production deployment drops it, which is
+    * the entire point of the sketch. */
+  def q186LinearCountDistinct(s: SparkSession, dir: String,
+                              m: Int = 65536): DataFrame = {
+    val bucket = pmod(pmod(lit(LcA) * col("o_custkey") + lit(LcB), lit(LcP)),
+                      lit(m.toLong))
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_custkey"), bucket.as("bucket"))
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("bucket")).as("occupied"),
+           countDistinct(col("o_custkey")).as("exact_customers"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("occupied"),
+              when(col("occupied") < m,
+                r4(lit(m.toDouble) *
+                   log(lit(m.toDouble) /
+                       (lit(m.toLong) - col("occupied")).cast("double"))))
+                .as("lc_est"),
+              col("exact_customers"), col("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB oracle for q186 — identical affine bucket hash, occupied
+    * count, and m·ln(m/V) estimator. */
+  def q186OracleSql(m: Int = 65536): String =
+    s"""WITH b AS (SELECT o_orderstatus, o_custkey,
+         (($LcA * o_custkey + $LcB) % $LcP) % $m AS bucket FROM orders),
+       g AS (SELECT o_orderstatus,
+         count(DISTINCT bucket) AS occupied,
+         count(DISTINCT o_custkey) AS exact_customers,
+         count(*) AS n_orders
+         FROM b GROUP BY o_orderstatus)
+       SELECT o_orderstatus, CAST(occupied AS BIGINT) AS occupied,
+         CASE WHEN occupied < $m THEN
+           round($m.0 * ln($m.0 / ($m - occupied)), 4) END AS lc_est,
+         CAST(exact_customers AS BIGINT) AS exact_customers,
+         CAST(n_orders AS BIGINT) AS n_orders
+       FROM g ORDER BY o_orderstatus"""
+
+  /** q187 — bottom-k-by-hash (KMV-style) sampled quantiles, FULLY
+    * oracle-gated: the deterministic exact-replay twin of q53's GK
+    * approx_percentile (VERDICT r8 #5). Per priority group, the
+    * sketch state is the k = 256 orders with the SMALLEST replayable
+    * affine hash of their key — a fixed-size, mergeable, uniform
+    * sample (bottom-k by a fixed hash is order- and
+    * partitioning-invariant, unlike rand()-sampling) — and the
+    * quantile estimate is pure rank selection over it: the sample
+    * value at rank ⌈q·kn⌉ in (value, key) order. Every step is
+    * integer arithmetic or exact element selection, so the oracle
+    * replays the sketch bit-for-bit.
+    *
+    * Scale shape: the bottom-k sample rides the bounded [[TopK]]
+    * Aggregator (map-side partial, ≤ k rows per group per partition
+    * cross the shuffle — the same buffer an exact GK/KLL sketch
+    * would carry); the value fetch for the ≤ k·|groups| sampled keys
+    * is a broadcast id-lookup (the q75 re-rank shape — bloom/DPP
+    * prunable at warehouse scale); ranking happens on the bounded
+    * sample only. Nothing sorts more than k rows per group. */
+  def q187SampledQuantiles(s: SparkSession, dir: String,
+                           k: Int = 256): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopK
+    val o = Tables.orders(s, dir)
+    // hv < 2^30, so its negation is double-exact in the aggregator
+    val sampleIds = o
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              pmod(lit(LcA) * col("o_orderkey") + lit(LcB), lit(LcP)).as("hv"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, oid, hv) => TopK.Scored(oid, -hv.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (pri, top) => top.map(sc => (pri, sc.id)) }
+      .toDF("pri", "oid")
+    val samp = o
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("oid"),
+              col("o_totalprice").as("v"))
+      .join(broadcast(sampleIds), Seq("pri", "oid"))
+    val w = Window.partitionBy(col("pri")).orderBy(col("v"), col("oid"))
+    val cw = Window.partitionBy(col("pri"))
+    samp
+      .withColumn("rv", row_number().over(w).cast("long"))
+      .withColumn("kn", count(lit(1)).over(cw))
+      .groupBy(col("pri"))
+      .agg(max(col("kn")).cast("long").as("sample_n"),
+           max(when(col("rv") === expr("(kn + 1) div 2"), col("v")))
+             .as("p50_est"),
+           max(when(col("rv") === expr("(kn * 9 + 9) div 10"), col("v")))
+             .as("p90_est"))
+      .select(col("pri").as("o_orderpriority"), col("sample_n"),
+              col("p50_est"), col("p90_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB oracle for q187 — identical affine key hash, bottom-k
+    * window, and integer rank selection. */
+  def q187OracleSql(k: Int = 256): String =
+    s"""WITH h AS (SELECT o_orderpriority AS pri, o_orderkey AS oid,
+         o_totalprice AS v,
+         ($LcA * o_orderkey + $LcB) % $LcP AS hv FROM orders),
+       s AS (SELECT *, row_number() OVER (PARTITION BY pri
+           ORDER BY hv, oid) AS rs FROM h),
+       samp AS (SELECT pri, oid, v FROM s WHERE rs <= $k),
+       r AS (SELECT pri, v,
+         row_number() OVER (PARTITION BY pri ORDER BY v, oid) AS rv,
+         count(*) OVER (PARTITION BY pri) AS kn FROM samp)
+       SELECT pri AS o_orderpriority,
+         CAST(max(kn) AS BIGINT) AS sample_n,
+         max(CASE WHEN rv = (kn + 1) // 2 THEN v END) AS p50_est,
+         max(CASE WHEN rv = (kn * 9 + 9) // 10 THEN v END) AS p90_est
+       FROM r GROUP BY pri ORDER BY o_orderpriority"""
 }

@@ -83,6 +83,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q186: linear-counting estimate tracks the exact distinct (and bounds q41's HLL)") {
+    // the oracle-gated twin certifies the sketch MECHANICS; this spec
+    // certifies the sketch is a USEFUL estimator: with m=65536 >> n
+    // the relative error of m*ln(m/V) is well under 5% at sf0.001
+    val rows = Relational.q186LinearCountDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (status, est, exact) = (r.getString(0), r.getDouble(2), r.getLong(3))
+      assert(!r.isNullAt(2), s"status=$status: estimate null (full occupancy?)")
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 0.05, s"status=$status lc_est=$est exact=$exact")
+    }
+  }
+
+  test("q187: bottom-k sampled quantiles within 10% of q42's exact") {
+    // k=256 uniform sample => expected rank error ~1/sqrt(k) ≈ 6%;
+    // the twin gates the replay, this bounds the estimator quality
+    val exact = Relational.q42Percentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Relational.q187SampledQuantiles(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      val (e50, e90) = exact(k)
+      val (s50, s90) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(s50 - e50) / e50 <= 0.10, s"$k p50 sample=$s50 exact=$e50")
+      assert(math.abs(s90 - e90) / e90 <= 0.10, s"$k p90 sample=$s90 exact=$e90")
+    }
+  }
+
   test("SparkEntry.entry: flagship query returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -296,17 +296,31 @@ object GraphOps {
       .select(col("k").as("src"), col("nxt").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var visited = s.range(1).select(lit(seed).as("item"), lit(0L).as("dist"))
+    // Only the per-hop FRONTIER is lineage-cut: `visited` is a union
+    // of already-cut frames (≤ maxHops+1 of them), so its plan stays
+    // flat without its own materialization — cutting it too doubled
+    // the per-hop job count for no lineage benefit. (The r9 audit
+    // also tried the fully-declarative no-cut form, counting on AQE
+    // stage reuse to dedup the repeated frontier subtrees — measured
+    // SLOWER at sf0.1: reuse does not fire across the hop-chained
+    // broadcast joins, so each hop recomputed its predecessors.)
+    // frontier and visited are reachability sets (≤ |items|, always
+    // orders below the edge list): broadcast them EXPLICITLY so each
+    // hop is one map-side probe of the persisted edges + a small
+    // distinct, never a shuffle of the edge frame.
+    val seedF = s.range(1).select(lit(seed).as("item"), lit(0L).as("dist"))
       .transform(Checkpoints.cut)
-    var frontier = visited.select(col("item"))
+    var visited = seedF
+    var frontier = seedF.select(col("item"))
     var hop = 1
     while (hop <= maxHops) {
-      val next = frontier.join(edges, frontier("item") === edges("src"))
+      val next = edges.join(broadcast(frontier),
+          frontier("item") === edges("src"))
         .select(col("dst").as("item")).distinct()
-        .join(visited.select(col("item")), Seq("item"), "left_anti")
+        .join(broadcast(visited.select(col("item"))), Seq("item"), "left_anti")
         .select(col("item"), lit(hop.toLong).as("dist"))
         .transform(Checkpoints.cut)
-      visited = visited.unionByName(next).transform(Checkpoints.cut)
+      visited = visited.unionByName(next)
       frontier = next.select(col("item"))
       hop += 1
     }

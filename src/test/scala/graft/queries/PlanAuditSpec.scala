@@ -214,6 +214,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** VERDICT r8 #6: the three un-audited 1.6–1.8 s queries, pinned. */
+  test("q136 exact-NDV stats run in ONE scan (Expand, no self-joins)") {
+    val p = plan("q136_table_stats")
+    // formatted mode prints each node twice (tree + details)
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"table stats must read lineitem exactly once:\n${p.take(800)}")
+    assert(p.contains("Expand"),
+      "expected the multi-count-distinct Expand (the one-pass exact-NDV shape)")
+    assert(!p.contains("Join"), "stats must not self-join the table")
+  }
+
+  test("q154 as-of tolerance join is the one-window union, not a range join") {
+    val p = plan("q154_asof_tolerance")
+    assert(!p.contains("Join"),
+      s"as-of must be the union+carry-forward shape, never a join:\n${p.take(800)}")
+    // formatted mode prints each node twice (tree + details)
+    assert("\\bWindow\\b".r.findAllIn(p).length <= 2,
+      "expected exactly one per-user window carrying the view timestamp")
+  }
+
+  test("q157 k-hop BFS output reads only cut frames (no scan/window replay)") {
+    // after the per-hop lineage cuts, the FINAL job must touch no
+    // parquet scan and no window — everything flows from the
+    // materialized frontier RDDs; a regression here means the event
+    // scan + sessionize-style edge build replays once per hop
+    val df = graft.SparkEntry.queries("q157_khop_bfs")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("FileScan"),
+      s"final BFS plan re-derives the events scan:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      "final BFS plan re-derives the edge-build window")
+  }
+
   test("q158 plans a single WindowExec for all three ranking functions") {
     val p = plan("q158_window_suite")
     val n = "\\bWindow\\b".r.findAllIn(p).length

@@ -213,6 +213,7 @@ object SparkEntry {
     "q185_simhash_pairs"   -> ((s, d) => Dedup.q185SimhashPairs(s, d)),
     "q186_linear_count"    -> ((s, d) => Relational.q186LinearCountDistinct(s, d)),
     "q187_kmv_quantiles"   -> ((s, d) => Relational.q187SampledQuantiles(s, d)),
+    "q188_bpe_merges"      -> ((s, d) => TextOps.q188BpeMerges(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2361,5 +2362,6 @@ object SparkEntry {
     "q185_simhash_pairs" -> graft.ops.Dedup.q185OracleSql(),
     "q186_linear_count" -> Relational.q186OracleSql(),
     "q187_kmv_quantiles" -> Relational.q187OracleSql(),
+    "q188_bpe_merges" -> graft.ops.TextOps.q188OracleSql(),
   )
 }

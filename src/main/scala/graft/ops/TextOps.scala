@@ -1064,4 +1064,114 @@ object TextOps {
        SELECT token, cms_est, exact_c, cms_est - exact_c AS overcount
        FROM est ORDER BY cms_est DESC, token LIMIT $k"""
   }
+
+  /** q188 — deterministic BPE merge training (Sennrich et al., ACL
+    * 2016): learn the first `merges` byte-pair-encoding merges from
+    * the corpus — THE tokenizer-training primitive an LLM data
+    * pipeline runs before anything tokenizes. Words become
+    * space-separated symbol strings (" a b c "); each round counts
+    * adjacent symbol pairs weighted by word frequency, picks the
+    * most frequent pair (count desc, then lexicographic — the
+    * deterministic tie-break the reference BPE leaves unspecified),
+    * and rewrites every vocabulary entry with the pair merged.
+    * Output: one row per merge step with the pair, the merged symbol
+    * and its count — fully oracle-gated, the DuckDB twin replaying
+    * every round through unrolled CTEs (the q27/q75 k-means/PQ
+    * unroll technique).
+    *
+    * Merge REWRITE semantics are pinned to double literal
+    * replacement: `replace(replace(sym, " a b ", " ab "), ...)`
+    * applied twice, identically in both engines. A single
+    * left-to-right non-overlapping pass mis-merges odd runs (for
+    * run "a a a a", one pass eats the shared separator and yields
+    * " aa a a"); the second pass closes every such carry, so the
+    * result equals greedy BPE for any run of ≤ 5 repeats (the
+    * corpus's words are ≤ 8 chars — a 6-repeat single-char run
+    * cannot survive even one earlier merge round).
+    *
+    * Scale shape: the corpus is touched ONCE (word counts — one
+    * shuffle on the word, vocabulary-sized output). Every merge
+    * round runs on the persisted VOCABULARY frame: a map-side pair
+    * explode, a pair-count aggregate (|symbol-vocab|² bound, in
+    * practice tiny), and a 1-row driver collect of the argmax (the
+    * bounded-scalar pattern of the year clamp / waterfill). At
+    * 100 TB the vocab frame is millions of rows against a corpus of
+    * trillions of tokens — the rounds cost nothing next to the one
+    * corpus pass, which is exactly why production BPE trainers
+    * (GPT-2's, SentencePiece) work from word counts too. */
+  def q188BpeMerges(s: SparkSession, dir: String,
+                    merges: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+                .as("sym"),
+              col("cnt"))
+    var vocab = words.persist(StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 1
+    while (step <= merges) {
+      val top = vocab
+        .select(col("cnt"), split(trim(col("sym")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(a) - 2)," +
+            " i -> struct(element_at(a, i + 1) AS l," +
+            "             element_at(a, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) { step = merges + 1 } // degenerate corpus: done
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1),
+                          top(0).getLong(2))
+        out += ((step, l, r, l + r, pc))
+        val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+        vocab = vocab
+          .select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"),
+                  col("cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        step += 1
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("step", "sym_l", "sym_r", "merged", "pair_cnt")
+      .select(col("step").cast("long").as("step"), col("sym_l"),
+              col("sym_r"), col("merged"), col("pair_cnt"))
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB oracle for q188 — the identical trainer, every round
+    * unrolled: same word counts, same symbol-string representation,
+    * same (count desc, pair asc) argmax, same double literal
+    * replacement. */
+  def q188OracleSql(merges: Int = 6): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
+           SELECT a[i] AS l, a[i + 1] AS r, cnt FROM (
+             SELECT string_split(trim(sym), ' ') AS a, cnt FROM v${i - 1})
+           , UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+           WHERE len(a) >= 2)
+         GROUP BY l, r),
+       m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+       v$i AS (SELECT replace(replace(sym, m.pat, m.rep), m.pat, m.rep)
+                 AS sym, cnt
+         FROM v${i - 1}, (SELECT ' ' || l || ' ' || r || ' ' AS pat,
+                            ' ' || l || r || ' ' AS rep FROM m$i) m)"""
+    }.mkString(",\n       ")
+    val rows = (1 to merges).map(i =>
+      s"SELECT $i::BIGINT AS step, l AS sym_l, r AS sym_r, " +
+        s"l || r AS merged, pc AS pair_cnt FROM m$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH w AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY w),
+       v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+                cnt FROM w),
+       $rounds
+       SELECT * FROM ($rows) ORDER BY step"""
+  }
 }

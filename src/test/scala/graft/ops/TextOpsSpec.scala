@@ -31,6 +31,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q188 BPE: greedy merges on a hand corpus, odd runs included") {
+    // corpus: "abab abab aaaa" -> pair counts (a,b)=4, (b,a)=2, (a,a)=3
+    // round 1 merges (a,b); round 2 merges whatever is next — the
+    // hand-check is round 1's rewrite, especially the odd-run word
+    // "aaaa" staying un-merged by (a,b) and " a b a b " -> " ab ab "
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "abab abab aaaa")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q188BpeMerges(spark, tmp, merges = 2).collect()
+    assert(rows.length == 2)
+    assert((rows(0).getString(1), rows(0).getString(2)) == ("a", "b"),
+      s"round 1 must merge the most frequent pair (a,b): ${rows(0)}")
+    assert(rows(0).getLong(4) == 4L)
+    // round 2: after " a b a b " -> " ab ab ", pairs are
+    // (ab,ab)=2 and from "aaaa": (a,a)=3 -> merges (a,a).
+    // "aaaa" = " a a a a ": ONE replace pass yields " aa a a";
+    // the second pass closes the carry -> " aa aa " — the pinned
+    // double-replacement semantics
+    assert((rows(1).getString(1), rows(1).getString(2)) == ("a", "a"),
+      s"round 2 must merge (a,a): ${rows(1)}")
+    assert(rows(1).getLong(4) == 3L)
+    spark.catalog.clearCache()
+  }
+
   test("lang id prefers the language with most marker hits") {
     val scored = Seq(
       (1L, "the cat sat on the mat"),

@@ -74,7 +74,7 @@ object Bench {
         var err: Option[String] = None
         if (forceGc) System.gc()
         val gc0 = gcMillis()
-        val times = (1 to runs).flatMap { _ =>
+        def timedRun(): Option[Double] = {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -85,6 +85,16 @@ object Bench {
             None
           }
         }
+        val base = (1 to runs).flatMap(_ => timedRun())
+        // adaptive third run (r9): when the N runs disagree by >1.4×,
+        // at least one landed in a machine-noise window (this box
+        // shows minute-scale CPU-steal bursts — the closing boards'
+        // value_max runs 1.7× their value); one more sample costs
+        // only noisy queries anything and the min discards the burst
+        val times =
+          if (base.size >= 2 && err.isEmpty && base.max / base.min > 1.4)
+            base ++ timedRun()
+          else base
         spark.catalog.clearCache()
         // total GC seconds across this query's timed runs — a query
         // whose wall time inflates in the full run but whose gc share

@@ -40,7 +40,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q181_hybrid_rrf",        // r8 two top-k rankings + fusion join
     "q182_curated_mix",       // r8 prefix-budget cut + waterfill
     "q184_minhash_jaccard",   // r8 replayable signatures + band join
-    "q185_simhash_pairs")     // r8 packed fingerprints + chunk bands
+    "q185_simhash_pairs",     // r8 packed fingerprints + chunk bands
+    "q26_ann_topk",           // r9 bounded TopK aggregator combine tree
+    "q186_linear_count",      // r9 bucket-occupancy sketch state
+    "q187_kmv_quantiles",     // r9 bottom-k-by-hash sample + rank pick
+    "q188_bpe_merges")        // r9 iterative argmax + vocab rewrite
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -248,6 +248,34 @@ class PlanAuditSpec extends SparkSpec {
       "final BFS plan re-derives the edge-build window")
   }
 
+  test("q187 sample quantiles: no corpus window; ranking is sample-sized") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.SparkEntry.queries("q187_kmv_quantiles")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate pair for the bottom-k sample")
+    // every window must rank the JOINED sample (≤ k·|groups| rows) —
+    // its lineage contains the broadcast id-join, never a bare scan
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isDefined,
+        s"window input is not the sample join:\n${w.child.toString.take(400)}")
+    }
+  }
+
+  test("q186 linear counting runs in one scan (Expand, no self-join)") {
+    val p = plan("q186_linear_count")
+    assert("Scan parquet".r.findAllIn(p).length <= 2, // tree + details
+      s"linear counting must read orders exactly once:\n${p.take(800)}")
+    assert(p.contains("Expand"),
+      "expected the two-count-distinct Expand (one-pass sketch state)")
+    assert(!p.contains("Join"), "sketch state must not self-join")
+  }
+
   test("q158 plans a single WindowExec for all three ranking functions") {
     val p = plan("q158_window_suite")
     val n = "\\bWindow\\b".r.findAllIn(p).length

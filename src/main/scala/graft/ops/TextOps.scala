@@ -619,11 +619,13 @@ object TextOps {
     * float-unstable across engines; the q54/q79 lesson). The
     * phrase/topic-discovery signal a corpus report includes.
     *
-    * Scale shape: the pair space is generated PER DOCUMENT from the
-    * vocab-filtered distinct token set (≤ V tokens per doc, so ≤
-    * V(V−1)/2 pairs per doc — bounded map-side fan-out, never a
-    * corpus-wide cross join); pair counts reduce map-side into a ≤
-    * V² final rollup; document frequencies are a broadcast side agg.
+    * Scale shape: the pair space is generated PER DOCUMENT by a
+    * doc_id-keyed self-join of the vocab-FILTERED incidence (≤ V
+    * tokens per doc, so ≤ V(V−1)/2 pairs per doc — bounded fan-out,
+    * never a corpus-wide cross join; see the in-body note on why the
+    * codegen'd join beats the interpreted HOF expansion here); pair
+    * counts reduce map-side into a ≤ V² final rollup; document
+    * frequencies are a broadcast side agg.
     * Scalars (n_docs) ride a 1-row broadcast, never a collect. */
   def q113CooccurrenceLift(s: SparkSession, dir: String,
                            v: Int = 32): DataFrame = {
@@ -641,6 +643,16 @@ object TextOps {
       docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(v))
     val inVocab = docTok.join(vocab, Seq("token"))
+    // pair generation: codegen'd doc_id-keyed SELF-JOIN of the
+    // v-bounded incidence, ≤ v(v−1)/2 output pairs per doc. The
+    // q91-style map-side HOF expansion (groupBy(doc) + collect_list
+    // + nested transform/filter) was tried r9 and measured 1.8×
+    // SLOWER here: higher-order functions evaluate interpreted, and
+    // with v=32 the per-doc pair loop is v²-interpreted work, while
+    // the join's probe side is whole-stage-codegen. q91 keeps the
+    // HOF form because its lists are df-capped (≤ 20) AND the join
+    // alternative there would shuffle a postings table far larger
+    // than its pair output — neither holds for this v-bounded frame.
     val pairs = inVocab.toDF("token_a", "doc_id", "df_a")
       .join(inVocab.toDF("token_b", "doc_id", "df_b"), Seq("doc_id"))
       .filter(col("token_a") < col("token_b"))

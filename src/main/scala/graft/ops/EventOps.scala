@@ -793,7 +793,12 @@ object EventOps {
     // dense-spine build: the formulation a 100 TB resample wants,
     // since gap rows never exist before the map-side explode.
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-    hourly
+    // persist the exploded spine before the total-order sort: the
+    // range exchange's key-sampling job otherwise re-executes the
+    // whole post-shuffle segment (window + explode + format) a
+    // second time — the frame is output-sized (dense hourly spine),
+    // so caching it costs less than recomputing the fan-out
+    val filled = hourly
       .withColumn("next_hour", lead(col("hour"), 1).over(byUser))
       .select(col("user_id"), col("n_events"), col("value_micro"),
               col("hour").as("obs_hour"),
@@ -808,7 +813,8 @@ object EventOps {
                 .otherwise(lit(0L)).as("n_events"),
               col("value_micro").as("filled_micro"),
               (col("hour") =!= col("obs_hour")).as("is_gap"))
-      .orderBy(col("user_id"), col("hour"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    filled.orderBy(col("user_id"), col("hour"))
   }
 
   /** q152 — statistical MODE per group with a deterministic tie-break

@@ -1094,12 +1094,15 @@ object TextOps {
     * Merge REWRITE semantics are pinned to double literal
     * replacement: `replace(replace(sym, " a b ", " ab "), ...)`
     * applied twice, identically in both engines. A single
-    * left-to-right non-overlapping pass mis-merges odd runs (for
+    * left-to-right non-overlapping pass mis-merges repeat runs (for
     * run "a a a a", one pass eats the shared separator and yields
     * " aa a a"); the second pass closes every such carry, so the
-    * result equals greedy BPE for any run of ≤ 5 repeats (the
-    * corpus's words are ≤ 8 chars — a 6-repeat single-char run
-    * cannot survive even one earlier merge round).
+    * result equals textbook greedy BPE for any same-pair run of
+    * ≤ 5 repeats. Longer runs would need further passes — on such
+    * a corpus the pinned semantics still hash-match (both engines
+    * apply the identical rewrite) but diverge from textbook BPE;
+    * the gate corpus (dictionary words, ≤ 8 chars, no 6-repeat
+    * runs) is comfortably inside the equivalence bound.
     *
     * Scale shape: the corpus is touched ONCE (word counts — one
     * shuffle on the word, vocabulary-sized output). Every merge

@@ -342,6 +342,13 @@ object StreamQueries {
       // explicit drop loop it replaces. (setLastModifiedTime may
       // touch a hard-linked cache inode — harmless: every run re-sets
       // its own ordering before start.)
+      // Guard: with ≥2 post-seed sentinels the 2-file batch window
+      // would CO-BATCH them, silently collapsing two watermark
+      // advances into one — no current query does this; one that
+      // needs to must use the explicit-handshake path.
+      require(remainingPicks.size <= 1,
+        s"$prefix: AvailableNow path supports at most 1 post-seed sentinel, " +
+          s"got ${remainingPicks.size}")
       val now = System.currentTimeMillis()
       remainingPicks.zipWithIndex.foreach { case (pick, idx) =>
         sentinelNo += 1

@@ -90,11 +90,16 @@ object Bench {
         // at least one landed in a machine-noise window (this box
         // shows minute-scale CPU-steal bursts — the closing boards'
         // value_max runs 1.7× their value); one more sample costs
-        // only noisy queries anything and the min discards the burst
+        // only noisy queries anything and the min discards the burst.
+        // The extra sample may only TIGHTEN the result: if it fails,
+        // keep the N valid base samples and clear its error instead
+        // of retroactively publishing a measured query as failed.
         val times =
-          if (base.size >= 2 && err.isEmpty && base.max / base.min > 1.4)
-            base ++ timedRun()
-          else base
+          if (base.size >= 2 && err.isEmpty && base.max / base.min > 1.4) {
+            val extra = timedRun()
+            if (extra.isEmpty) err = None
+            base ++ extra
+          } else base
         spark.catalog.clearCache()
         // total GC seconds across this query's timed runs — a query
         // whose wall time inflates in the full run but whose gc share

@@ -1125,6 +1125,13 @@ object TextOps {
                 .as("sym"),
               col("cnt"))
     var vocab = words.persist(StorageLevel.MEMORY_AND_DISK)
+    // the argmax collect of round i MATERIALIZES vocab_i, so its
+    // predecessor is safe to unpersist right after — only the
+    // current generation stays cached (at the 100 TB sizing the
+    // vocab frame is millions of rows; holding all merges+1
+    // generations would be pure cache waste), and the returned
+    // frame is driver-built, so the last generation frees too
+    var prevVocab: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 1
     while (step <= merges) {
@@ -1139,12 +1146,14 @@ object TextOps {
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r"))
         .limit(1).collect()
+      prevVocab.foreach(_.unpersist())
       if (top.isEmpty) { step = merges + 1 } // degenerate corpus: done
       else {
         val (l, r, pc) = (top(0).getString(0), top(0).getString(1),
                           top(0).getLong(2))
         out += ((step, l, r, l + r, pc))
         val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+        prevVocab = Some(vocab)
         vocab = vocab
           .select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"),
                   col("cnt"))
@@ -1152,6 +1161,11 @@ object TextOps {
         step += 1
       }
     }
+    // the final round leaves two generations registered: the last
+    // MATERIALIZED one (prevVocab — its successor was never collected)
+    // and the lazily-defined successor itself
+    prevVocab.foreach(_.unpersist())
+    vocab.unpersist()
     import s.implicits._
     out.toSeq.toDF("step", "sym_l", "sym_r", "merged", "pair_cnt")
       .select(col("step").cast("long").as("step"), col("sym_l"),

@@ -226,8 +226,12 @@ object StreamQueries {
     // Phased feeds (q156) keep the explicit handshake: their arrival
     // ORDER is the semantics under test, and their emissions ride
     // no-data batches the engine schedules between drops — neither is
-    // expressible as a pre-staged AvailableNow file set.
-    val availableNow = phases.isEmpty && !flushViaNoData
+    // expressible as a pre-staged AvailableNow file set. The
+    // SPARK_GRAFT_STREAM_SENTINELS_<q> debug knob also forces the
+    // explicit path: its whole point is sweeping sentinel counts,
+    // which the 2-file batch window cannot stage faithfully.
+    val availableNow = phases.isEmpty && !flushViaNoData &&
+      !sys.env.contains(s"SPARK_GRAFT_STREAM_SENTINELS_$prefix")
     val srcReader = s.readStream.schema(rawEventSchema(rawTsType(s, dir)))
     val src = (if (availableNow) srcReader.option("maxFilesPerTrigger", 2)
                else srcReader)

@@ -242,7 +242,7 @@ class PlanAuditSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q157_khop_bfs")(spark, sf0001)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("FileScan"),
+    assert(!p.contains("Scan parquet"),
       s"final BFS plan re-derives the events scan:\n${p.take(800)}")
     assert(!p.contains("Window"),
       "final BFS plan re-derives the edge-build window")

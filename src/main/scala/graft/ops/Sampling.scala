@@ -358,6 +358,21 @@ object Sampling {
     // them implicitly): with the isnotnull predicates present below
     // the exchange, constraint inference adds nothing branch-specific
     // above it, keeping the two consumers' subtrees canonically equal.
+    //
+    // Known trade-off (r9 audit): a caller whose `source` is a
+    // CONSTANT (q172, q131) sees the literal fold out of the window's
+    // partition spec while staying in the repartition key, so
+    // ENSURE_REQUIREMENTS adds a second exchange on the bucket alone.
+    // Keying everything on one struct(source, pb) ATTRIBUTE removes
+    // that exchange but was measured to BREAK the branch-reuse this
+    // helper exists for (the struct projection prunes differently per
+    // branch → canonical inequality → the input lineage plans twice)
+    // and benched slower on every caller — rejected. The extra
+    // exchange only ever moves an already-collapsed aggregate frame
+    // (per-user counts, per-token counts), never the corpus; callers
+    // whose prefix input IS corpus-sized all carry a real source
+    // column. q180, which needed neither rn output nor a real source,
+    // left this helper for a tailored hourly rollup instead.
     val in = df.withColumn("pb", bucket)
       .filter(col("source").isNotNull && col("pb").isNotNull)
       .repartition(col("source"), col("pb"))

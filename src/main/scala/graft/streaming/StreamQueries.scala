@@ -246,11 +246,14 @@ object StreamQueries {
     val ckptBase =
       if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
       else Paths.get(System.getProperty("java.io.tmpdir"))
-    // 2 state partitions at bench scale: the r7 sweep (1/2/4/8/16)
-    // put the knee at 2 — per-partition state-store commit cost
-    // dominates parallelism gains on a 200k-row state. A real
+    // 1 state partition at bench scale: the r7 sweep (1/2/4/8/16)
+    // put the knee at 2, but the r9 re-sweep AFTER the AvailableNow
+    // + format-validation-off cuts reads 1 consistently ~3-6% ahead
+    // on the heavy five — per-partition state-store commit cost
+    // dominates parallelism gains on a 200k-row state, and each cut
+    // shrank the non-state share it was hiding behind. A real
     // cluster deployment sizes this to executor count instead.
-    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "2")
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "1")
     // Debug knob, scoped per query (e.g. SPARK_GRAFT_STREAM_SENTINELS_q51):
     // a uniform override would silently strip another query's required
     // watermark-advancing sentinel while iterating on this one.

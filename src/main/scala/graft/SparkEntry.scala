@@ -214,6 +214,9 @@ object SparkEntry {
     "q186_linear_count"    -> ((s, d) => Relational.q186LinearCountDistinct(s, d)),
     "q187_kmv_quantiles"   -> ((s, d) => Relational.q187SampledQuantiles(s, d)),
     "q188_bpe_merges"      -> ((s, d) => TextOps.q188BpeMerges(s, d)),
+    "q189_mmr_rerank"      -> ((s, d) => Similarity.q189MmrRerank(s, d)),
+    "q190_margin_mining"   -> ((s, d) => Similarity.q190MarginMining(s, d)),
+    "q191_bpe_encode"      -> ((s, d) => TextOps.q191BpeEncode(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2363,5 +2366,8 @@ object SparkEntry {
     "q186_linear_count" -> Relational.q186OracleSql(),
     "q187_kmv_quantiles" -> Relational.q187OracleSql(),
     "q188_bpe_merges" -> graft.ops.TextOps.q188OracleSql(),
+    "q189_mmr_rerank" -> graft.ops.Similarity.q189OracleSql(),
+    "q190_margin_mining" -> graft.ops.Similarity.q190OracleSql(),
+    "q191_bpe_encode" -> graft.ops.TextOps.q191OracleSql(),
   )
 }

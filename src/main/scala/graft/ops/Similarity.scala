@@ -1328,4 +1328,270 @@ object Similarity {
           + coalesce(1000000 // (60 + de.dense_rank), 0))::BIGINT AS rrf_micro
        FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
        ORDER BY rrf_micro DESC, doc_id LIMIT $kOut"""
+
+  /** q189 — MMR (maximal-marginal-relevance) diversified re-rank
+    * (Carbonell & Goldstein, SIGIR 1998), the standard RAG answer to
+    * "the top-k neighbors are five near-copies of the same passage":
+    * for each query, retrieve the top-`n` candidates by exact cosine,
+    * then greedily select `kOut` of them maximizing
+    * λ·rel(c,q) − (1−λ)·max_{s∈S} sim(c,s) with λ = 0.7, ties by
+    * candidate id. Similarities are quantized to integer micro-units
+    * BEFORE the greedy loop, so the selection arithmetic
+    * (score = 7·rel_micro − 3·maxsim_micro) is integer-exact and the
+    * DuckDB oracle replays every round bit-for-bit.
+    *
+    * Scale shape: the ONLY corpus-sized stages are the q26 retrieval
+    * pass (broadcast queries, map-side scoring, bounded
+    * [[topKPerQuery]] — ≤ n rows per query cross the shuffle) and one
+    * broadcast join-back that re-attaches candidate vectors. The
+    * pairwise matrix (|Q|·n² rows) and the greedy loop run on
+    * candidate-bounded frames: each query's selection is one
+    * `flatMapGroups` group of ≤ n rows with its n×n micro-sim map —
+    * O(n²) state per group by construction, groups distributed across
+    * executors. At 100 TB n stays a serving constant (100s), so the
+    * re-rank cost never grows with the corpus. */
+  def q189MmrRerank(s: SparkSession, dir: String,
+                    n: Int = 12, kOut: Int = 4): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(e.filter(col("vec_id") < 4).toDF("q_id", "q_emb", "q_nrm"))
+    val c = e.toDF("n_id", "c_emb", "c_nrm")
+    val relSim = dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
+    val cands = topKPerQuery(
+      q.join(c, col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), relSim.as("sim_exact")), n)
+      .select(col("q_id"), col("n_id"),
+              floor(col("sim_exact") * lit(1000000.0) + lit(0.5))
+                .cast("long").as("rel_micro"))
+    // re-attach candidate vectors: broadcast the |Q|·n-row id frame,
+    // stream the persisted corpus once
+    val cv = e.join(broadcast(cands), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("rel_micro"),
+              col("embedding"), col("nrm"))
+    val pa = cv.toDF("q_id", "a_id", "a_rel", "a_emb", "a_nrm")
+    val pb = cv.select(col("q_id"), col("n_id"), col("embedding"), col("nrm"))
+      .toDF("q_id", "b_id", "b_emb", "b_nrm")
+    val pairSim = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val rows = pa.join(pb, Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("a_rel"), col("b_id"),
+              floor(pairSim * lit(1000000.0) + lit(0.5))
+                .cast("long").as("pm_micro"))
+      .groupBy(col("q_id"), col("a_id"), col("a_rel"))
+      .agg(map_from_entries(collect_list(struct(col("b_id"), col("pm_micro"))))
+             .as("pm"))
+      .as[(Long, Long, Long, Map[Long, Long])]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._2)
+        val chosen = scala.collection.mutable.LinkedHashSet[Long]()
+        val picked = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var round = 1
+        while (round <= kOut && chosen.size < cs.length) {
+          var bestId = Long.MaxValue; var bestScore = Long.MinValue
+          cs.foreach { case (_, id, rel, pm) =>
+            if (!chosen.contains(id)) {
+              val maxSim =
+                if (chosen.isEmpty) 0L else chosen.iterator.map(pm).max
+              val score = 7L * rel - 3L * maxSim
+              if (score > bestScore || (score == bestScore && id < bestId)) {
+                bestScore = score; bestId = id
+              }
+            }
+          }
+          chosen += bestId; picked += ((bestId, bestScore)); round += 1
+        }
+        picked.zipWithIndex.map { case ((id, sc), i) =>
+          (qid, (i + 1).toLong, id, sc) }
+      }
+      .toDF("q_id", "pick", "n_id", "score_micro")
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** DuckDB oracle for q189 — identical retrieval (q26's cosine chain,
+    * top-n per query), identical micro quantization, and the greedy
+    * loop unrolled to kOut CTE rounds: round 1 is the per-query
+    * relevance argmax; each later round computes, for every
+    * not-yet-selected candidate, the max micro-sim to the selected
+    * set and the integer MMR score, then takes the per-query
+    * (score DESC, n_id) argmax. */
+  def q189OracleSql(n: Int = 12, kOut: Int = 4): String = {
+    val rounds = (2 to kOut).map { j =>
+      s"""c$j AS (SELECT c.q_id, c.n_id,
+             7 * c.rel - 3 * max(p.pm) AS score
+           FROM cand c
+           JOIN pm p ON p.q_id = c.q_id AND p.a_id = c.n_id
+           JOIN sel${j - 1} s ON s.q_id = p.q_id AND s.n_id = p.b_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s2
+                             WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id)
+           GROUP BY c.q_id, c.n_id, c.rel),
+         s$j AS (SELECT q_id, $j::BIGINT AS pick, n_id, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, n_id) AS rn FROM c$j) WHERE rn = 1),
+         sel$j AS (SELECT q_id, n_id FROM sel${j - 1}
+           UNION ALL SELECT q_id, n_id FROM s$j)"""
+    }.mkString(",\n       ")
+    val sel = (2 to kOut)
+      .map(j => s"UNION ALL SELECT q_id, pick, n_id, score FROM s$j")
+      .mkString("\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         FROM e WHERE vec_id < 4),
+       scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         list_sum(list_transform(list_zip(q.q_emb, c.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.q_nrm * c.nrm) AS sim
+         FROM q, e c WHERE c.vec_id <> q.q_id),
+       cand AS (SELECT q_id, n_id,
+         CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS rel
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, n_id) AS rn FROM scored)
+         WHERE rn <= $n),
+       pm AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+         CAST(floor(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (ea.nrm * eb.nrm)
+           * 1000000.0 + 0.5) AS BIGINT) AS pm
+         FROM cand a
+         JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         JOIN e ea ON ea.vec_id = a.n_id
+         JOIN e eb ON eb.vec_id = b.n_id),
+       s1 AS (SELECT q_id, 1::BIGINT AS pick, n_id, 7 * rel AS score FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY 7 * rel DESC, n_id) AS rn FROM cand) WHERE rn = 1),
+       sel1 AS (SELECT q_id, n_id FROM s1),
+       $rounds
+       SELECT q_id, pick, n_id, score AS score_micro FROM (
+         SELECT q_id, pick, n_id, score FROM s1
+         $sel
+       ) ORDER BY q_id, pick"""
+  }
+
+  /** q190 — margin-based bitext/pair mining (Artetxe & Schwenk, ACL
+    * 2019 — the CCMatrix recipe): the corpus splits into two sides
+    * (even vec_ids = side A, odd = side B); candidate cross-side
+    * pairs are generated by sign-bit LSH cell blocking (q35's
+    * machinery — never the full bipartite product); each pair's
+    * cosine is scored against the AVERAGE similarity of its
+    * endpoints' k nearest blocked neighbors
+    * (margin(a,b) = 2·sim / (avg_fwd(a) + avg_bwd(b))), and each
+    * side-A vector reports its best-margin match when that margin
+    * clears 1.0 — i.e. the pair is closer than its neighborhoods'
+    * average, the signal CCMatrix mines parallel sentences with.
+    *
+    * Everything after the raw cosine is integer: sims quantize to
+    * micro-units before ranking, neighborhood averages stay as
+    * (sum, count) pairs, and the margin is one exact integer division
+    * margin_micro = 2e6·sim·ca·cb div (fa·cb + fb·ca) — so the DuckDB
+    * oracle replays ranking, averaging, and thresholding bit-for-bit
+    * (positivity is forced by keeping only sim_micro > 0 candidates,
+    * which also makes trunc-vs-floor division moot).
+    *
+    * Scale shape: cell blocking bounds candidates by cell population
+    * (the q35 argument); per-side top-k neighborhoods ride the
+    * bounded [[topKPerQuery]] aggregator (≤ k rows per endpoint per
+    * partition cross the shuffle); the margin itself is map-side on
+    * the candidate frame; the final best-per-a is a map-side partial
+    * `max_by`. No corpus-sized sort, no all-pairs stage. */
+  def q190MarginMining(s: SparkSession, dir: String,
+                       k: Int = 3): DataFrame = {
+    val bands = 8
+    val bitsPerBand = 8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = (0 until bands).map { bnd =>
+      e.select(col("vec_id"), lit(bnd).as("band"),
+               signCellKey(col("embedding"),
+                 (bnd * bitsPerBand until (bnd + 1) * bitsPerBand).map(_ % 64))
+                 .as("cell"))
+    }.reduce(_ unionByName _)
+    val ca = celled.filter(col("vec_id") % 2 === 0).toDF("a_id", "band_a", "cell_a")
+    val cb = celled.filter(col("vec_id") % 2 === 1).toDF("b_id", "band_b", "cell_b")
+    val sim = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val pairs = ca.join(cb, col("band_a") === col("band_b") &&
+                            col("cell_a") === col("cell_b"))
+      .select(col("a_id"), col("b_id")).dropDuplicates("a_id", "b_id")
+      .join(broadcast(e.toDF("a_id", "a_emb", "a_nrm")), "a_id")
+      .join(broadcast(e.toDF("b_id", "b_emb", "b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              floor(sim * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+      .filter(col("sim_micro") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-endpoint blocked-neighborhood averages as exact integer
+    // (sum, count) over the k best quantized sims — bounded TopK
+    // aggregator, (micro DESC, id ASC) order matching the oracle
+    def nbhd(src: DataFrame, key: String, other: String) =
+      topKPerQuery(src.select(col(key), col(other),
+                              col("sim_micro").cast("double")), k)
+        .groupBy(col("q_id").as(key))
+        .agg(sum(col("sim_exact").cast("long")).as(s"${key}_sum"),
+             count(lit(1)).as(s"${key}_cnt"))
+    val fwd = nbhd(pairs, "a_id", "b_id")
+    val bwd = nbhd(pairs.select(col("b_id"), col("a_id"), col("sim_micro")),
+                   "b_id", "a_id")
+    pairs.join(fwd, "a_id").join(bwd, "b_id")
+      .select(col("a_id"), col("b_id"), col("sim_micro"),
+              expr("2 * sim_micro * a_id_cnt * b_id_cnt * 1000000L div " +
+                   "(a_id_sum * b_id_cnt + b_id_sum * a_id_cnt)")
+                .as("margin_micro"))
+      .groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("sim_micro"), col("margin_micro")),
+                  struct(col("margin_micro"), -col("b_id"))).as("best"))
+      .select(col("a_id"), col("best.b_id").as("b_id"),
+              col("best.sim_micro").as("sim_micro"),
+              col("best.margin_micro").as("margin_micro"))
+      .filter(col("margin_micro") >= 1000000L)
+      .orderBy(col("a_id"))
+  }
+
+  /** DuckDB oracle for q190 — q35's sign-cell SQL restricted to
+    * even×odd pairs, identical micro quantization, rank-k
+    * neighborhood (sum, count) per endpoint, and the same exact
+    * integer margin division and ≥ 1e6 threshold. */
+  def q190OracleSql(k: Int = 3, bands: Int = 8,
+                    bitsPerBand: Int = 8): String = {
+    val bandSelects = (0 until bands).map { bnd =>
+      val key = (0 until bitsPerBand).map { i =>
+        val d = (bnd * bitsPerBand + i) % 64
+        s"(embedding[${d + 1}] >= 0)::BIGINT * ${1L << i}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bnd AS band, $key AS cell FROM e"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       cells AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM cells a JOIN cells b
+         ON a.band = b.band AND a.cell = b.cell
+         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       p AS (SELECT c.a_id, c.b_id,
+         CAST(floor(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (ea.nrm * eb.nrm)
+           * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         FROM cand c
+         JOIN e ea ON ea.vec_id = c.a_id
+         JOIN e eb ON eb.vec_id = c.b_id),
+       pp AS (SELECT * FROM p WHERE sim_micro > 0),
+       fwd AS (SELECT a_id, sum(sim_micro)::BIGINT AS fa, count(*)::BIGINT AS ca
+         FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY sim_micro DESC, b_id) AS rn FROM pp)
+         WHERE rn <= $k GROUP BY a_id),
+       bwd AS (SELECT b_id, sum(sim_micro)::BIGINT AS fb, count(*)::BIGINT AS cb
+         FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+                 ORDER BY sim_micro DESC, a_id) AS rn FROM pp)
+         WHERE rn <= $k GROUP BY b_id),
+       m AS (SELECT pp.a_id, pp.b_id, pp.sim_micro,
+         (2 * pp.sim_micro * ca * cb * 1000000) // (fa * cb + fb * ca)
+           AS margin_micro
+         FROM pp JOIN fwd USING (a_id) JOIN bwd USING (b_id)),
+       best AS (SELECT a_id, b_id, sim_micro, margin_micro FROM (
+           SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY margin_micro DESC, b_id) AS rn FROM m) WHERE rn = 1)
+       SELECT a_id, b_id, sim_micro, margin_micro FROM best
+       WHERE margin_micro >= 1000000 ORDER BY a_id"""
+  }
 }

@@ -1116,7 +1116,6 @@ object TextOps {
     * (GPT-2's, SentencePiece) work from word counts too. */
   def q188BpeMerges(s: SparkSession, dir: String,
                     merges: Int = 6): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val words = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
@@ -1124,6 +1123,25 @@ object TextOps {
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
                 .as("sym"),
               col("cnt"))
+    val out = bpeTrain(words, merges)
+    import s.implicits._
+    out.toDF("step", "sym_l", "sym_r", "merged", "pair_cnt")
+      .select(col("step").cast("long").as("step"), col("sym_l"),
+              col("sym_r"), col("merged"), col("pair_cnt"))
+      .orderBy(col("step"))
+  }
+
+  /** The q188 merge loop, shared with [[q191BpeEncode]]: trains
+    * `merges` BPE merge steps on a (sym, cnt) vocabulary frame and
+    * returns them driver-side as (step, l, r, merged, pair_cnt).
+    * Persist lifecycle is self-contained — only the current
+    * vocabulary generation stays cached during the loop and every
+    * generation is unpersisted before returning (the output is a
+    * driver-side list, never a lineage over the cached frames). */
+  private[graft] def bpeTrain(
+      words: DataFrame,
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
     var vocab = words.persist(StorageLevel.MEMORY_AND_DISK)
     // the argmax collect of round i MATERIALIZES vocab_i, so its
     // predecessor is safe to unpersist right after — only the
@@ -1166,11 +1184,7 @@ object TextOps {
     // and the lazily-defined successor itself
     prevVocab.foreach(_.unpersist())
     vocab.unpersist()
-    import s.implicits._
-    out.toSeq.toDF("step", "sym_l", "sym_r", "merged", "pair_cnt")
-      .select(col("step").cast("long").as("step"), col("sym_l"),
-              col("sym_r"), col("merged"), col("pair_cnt"))
-      .orderBy(col("step"))
+    out.toSeq
   }
 
   /** DuckDB oracle for q188 — the identical trainer, every round
@@ -1202,5 +1216,93 @@ object TextOps {
                 cnt FROM w),
        $rounds
        SELECT * FROM ($rows) ORDER BY step"""
+  }
+
+  /** q191 — BPE ENCODING with trained merges, q188's natural
+    * companion and the other half of the tokenizer workflow: train
+    * the merge table ([[bpeTrain]], identical pinned semantics), then
+    * tokenize the corpus with it and report per-source token
+    * economics — word count, char count, BPE token count, and the
+    * integer chars-per-token compression ratio (the number tokenizer
+    * evaluations quote).
+    *
+    * Scale shape — the production-tokenizer recipe: encoding runs on
+    * the DISTINCT-WORD vocabulary (a static chain of the same pinned
+    * double literal replacements, one map pass over the vocab frame),
+    * never on the corpus; the corpus is touched exactly once to build
+    * per-(source, word) counts, and the encoded token lengths come
+    * back via a BROADCAST join on the word. At 100 TB the vocabulary
+    * is millions of rows against trillions of corpus tokens, so the
+    * join-back is the only corpus-sized stage and it is
+    * shuffle-free. Integer-exact end to end (counts, lengths, one
+    * exact integer division), so fully oracle-gated. */
+  def q191BpeEncode(s: SparkSession, dir: String,
+                    merges: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wc = sw.groupBy(col("w")).agg(sum(col("n")).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val symExpr =
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val learned = bpeTrain(wc.select(symExpr.as("sym"), col("cnt")), merges)
+    // apply the learned merges IN TRAINING ORDER to each distinct
+    // word: the same pinned double literal replacement per step,
+    // folded into one static codegen'd expression chain
+    val encodedSym = learned.foldLeft(symExpr) { case (acc, (_, l, r, _, _)) =>
+      val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+      replace(replace(acc, pat, rep), pat, rep)
+    }
+    val enc = wc.select(col("w"),
+      size(split(trim(encodedSym), " ")).cast("long").as("tl"))
+    sw.join(broadcast(enc), "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+           sum(col("n") * length(col("w"))).as("n_chars"),
+           sum(col("n") * col("tl")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+              col("n_bpe_tokens"),
+              expr("n_chars * 1000000L div n_bpe_tokens")
+                .as("chars_per_token_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for q191 — the identical trainer rounds (q188's
+    * CTEs, carrying the raw word through every rewrite so the final
+    * vocabulary doubles as the encoder table), then the same
+    * per-source rollup and exact integer division. */
+  def q191OracleSql(merges: Int = 6): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
+           SELECT a[i] AS l, a[i + 1] AS r, cnt FROM (
+             SELECT string_split(trim(sym), ' ') AS a, cnt FROM v${i - 1})
+           , UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+           WHERE len(a) >= 2)
+         GROUP BY l, r),
+       m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+       v$i AS (SELECT w, replace(replace(sym, m.pat, m.rep), m.pat, m.rep)
+                 AS sym, cnt
+         FROM v${i - 1}, (SELECT ' ' || l || ' ' || r || ' ' AS pat,
+                            ' ' || l || r || ' ' AS rep FROM m$i) m)"""
+    }.mkString(",\n       ")
+    s"""WITH sw AS (SELECT source, w, count(*)::BIGINT AS n FROM (
+           SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY source, w),
+       wc AS (SELECT w, sum(n)::BIGINT AS cnt FROM sw GROUP BY w),
+       v0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+                cnt FROM wc),
+       $rounds,
+       enc AS (SELECT w, len(string_split(trim(sym), ' '))::BIGINT AS tl
+         FROM v$merges),
+       agg AS (SELECT source, sum(n)::BIGINT AS n_words,
+           sum(n * len(w))::BIGINT AS n_chars,
+           sum(n * tl)::BIGINT AS n_bpe_tokens
+         FROM sw JOIN enc USING (w) GROUP BY source)
+       SELECT source, n_words, n_chars, n_bpe_tokens,
+         (n_chars * 1000000) // n_bpe_tokens AS chars_per_token_micro
+       FROM agg ORDER BY source"""
   }
 }

@@ -356,4 +356,66 @@ class SimilaritySpec extends SparkSpec {
     // both retrievers must actually contribute to the fused page
     assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0))
   }
+
+  test("q189 MMR skips an exact duplicate in favor of a diverse candidate") {
+    import spark.implicits._
+    // query 0 = [1,1,0,0]; candidates 4 and 5 are EXACT duplicates on
+    // axis 0, candidate 6 sits on axis 1 — all three tie on relevance
+    // (cos = 1/√2 → 707107 micro). Relevance-only top-3 would emit
+    // 4,5,6; MMR must pick 4 (tie → smallest id), then 6 (diverse,
+    // score 7·707107), then 5 (penalized by sim=1e6 to 4:
+    // 7·707107 − 3e6), then 1 (zero-relevance tie → smallest id).
+    val tmp = java.nio.file.Files.createTempDirectory("mmr").toString
+    Seq(
+      (0L, Seq(1f, 1f, 0f, 0f), 0),
+      (1L, Seq(0f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 0f, 0f, 1f), 0),
+      (3L, Seq(0f, 0f, 1f, 1f), 0),
+      (4L, Seq(1f, 0f, 0f, 0f), 0),
+      (5L, Seq(1f, 0f, 0f, 0f), 0),
+      (6L, Seq(0f, 1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q189MmrRerank(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 16, s"4 queries x 4 picks expected, got ${got.length}")
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.map(_._3).toSeq == Seq(4L, 6L, 5L, 1L),
+      s"q0 MMR order wrong: ${q0.mkString(", ")}")
+    assert(q0.map(_._4).toSeq == Seq(4949749L, 4949749L, 1949749L, 0L),
+      s"q0 MMR scores wrong: ${q0.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
+
+  test("q190 margin mining pairs each side-A vector with its true match") {
+    import spark.implicits._
+    // evens = side A, odds = side B; a0 has an exact copy at b1, a2 a
+    // near-copy at b3, and b5 is a middling distractor for everyone.
+    // The margin (pair sim vs the endpoints' neighborhood averages)
+    // must pick the true matches, not just high raw similarity.
+    val tmp = java.nio.file.Files.createTempDirectory("margin").toString
+    Seq(
+      (0L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0.1f, 1f, 0f, 0f), 0),
+      (3L, Seq(0.12f, 1f, 0f, 0f), 0),
+      (4L, Seq(0.6f, 0.8f, 0f, 0f), 0),
+      (5L, Seq(0.5f, 0.5f, 0.1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q190MarginMining(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (a, b, sim, margin) =>
+      assert(a % 2 == 0 && b % 2 == 1, s"sides violated: ($a, $b)")
+      assert(margin >= 1000000L, s"below-threshold row leaked: ($a, $b, $margin)")
+      assert(sim > 0 && sim <= 1000000L)
+    }
+    assert(got.map(_._1).distinct.length == got.length, "duplicate a_id")
+    val best = got.map(r => r._1 -> r._2).toMap
+    assert(best.get(0L).contains(1L), s"a0 must match its exact copy b1: $best")
+    assert(best.get(2L).contains(3L), s"a2 must match its near-copy b3: $best")
+    val sim01 = got.find(_._1 == 0L).get._3
+    assert(sim01 == 1000000L, s"exact-copy sim must quantize to 1e6: $sim01")
+    spark.catalog.clearCache()
+  }
 }

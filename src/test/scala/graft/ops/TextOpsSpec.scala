@@ -55,6 +55,25 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q191 BPE encode: trained merges tokenize the hand corpus exactly") {
+    // same corpus as the q188 spec — merges learned: (a,b) then (a,a).
+    // Encoding: "abab" -> " ab ab " (2 tokens); "aaaa" -> " aa aa "
+    // (2 tokens, via the pinned double replacement closing the odd-run
+    // carry). Totals: 3 words, 12 chars, 6 BPE tokens, ratio 2.0.
+    val tmp = java.nio.file.Files.createTempDirectory("bpeenc").toString
+    Seq((1L, "abab abab aaaa", "s0")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q191BpeEncode(spark, tmp, merges = 2).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "s0")
+    assert(r.getLong(1) == 3L, s"n_words: $r")
+    assert(r.getLong(2) == 12L, s"n_chars: $r")
+    assert(r.getLong(3) == 6L, s"n_bpe_tokens: $r")
+    assert(r.getLong(4) == 2000000L, s"chars_per_token_micro: $r")
+    spark.catalog.clearCache()
+  }
+
   test("lang id prefers the language with most marker hits") {
     val scored = Seq(
       (1L, "the cat sat on the mat"),

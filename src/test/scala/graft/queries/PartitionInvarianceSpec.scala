@@ -44,7 +44,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q26_ann_topk",           // r9 bounded TopK aggregator combine tree
     "q186_linear_count",      // r9 bucket-occupancy sketch state
     "q187_kmv_quantiles",     // r9 bottom-k-by-hash sample + rank pick
-    "q188_bpe_merges")        // r9 iterative argmax + vocab rewrite
+    "q188_bpe_merges",        // r9 iterative argmax + vocab rewrite
+    "q189_mmr_rerank",        // r9 per-query greedy over micro-sim maps
+    "q190_margin_mining",     // r9 blocked top-k neighborhoods + margin
+    "q191_bpe_encode")        // r9 trained-merge fold + broadcast join-back
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

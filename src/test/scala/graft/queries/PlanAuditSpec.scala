@@ -276,6 +276,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "sketch state must not self-join")
   }
 
+  test("q189 MMR re-rank: bounded aggregator + broadcast join-backs, no window") {
+    val p = plan("q189_mmr_rerank")
+    // retrieval is the bounded TopK aggregator and the greedy loop is
+    // per-query flatMapGroups — a Window over the corpus-sized scored
+    // frame would be the q26 r8 defect reappearing
+    assert(!p.contains("Window"), s"unexpected window:\n${p.take(1200)}")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      "query broadcast + candidate join-back must both be broadcast joins")
+  }
+
+  test("q190 margin mining: cell-blocked candidates, never a cartesian product") {
+    val p = plan("q190_margin_mining")
+    assert(!p.contains("CartesianProduct"),
+      s"bipartite product must be LSH-cell-blocked:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "vector join-backs must broadcast the corpus frame")
+  }
+
+  test("q191 BPE encode joins token lengths back via broadcast on the cached corpus pass") {
+    val p = plan("q191_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary token lengths must broadcast, never shuffle the corpus side")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-(source,word) frame must come from the single cached corpus pass")
+  }
+
   test("q158 plans a single WindowExec for all three ranking functions") {
     val p = plan("q158_window_suite")
     val n = "\\bWindow\\b".r.findAllIn(p).length

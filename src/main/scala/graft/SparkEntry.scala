@@ -217,6 +217,9 @@ object SparkEntry {
     "q189_mmr_rerank"      -> ((s, d) => Similarity.q189MmrRerank(s, d)),
     "q190_margin_mining"   -> ((s, d) => Similarity.q190MarginMining(s, d)),
     "q191_bpe_encode"      -> ((s, d) => TextOps.q191BpeEncode(s, d)),
+    "q192_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q192DsirWeights(s, d)),
+    "q193_retrieval_auc"   -> ((s, d) => graft.ops.Inference.q193RetrievalAuc(s, d)),
+    "q194_calibration_bins" -> ((s, d) => graft.ops.Inference.q194CalibrationBins(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2369,5 +2372,8 @@ object SparkEntry {
     "q189_mmr_rerank" -> graft.ops.Similarity.q189OracleSql(),
     "q190_margin_mining" -> graft.ops.Similarity.q190OracleSql(),
     "q191_bpe_encode" -> graft.ops.TextOps.q191OracleSql(),
+    "q192_dsir_weights" -> graft.ops.Sampling.q192OracleSql(),
+    "q193_retrieval_auc" -> graft.ops.Inference.q193OracleSql,
+    "q194_calibration_bins" -> graft.ops.Inference.q194OracleSql,
   )
 }

@@ -59,4 +59,127 @@ object Inference {
       .toDF("doc_id", "score_micro")
       .orderBy(col("doc_id"))
   }
+
+  /** Shared scored-and-labeled frame for the eval metrics (q193,
+    * q194): every vector except the probe gets an integer micro
+    * cosine score against the PROBE (vec_id 0) and a binary ground
+    * truth y = [label == probe's label] — the "retrieval as a
+    * classifier" framing: a good embedding space should score
+    * same-label vectors above different-label ones. One broadcast
+    * probe, one map-side corpus pass, no shuffle. */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              Similarity.l2norm(col("embedding")).as("nrm"))
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"),
+              col("label").as("p_label")))
+    e.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .select(
+        floor(Similarity.dot(col("embedding"), col("p_emb")) /
+                (col("nrm") * col("p_nrm")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("score"),
+        when(col("label") === col("p_label"), 1L).otherwise(0L).as("y"))
+  }
+
+  /** Oracle CTE chain producing the identical (score, y) frame. */
+  private def probeScoredSql: String =
+    s"""e AS (SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       p AS (SELECT embedding AS p_emb, nrm AS p_nrm, label AS p_label
+         FROM e WHERE vec_id = 0),
+       scored AS (SELECT
+           CAST(floor(list_sum(list_transform(list_zip(c.embedding, p.p_emb),
+             x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (c.nrm * p.p_nrm)
+             * 1000000.0 + 0.5) AS BIGINT) AS score,
+           CASE WHEN c.label = p.p_label THEN 1 ELSE 0 END AS y
+         FROM e c, p WHERE c.vec_id <> 0)"""
+
+  /** q193 — exact ROC-AUC of the probe-similarity classifier via the
+    * rank-sum (Mann-Whitney) identity with proper tie handling:
+    * AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the sum of the
+    * positives' AVERAGE ranks. Everything is integer: ranks come
+    * from cumulative counts over the score-collapsed frame (a tied
+    * group spanning exclusive-prefix C with c members has
+    * 2·avg_rank = 2C + c + 1), so the reported
+    * auc_micro = (2R⁺ − P(P+1))·1e6 div (2PN) is exact and the
+    * DuckDB oracle replays it bit-for-bit — no trapezoids, no float
+    * thresholds. The threshold-free companion to q102's fixed-k
+    * recall.
+    *
+    * Scale shape: one map-side scoring pass, one groupBy collapsing
+    * the corpus to DISTINCT SCORES, and the cumulative count via the
+    * two-phase distributed prefix (bucketed by score band — never a
+    * single-partition window over the score spine); the AUC itself
+    * is a 3-term aggregate of the collapsed frame. Rank-sum terms
+    * stay under 2^63 while P·T < 4.6e12 — five orders of magnitude
+    * above the bench corpus, and a 100 TB run would widen the two
+    * rank products to DECIMAL(38). */
+  def q193RetrievalAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = probeScored(s, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("y")).as("pos"))
+      .withColumn("source", lit("all"))
+    // ~2000 order-contiguous score bands: the local prefix windows
+    // distribute across bands, and the totals window runs over the
+    // 2001-row band frame (constant-source caveat documented on the
+    // helper: the literal folds out of the window spec, costing one
+    // extra exchange of the already-collapsed frame only)
+    val pre = Sampling.distributedPrefix(
+      g, bucket = expr("(score + 1000000L) div 1000"),
+      tieOrder = Seq(col("score")))
+    pre.agg(sum(col("pos") * (lit(2L) * col("cum_before") +
+                              col("n_tokens") + lit(1L))).as("r2"),
+            sum(col("pos")).as("p"), sum(col("n_tokens")).as("t"))
+      .select(col("p").as("n_pos"), (col("t") - col("p")).as("n_neg"),
+              expr("(r2 - p * (p + 1)) * 1000000L div (2 * p * (t - p))")
+                .as("auc_micro"))
+  }
+
+  /** DuckDB oracle for q193 — same collapsed-score rank algebra. */
+  def q193OracleSql: String =
+    s"""WITH $probeScoredSql,
+       g AS (SELECT score, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+         FROM scored GROUP BY score),
+       cg AS (SELECT score, cnt, pos,
+           coalesce(sum(cnt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+         FROM g),
+       a AS (SELECT sum(pos * (2 * cb + cnt + 1))::BIGINT AS r2,
+           sum(pos)::BIGINT AS p, sum(cnt)::BIGINT AS t FROM cg)
+       SELECT p AS n_pos, (t - p) AS n_neg,
+         ((r2 - p * (p + 1)) * 1000000) // (2 * p * (t - p)) AS auc_micro
+       FROM a"""
+
+  /** q194 — calibration / reliability bins for the same probe
+    * classifier: the score axis [-1, 1] splits into twenty 0.1-wide
+    * bins and each bin reports its population, positive rate, and
+    * mean score — the reliability-diagram table that shows WHERE a
+    * scorer is trustworthy, complementing q193's single ranking
+    * number. Bin ids and means are computed on the SHIFTED
+    * (non-negative) score so integer division floors identically in
+    * both engines. One map pass + one 20-group aggregate; nothing in
+    * the plan grows with anything but the corpus scan. */
+  def q194CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    probeScored(s, dir)
+      .select(expr("(score + 1000000L) div 100000").as("bin"),
+              col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+           sum(col("score") + lit(1000000L)).as("shift_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+              expr("n_pos * 1000000L div n").as("pos_rate_micro"),
+              expr("shift_sum div n - 1000000L").as("avg_score_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB oracle for q194 — identical shifted-integer binning. */
+  def q194OracleSql: String =
+    s"""WITH $probeScoredSql
+       SELECT (score + 1000000) // 100000 AS bin, count(*)::BIGINT AS n,
+         sum(y)::BIGINT AS n_pos,
+         (sum(y) * 1000000 // count(*))::BIGINT AS pos_rate_micro,
+         (sum(score + 1000000) // count(*) - 1000000)::BIGINT AS avg_score_micro
+       FROM scored GROUP BY bin ORDER BY bin"""
 }

@@ -757,4 +757,82 @@ object Sampling {
          sum(n_tokens)::BIGINT AS sel_tokens,
          (sum(n_tokens) * 1000000 // final_alloc)::BIGINT AS util_micro
        FROM sel GROUP BY source, final_alloc ORDER BY source"""
+
+  /** q192 — DSIR-style importance weighting for data selection (Xie
+    * et al., NeurIPS 2023: Data Selection via Importance Resampling):
+    * score every document by how much its unigram distribution looks
+    * like a TARGET slice (here the `lang = 'en'` documents) relative
+    * to the whole corpus, and report the top-k highest-weight
+    * documents — the primitive behind "select web data that looks
+    * like the high-quality reference corpus".
+    *
+    * DSIR's per-token log-ratio log p_target(w)/p_corpus(w) is
+    * replaced by the add-one-smoothed RATIO in integer micro-units —
+    * s(w) = (a_w+1)·1e6·(N_c+V) div ((b_w+1)·(N_t+V)) — and the
+    * document weight by the c_w-weighted MEAN of s(w) (the q113 PMI
+    * lesson: never let a float log decide an oracle-checked value;
+    * the ratio-mean ranks monotonically with the likelihood ratio on
+    * the same evidence). All arithmetic is exact BIGINT in both
+    * engines; the stated bound (a_w+1)·1e6·(N_c+V) < 2^63 holds
+    * through every bench SF with orders of magnitude to spare — a
+    * trillion-token deployment would widen s(w) to DECIMAL(38) or
+    * pre-divide the normalizers.
+    *
+    * Scale shape: ONE corpus tokenize pass collapsed to the
+    * per-(doc, word) count frame (persisted — it feeds the vocabulary
+    * rollup and the weight join); the unigram table and its totals
+    * are vocabulary-sized; the totals land driver-side as one 3-value
+    * row (the year-clamp bounded-scalar pattern); the weight join is
+    * vocab-against-doc-words on the word key; and the final top-k is
+    * a TakeOrderedAndProject — map-side partial top-k, never a global
+    * sort. */
+  def q192DsirWeights(s: SparkSession, dir: String,
+                      targetLang: String = "en", k: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val dw = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+              explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = dw.groupBy(col("w"))
+      .agg(sum(col("c")).as("b"),
+           coalesce(sum(when(col("lang") === targetLang, col("c"))), lit(0L))
+             .as("a"))
+    val t = cnt.agg(sum(col("a")), sum(col("b")), count(lit(1))).collect()(0)
+    val (nt, nc, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val sc = cnt.select(col("w"),
+      expr(s"(a + 1) * 1000000L * ${nc + v}L div ((b + 1) * ${nt + v}L)")
+        .as("s_micro"))
+    dw.join(sc, "w")
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("c") * col("s_micro")).as("num"),
+           sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+              expr("num div n_tokens").as("w_micro"))
+      .orderBy(col("w_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** DuckDB oracle for q192 — identical smoothing, identical integer
+    * ratio and mean, identical (weight DESC, doc_id) top-k. */
+  def q192OracleSql(targetLang: String = "en", k: Int = 50): String =
+    s"""WITH tw AS (SELECT doc_id, source, lang, w FROM (
+           SELECT doc_id, source, lang,
+             unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0),
+       dw AS (SELECT doc_id, source, lang, w, count(*)::BIGINT AS c
+         FROM tw GROUP BY ALL),
+       cnt AS (SELECT w, sum(c)::BIGINT AS b,
+           coalesce(sum(CASE WHEN lang = '$targetLang' THEN c END), 0)::BIGINT AS a
+         FROM dw GROUP BY w),
+       t AS (SELECT sum(a)::BIGINT AS nt, sum(b)::BIGINT AS nc,
+           count(*)::BIGINT AS v FROM cnt),
+       sc AS (SELECT w, ((a + 1) * 1000000 * (nc + v))
+             // ((b + 1) * (nt + v)) AS s_micro FROM cnt, t),
+       wts AS (SELECT doc_id, source, lang,
+           sum(c * s_micro)::BIGINT AS num, sum(c)::BIGINT AS n_tokens
+         FROM dw JOIN sc USING (w) GROUP BY ALL)
+       SELECT doc_id, source, lang, n_tokens, num // n_tokens AS w_micro
+       FROM wts ORDER BY w_micro DESC, doc_id LIMIT $k"""
 }

@@ -40,4 +40,45 @@ class InferenceSpec extends SparkSpec {
     assert(run(1) == base, "batchSize=1 diverged")
     assert(run(7) == base, "batchSize=7 diverged")
   }
+
+  test("q193 AUC matches the hand-computed tied rank-sum") {
+    import spark.implicits._
+    // probe v0=[1,0] label 1; positives v1 (score 1e6), v2 (800000),
+    // v5 (600000); negatives v3 (600000 — TIED with v5), v4 (0).
+    // Ranks asc: v4=1, {v3,v5} avg 2.5, v2=4, v1=5.
+    // R2 = 2·(2.5 + 4 + 5) = 23; AUC = (23 − 3·4)/(2·3·2) = 11/12.
+    val tmp = java.nio.file.Files.createTempDirectory("auc").toString
+    Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0f), 1),
+      (2L, Seq(0.8f, 0.6f), 1), (3L, Seq(0.6f, 0.8f), 0),
+      (4L, Seq(0f, 1f), 0), (5L, Seq(0.6f, 0.8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Inference.q193RetrievalAuc(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) ==
+      (3L, 2L, 916666L), s"got ${r(0)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q194 calibration bins carry exact populations and rates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("calib").toString
+    Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0f), 1),
+      (2L, Seq(0.8f, 0.6f), 1), (3L, Seq(0.6f, 0.8f), 0),
+      (4L, Seq(0f, 1f), 0), (5L, Seq(0.6f, 0.8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Inference.q194CalibrationBins(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    // bins on (score+1e6) div 1e5: v4→10, {v3,v5}→16, v2→18, v1→20
+    assert(got.toSeq == Seq(
+      (10L, 1L, 0L, 0L, 0L),
+      (16L, 2L, 1L, 500000L, 600000L),
+      (18L, 1L, 1L, 1000000L, 800000L),
+      (20L, 1L, 1L, 1000000L, 1000000L)), s"got ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

@@ -426,4 +426,28 @@ class SamplingSpec extends SparkSpec {
       "a" -> ((52L, 1L, 35L, 35L * 1000000L / 52L)),
       "b" -> ((52L, 1L, 35L, 35L * 1000000L / 52L))), s"got $got")
   }
+
+  test("q192 DSIR weights match the hand-computed smoothed ratios") {
+    import spark.implicits._
+    // target = en. Corpus: d1(en)="x x y", d2(fr)="x y", d3(fr)="z z z".
+    // a: x=2,y=1,z=0; b: x=3,y=2,z=3; Nt=3, Nc=8, V=3.
+    // s(w) = (a+1)·1e6·11 div ((b+1)·6):
+    //   s(x)=33e6/24=1375000, s(y)=22e6/18=1222222, s(z)=11e6/24=458333.
+    // w(d1)=(2·1375000+1222222)/3=1324074, w(d2)=2597222/2=1298611,
+    // w(d3)=458333 — the en-like docs outrank the off-target one,
+    // regardless of their own lang tag.
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    Seq(
+      (1L, "x x y", "en", "s1"),
+      (2L, "x y",   "fr", "s1"),
+      (3L, "z z z", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.q192DsirWeights(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 1324074L), (2L, 2L, 1298611L),
+                            (3L, 3L, 458333L)), s"got ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

@@ -47,7 +47,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q188_bpe_merges",        // r9 iterative argmax + vocab rewrite
     "q189_mmr_rerank",        // r9 per-query greedy over micro-sim maps
     "q190_margin_mining",     // r9 blocked top-k neighborhoods + margin
-    "q191_bpe_encode")        // r9 trained-merge fold + broadcast join-back
+    "q191_bpe_encode",        // r9 trained-merge fold + broadcast join-back
+    "q192_dsir_weights",      // r9 vocab ratio join + top-k
+    "q193_retrieval_auc",     // r9 collapsed-score distributed prefix
+    "q194_calibration_bins")  // r9 shifted-integer binning
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -302,6 +302,39 @@ class PlanAuditSpec extends SparkSpec {
       "the per-(source,word) frame must come from the single cached corpus pass")
   }
 
+  test("q192 DSIR top-k is a TakeOrderedAndProject, never a global sort") {
+    val p = plan("q192_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected map-side partial top-k:\n${p.take(800)}")
+  }
+
+  test("q193 AUC windows only ever see the score-collapsed frame") {
+    // constant-source caveat: the lit("all") folds out of the window
+    // specs, so the (source, bucket) shape check does not apply —
+    // the load-bearing property is that EVERY window input is the
+    // distinct-score Aggregate (or derived from it), never the raw
+    // per-vector score stream
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = graft.SparkEntry.queries("q193_retrieval_auc")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected prefix windows in the plan")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over a non-collapsed input:\n${w.child.toString.take(400)}")
+    }
+  }
+
+  test("q194 calibration shuffles nothing but the 20-bin aggregate") {
+    val p = plan("q194_calibration_bins")
+    // the only join allowed is the broadcast probe attach; binning
+    // itself must be map-side into a partial+final aggregate pair
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"binning must be map-side:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
   test("q158 plans a single WindowExec for all three ranking functions") {
     val p = plan("q158_window_suite")
     val n = "\\bWindow\\b".r.findAllIn(p).length

@@ -220,6 +220,7 @@ object SparkEntry {
     "q192_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q192DsirWeights(s, d)),
     "q193_retrieval_auc"   -> ((s, d) => graft.ops.Inference.q193RetrievalAuc(s, d)),
     "q194_calibration_bins" -> ((s, d) => graft.ops.Inference.q194CalibrationBins(s, d)),
+    "q195_contrastive_pairs" -> ((s, d) => Similarity.q195ContrastivePairs(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2375,5 +2376,6 @@ object SparkEntry {
     "q192_dsir_weights" -> graft.ops.Sampling.q192OracleSql(),
     "q193_retrieval_auc" -> graft.ops.Inference.q193OracleSql,
     "q194_calibration_bins" -> graft.ops.Inference.q194OracleSql,
+    "q195_contrastive_pairs" -> graft.ops.Similarity.q195OracleSql(),
   )
 }

@@ -1594,4 +1594,103 @@ object Similarity {
        SELECT a_id, b_id, sim_micro, margin_micro FROM best
        WHERE margin_micro >= 1000000 ORDER BY a_id"""
   }
+
+  /** q195 — contrastive triplet mining, the training-data primitive
+    * for embedding/retriever fine-tuning (the DPR / SimCSE hard-
+    * negative recipe): every vector that has BOTH becomes an anchor
+    * with its best POSITIVE (highest cosine among blocked candidates
+    * at sim ≥ τ_pos = 0.45, q35's near-dup band) and its HARDEST
+    * NEGATIVE (highest cosine strictly below τ_neg = 0.40 — similar
+    * enough to be informative, below the positive band; the gap
+    * between the thresholds is the usual safety margin against
+    * false negatives). Sims quantize to integer micro-units before
+    * every threshold and argmax, so the output is deterministic and
+    * fully oracle-gated.
+    *
+    * Scale shape: candidates come from q35's sign-bit LSH cell
+    * blocking (cell population bounds the pair space — never
+    * all-pairs); scoring joins broadcast the vector side; both
+    * selections are map-side partial `max_by` aggregates keyed by
+    * anchor; the pos⋈neg join runs on ≤|anchors| rows. At 100 TB the
+    * only corpus-sized stages are the cell build and the blocked
+    * candidate join — the same budget q35 already pays. */
+  def q195ContrastivePairs(s: SparkSession, dir: String,
+                           tauPos: Long = 450000L,
+                           tauNeg: Long = 400000L): DataFrame = {
+    val bands = 8
+    val bitsPerBand = 8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = (0 until bands).map { bnd =>
+      e.select(col("vec_id"), lit(bnd).as("band"),
+               signCellKey(col("embedding"),
+                 (bnd * bitsPerBand until (bnd + 1) * bitsPerBand).map(_ % 64))
+                 .as("cell"))
+    }.reduce(_ unionByName _)
+    val ca = celled.toDF("a_id", "band_a", "cell_a")
+    val cb = celled.toDF("b_id", "band_b", "cell_b")
+    val sim = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val pairs = ca.join(cb, col("band_a") === col("band_b") &&
+                            col("cell_a") === col("cell_b") &&
+                            col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).dropDuplicates("a_id", "b_id")
+      .join(broadcast(e.toDF("a_id", "a_emb", "a_nrm")), "a_id")
+      .join(broadcast(e.toDF("b_id", "b_emb", "b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              floor(sim * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bestWhere(cond: Column, tag: String) =
+      pairs.filter(cond)
+        .groupBy(col("a_id"))
+        .agg(max_by(struct(col("b_id"), col("sim_micro")),
+                    struct(col("sim_micro"), -col("b_id"))).as(tag))
+    val pos = bestWhere(col("sim_micro") >= tauPos, "p")
+    val neg = bestWhere(col("sim_micro") < tauNeg, "n")
+    pos.join(neg, "a_id")
+      .select(col("a_id").as("anchor_id"),
+              col("p.b_id").as("pos_id"), col("p.sim_micro").as("pos_sim_micro"),
+              col("n.b_id").as("neg_id"), col("n.sim_micro").as("neg_sim_micro"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** DuckDB oracle for q195 — q35's cell SQL with both-direction
+    * candidates, identical quantization, and the two per-anchor
+    * argmaxes replayed as (sim DESC, id) row_number picks. */
+  def q195OracleSql(tauPos: Long = 450000L, tauNeg: Long = 400000L,
+                    bands: Int = 8, bitsPerBand: Int = 8): String = {
+    val bandSelects = (0 until bands).map { bnd =>
+      val key = (0 until bitsPerBand).map { i =>
+        val d = (bnd * bitsPerBand + i) % 64
+        s"(embedding[${d + 1}] >= 0)::BIGINT * ${1L << i}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bnd AS band, $key AS cell FROM e"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         FROM embeddings),
+       cells AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM cells a JOIN cells b
+         ON a.band = b.band AND a.cell = b.cell AND a.vec_id <> b.vec_id),
+       p AS (SELECT c.a_id, c.b_id,
+         CAST(floor(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (ea.nrm * eb.nrm)
+           * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         FROM cand c
+         JOIN e ea ON ea.vec_id = c.a_id
+         JOIN e eb ON eb.vec_id = c.b_id),
+       pos AS (SELECT a_id, b_id, sim_micro FROM (
+           SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY sim_micro DESC, b_id) AS rn FROM p
+           WHERE sim_micro >= $tauPos) WHERE rn = 1),
+       neg AS (SELECT a_id, b_id, sim_micro FROM (
+           SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY sim_micro DESC, b_id) AS rn FROM p
+           WHERE sim_micro < $tauNeg) WHERE rn = 1)
+       SELECT pos.a_id AS anchor_id,
+         pos.b_id AS pos_id, pos.sim_micro AS pos_sim_micro,
+         neg.b_id AS neg_id, neg.sim_micro AS neg_sim_micro
+       FROM pos JOIN neg USING (a_id) ORDER BY anchor_id"""
+  }
 }

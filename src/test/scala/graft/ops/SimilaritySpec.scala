@@ -418,4 +418,32 @@ class SimilaritySpec extends SparkSpec {
     assert(sim01 == 1000000L, s"exact-copy sim must quantize to 1e6: $sim01")
     spark.catalog.clearCache()
   }
+
+  test("q195 triplets pick the best positive and the hardest sub-threshold negative") {
+    import spark.implicits._
+    // anchor v0: v1 (cos≈0.990) and v2 (0.8) are both positives —
+    // the BEST one (v1) must win; v3 (cos≈0.300) and v4 (0) are both
+    // below τ_neg=0.40 — the HARDEST one (v3) must win.
+    val tmp = java.nio.file.Files.createTempDirectory("triplet").toString
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.14f, 0f, 0f), 0),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Seq(0.3f, 0.954f, 0f, 0f), 0),
+      (4L, Seq(0f, 1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q195ContrastivePairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    got.foreach { case (a, p, ps, n, ns) =>
+      assert(ps >= 450000L, s"positive below band: ($a,$p,$ps)")
+      assert(ns < 400000L, s"negative above band: ($a,$n,$ns)")
+      assert(a != p && a != n && p != n, s"degenerate triplet ($a,$p,$n)")
+    }
+    val a0 = got.find(_._1 == 0L).get
+    assert(a0._2 == 1L && a0._4 == 3L,
+      s"anchor 0 must pair (pos=1, neg=3), got $a0")
+    spark.catalog.clearCache()
+  }
 }

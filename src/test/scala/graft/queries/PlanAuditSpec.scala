@@ -302,6 +302,14 @@ class PlanAuditSpec extends SparkSpec {
       "the per-(source,word) frame must come from the single cached corpus pass")
   }
 
+  test("q195 triplet mining is cell-blocked with map-side argmax picks") {
+    val p = plan("q195_contrastive_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"candidates must be LSH-cell-blocked, picks map-side:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "vector join-backs must broadcast")
+  }
+
   test("q192 DSIR top-k is a TakeOrderedAndProject, never a global sort") {
     val p = plan("q192_dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),

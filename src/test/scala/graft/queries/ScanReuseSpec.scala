@@ -34,4 +34,24 @@ class ScanReuseSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  /** The r9 additions persist an intra-query intermediate that more
+    * than one downstream consumer reads (the SCALE.md cache-lifecycle
+    * contract); losing the cache would re-derive a corpus-sized
+    * lineage per consumer. */
+  private val cachedFanout = Seq(
+    "q189_mmr_rerank" -> 2,        // corpus: scoring pass + vector join-back
+    "q190_margin_mining" -> 3,     // pairs: fwd nbhd, bwd nbhd, margin
+    "q192_dsir_weights" -> 2,      // doc-word counts: vocab rollup + weights
+    "q195_contrastive_pairs" -> 2) // pairs: positive pick + negative pick
+
+  test("the r9 persisted intermediates feed every consumer from cache") {
+    cachedFanout.foreach { case (name, n) =>
+      val p = finalPlan(name)
+      val scans = "InMemoryTableScan".r.findAllIn(p).length
+      assert(scans >= n,
+        s"$name: expected >= $n cached-scan consumers, found $scans:\n${p.take(1200)}")
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -221,6 +221,7 @@ object SparkEntry {
     "q193_retrieval_auc"   -> ((s, d) => graft.ops.Inference.q193RetrievalAuc(s, d)),
     "q194_calibration_bins" -> ((s, d) => graft.ops.Inference.q194CalibrationBins(s, d)),
     "q195_contrastive_pairs" -> ((s, d) => Similarity.q195ContrastivePairs(s, d)),
+    "q196_classification_report" -> ((s, d) => graft.ops.Inference.q196ClassificationReport(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2377,5 +2378,6 @@ object SparkEntry {
     "q193_retrieval_auc" -> graft.ops.Inference.q193OracleSql,
     "q194_calibration_bins" -> graft.ops.Inference.q194OracleSql,
     "q195_contrastive_pairs" -> graft.ops.Similarity.q195OracleSql(),
+    "q196_classification_report" -> graft.ops.Inference.q196OracleSql(),
   )
 }

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -182,4 +182,72 @@ object Inference {
          (sum(y) * 1000000 // count(*))::BIGINT AS pos_rate_micro,
          (sum(score + 1000000) // count(*) - 1000000)::BIGINT AS avg_score_micro
        FROM scored GROUP BY bin ORDER BY bin"""
+
+  /** q196 — thresholded classification report for the probe scorer:
+    * the confusion matrix at τ = 0.45 (q35's near-dup band) plus the
+    * derived accuracy, precision, recall, F1 and Cohen's κ — the
+    * single-row summary a labeling/filtering deployment tracks per
+    * release, closing the eval family next to q193's threshold-free
+    * AUC and q194's calibration table.
+    *
+    * Every metric is an exact integer division over the four counts:
+    * F1 comes straight from 2·tp div (2·tp + fp + fn) (never from
+    * pre-divided precision/recall), and κ is computed on the SHIFTED
+    * numerator ((p_o−p_e) + (1−p_e) ≥ 0 because κ ≥ −1), so
+    * trunc-vs-floor division can never disagree across engines.
+    * Degenerate guards (no predicted positives, single-class p_e = 1)
+    * clamp denominators with greatest(·, 1) identically in both
+    * engines. Rank products stay under 2^63 while the eval slice is
+    * below ~2 B rows — an eval set, not a corpus.
+    *
+    * Scale shape: one map-side scoring pass into ONE partial+final
+    * aggregate of four conditional counts; the metric arithmetic runs
+    * on the single aggregate row. */
+  def q196ClassificationReport(s: SparkSession, dir: String,
+                               tau: Long = 450000L): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    probeScored(s, dir)
+      .agg(cnt(col("y") === 1L && col("score") >= tau).as("tp"),
+           cnt(col("y") === 0L && col("score") >= tau).as("fp"),
+           cnt(col("y") === 1L && col("score") < tau).as("fn"),
+           cnt(col("y") === 0L && col("score") < tau).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)").as("accuracy_micro"),
+        expr("tp * 1000000L div greatest(tp + fp, 1)").as("precision_micro"),
+        expr("tp * 1000000L div greatest(tp + fn, 1)").as("recall_micro"),
+        expr("2 * tp * 1000000L div greatest(2 * tp + fp + fn, 1)").as("f1_micro"),
+        expr("""((tp + tn) * (tp + fp + fn + tn)
+                 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                 + ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))
+                * 1000000L
+                div greatest((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                   - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 1)
+                - 1000000L""").as("kappa_micro"))
+  }
+
+  /** DuckDB oracle for q196 — identical counts, guards, and shifted
+    * κ algebra. */
+  def q196OracleSql(tau: Long = 450000L): String =
+    s"""WITH $probeScoredSql,
+       m AS (SELECT
+           sum(CASE WHEN y = 1 AND score >= $tau THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN y = 0 AND score >= $tau THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN y = 1 AND score < $tau THEN 1 ELSE 0 END)::BIGINT AS fn,
+           sum(CASE WHEN y = 0 AND score < $tau THEN 1 ELSE 0 END)::BIGINT AS tn
+         FROM scored)
+       SELECT tp, fp, fn, tn,
+         (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_micro,
+         tp * 1000000 // greatest(tp + fp, 1) AS precision_micro,
+         tp * 1000000 // greatest(tp + fn, 1) AS recall_micro,
+         2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1_micro,
+         ((tp + tn) * (tp + fp + fn + tn)
+           - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+           + ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+              - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))
+          * 1000000
+          // greatest((tp + fp + fn + tn) * (tp + fp + fn + tn)
+             - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 1)
+          - 1000000 AS kappa_micro
+       FROM m"""
 }

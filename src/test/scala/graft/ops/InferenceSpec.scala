@@ -81,4 +81,23 @@ class InferenceSpec extends SparkSpec {
       (20L, 1L, 1L, 1000000L, 1000000L)), s"got ${got.mkString(", ")}")
     spark.catalog.clearCache()
   }
+
+  test("q196 report matches the hand-computed confusion matrix and kappa") {
+    import spark.implicits._
+    // same fixture as q193: at τ=0.45, predictions {v1,v2,v3,v5} →
+    // tp=3 fp=1 fn=0 tn=1; acc 4/5, prec 3/4, rec 1, F1 6/7,
+    // κ = (0.8−0.56)/(1−0.56) = 6/11.
+    val tmp = java.nio.file.Files.createTempDirectory("report").toString
+    Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0f), 1),
+      (2L, Seq(0.8f, 0.6f), 1), (3L, Seq(0.6f, 0.8f), 0),
+      (4L, Seq(0f, 1f), 0), (5L, Seq(0.6f, 0.8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Inference.q196ClassificationReport(spark, tmp).collect()(0)
+    assert((0 to 3).map(r.getLong).toSeq == Seq(3L, 1L, 0L, 1L), s"counts: $r")
+    assert((4 to 8).map(r.getLong).toSeq ==
+      Seq(800000L, 750000L, 1000000L, 857142L, 545454L), s"metrics: $r")
+    spark.catalog.clearCache()
+  }
 }

@@ -310,6 +310,14 @@ class PlanAuditSpec extends SparkSpec {
       "vector join-backs must broadcast")
   }
 
+  test("q196 report is one scoring pass into one aggregate pair") {
+    val p = plan("q196_classification_report")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"counting must be map-side:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
   test("q192 DSIR top-k is a TakeOrderedAndProject, never a global sort") {
     val p = plan("q192_dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),

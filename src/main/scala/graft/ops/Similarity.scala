@@ -1617,6 +1617,9 @@ object Similarity {
   def q195ContrastivePairs(s: SparkSession, dir: String,
                            tauPos: Long = 450000L,
                            tauNeg: Long = 400000L): DataFrame = {
+    require(tauNeg <= tauPos,
+      s"tauNeg ($tauNeg) must not exceed tauPos ($tauPos): a pair in " +
+        "the overlap would be both the positive and the negative")
     val bands = 8
     val bitsPerBand = 8
     val e = Tables.embeddings(s, dir)
@@ -1659,6 +1662,8 @@ object Similarity {
     * argmaxes replayed as (sim DESC, id) row_number picks. */
   def q195OracleSql(tauPos: Long = 450000L, tauNeg: Long = 400000L,
                     bands: Int = 8, bitsPerBand: Int = 8): String = {
+    require(tauNeg <= tauPos,
+      s"tauNeg ($tauNeg) must not exceed tauPos ($tauPos)")
     val bandSelects = (0 until bands).map { bnd =>
       val key = (0 until bitsPerBand).map { i =>
         val d = (bnd * bitsPerBand + i) % 64

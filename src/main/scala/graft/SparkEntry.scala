@@ -222,6 +222,7 @@ object SparkEntry {
     "q194_calibration_bins" -> ((s, d) => graft.ops.Inference.q194CalibrationBins(s, d)),
     "q195_contrastive_pairs" -> ((s, d) => Similarity.q195ContrastivePairs(s, d)),
     "q196_classification_report" -> ((s, d) => graft.ops.Inference.q196ClassificationReport(s, d)),
+    "q197_variant_extract" -> EventOps.q197VariantExtract,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2379,5 +2380,6 @@ object SparkEntry {
     "q194_calibration_bins" -> graft.ops.Inference.q194OracleSql,
     "q195_contrastive_pairs" -> graft.ops.Similarity.q195OracleSql(),
     "q196_classification_report" -> graft.ops.Inference.q196OracleSql(),
+    "q197_variant_extract" -> graft.ops.EventOps.q197OracleSql,
   )
 }

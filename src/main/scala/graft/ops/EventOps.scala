@@ -1145,4 +1145,37 @@ object EventOps {
        SELECT strftime(ts, '%Y-%m-%d') AS day,
               max(conc)::BIGINT AS peak_concurrency
        FROM r GROUP BY 1 ORDER BY 1"""
+
+  /** q197 — semi-structured ingestion through Spark 4's VARIANT type:
+    * `parse_json` turns the payload into a binary variant ONCE and
+    * `variant_get` extracts typed fields from it — the
+    * schema-flexible path for payloads whose shape drifts, next to
+    * q31's fixed-`StructType` `from_json` (which silently nulls any
+    * field that moves). The aggregate is a per-(event_type, k-band)
+    * profile: counts and min/max of the extracted value.
+    *
+    * Scale shape: parse + extract are map-side expression work
+    * fused into the scan pass (VARIANT's binary encoding is built
+    * for repeated sub-field access without re-parsing); the only
+    * shuffle is the partial+final aggregate on the ~|types|·|bands|
+    * grouped frame. The DuckDB oracle extracts the same field from
+    * the same JSON text. */
+  def q197VariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"), expr("k div 25").as("k_band"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_band"))
+
+  /** DuckDB oracle for q197 — the same typed extraction and banding
+    * over the raw JSON text. */
+  def q197OracleSql: String =
+    """SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS k_band,
+         count(*)::BIGINT AS n,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type, k_band ORDER BY event_type, k_band"""
 }

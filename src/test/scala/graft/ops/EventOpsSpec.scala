@@ -587,4 +587,32 @@ class EventOpsSpec extends SparkSpec {
     // sanity: a concentration coefficient lives in [0, 1)
     assert(row(0).getLong(2) >= 0L && row(0).getLong(2) < 1000000L)
   }
+
+  test("q197 variant extraction tolerates schema drift and agrees with from_json") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // drifting payloads: extra fields pass through, a missing field
+    // nulls out — the failure mode q31's fixed StructType hides
+    val drift = Seq("""{"k": 5}""", """{"k": 12, "extra": [1, 2]}""",
+                    """{"other": 1}""").toDF("j")
+      .select(expr("variant_get(parse_json(j), '$.k', 'bigint')").as("k"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(drift == Seq(Some(5L), Some(12L), None), s"got $drift")
+    // on the corpus, the VARIANT path must reproduce the
+    // fixed-schema from_json banding row for row
+    val viaVariant = EventOps.q197VariantExtract(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val viaStruct = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+              from_json(col("props"), org.apache.spark.sql.types.StructType(
+                Seq(org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"), expr("k div 25").as("k_band"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_band"))
+      .collect().map(_.toString).toSeq
+    assert(viaVariant == viaStruct)
+  }
 }

@@ -52,7 +52,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q193_retrieval_auc",     // r9 collapsed-score distributed prefix
     "q194_calibration_bins",  // r9 shifted-integer binning
     "q195_contrastive_pairs", // r9 blocked candidates + dual argmax
-    "q196_classification_report") // r9 conditional-count aggregate
+    "q196_classification_report", // r9 conditional-count aggregate
+    "q197_variant_extract")   // r9 VARIANT parse + banded aggregate
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -310,6 +310,14 @@ class PlanAuditSpec extends SparkSpec {
       "vector join-backs must broadcast")
   }
 
+  test("q197 variant extract is one scan into one aggregate pair") {
+    val p = plan("q197_variant_extract")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"variant parse+extract must fuse into the scan pass:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

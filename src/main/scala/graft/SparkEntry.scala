@@ -223,6 +223,7 @@ object SparkEntry {
     "q195_contrastive_pairs" -> ((s, d) => Similarity.q195ContrastivePairs(s, d)),
     "q196_classification_report" -> ((s, d) => graft.ops.Inference.q196ClassificationReport(s, d)),
     "q197_variant_extract" -> EventOps.q197VariantExtract,
+    "q198_lexicon_sentiment" -> ((s, d) => TextOps.q198LexiconSentiment(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2381,5 +2382,6 @@ object SparkEntry {
     "q195_contrastive_pairs" -> graft.ops.Similarity.q195OracleSql(),
     "q196_classification_report" -> graft.ops.Inference.q196OracleSql(),
     "q197_variant_extract" -> graft.ops.EventOps.q197OracleSql,
+    "q198_lexicon_sentiment" -> graft.ops.TextOps.q198OracleSql,
   )
 }

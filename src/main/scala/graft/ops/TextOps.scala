@@ -1305,4 +1305,71 @@ object TextOps {
          (n_chars * 1000000) // n_bpe_tokens AS chars_per_token_micro
        FROM agg ORDER BY source"""
   }
+
+  /** The q198 scoring lexicon: AFINN-style integer valences. Real
+    * deployments broadcast a 10⁴-word table through the identical
+    * join; entries with no corpus hits ("win", "error" on the bench
+    * tables) keep the no-match path honest. */
+  private[graft] val sentimentLexicon: Seq[(String, Long)] = Seq(
+    ("fast", 2L), ("slow", -2L), ("big", 1L), ("small", -1L),
+    ("win", 3L), ("error", -3L))
+
+  /** q198 — lexicon-based sentiment/polarity scoring (the classic
+    * Spark text-analytics workload — e.g. "Large Scale Sentiment
+    * Analysis on Twitter with Spark", EDBT 2016): every token joins
+    * an integer-valence lexicon, each document nets its hit scores,
+    * and each source reports its document polarity mix plus a
+    * token-normalized net intensity. Classification uses the SIGN of
+    * the exact integer net (no division), and the intensity divides
+    * on a +3·tokens SHIFTED numerator (|net| ≤ 3·tokens by lexicon
+    * range) so floor-vs-trunc never disagrees across engines.
+    *
+    * Scale shape: one corpus tokenize pass LEFT-joined against the
+    * broadcast lexicon (lexicons are 10⁴ words — always broadcast-
+    * side), one per-doc aggregate keyed (doc, source), one
+    * |sources|-row rollup. Nothing shuffles but the two keyed
+    * aggregates. */
+  def q198LexiconSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = broadcast(sentimentLexicon.toDF("w", "sc"))
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(lex, Seq("w"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(coalesce(col("sc"), lit(0L))).as("net"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("net") > 0, 1L).otherwise(0L)).as("pos_docs"),
+           sum(when(col("net") < 0, 1L).otherwise(0L)).as("neg_docs"),
+           sum(when(col("net") === 0, 1L).otherwise(0L)).as("neu_docs"),
+           sum(col("net")).as("snet"), sum(col("n_tok")).as("stok"))
+      .select(col("source"), col("n_docs"), col("pos_docs"),
+              col("neg_docs"), col("neu_docs"),
+              expr("(snet + 3 * stok) * 1000000L div stok - 3000000L")
+                .as("net_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for q198 — the same lexicon as a VALUES table,
+    * same left join, same sign classes and shifted division. */
+  def q198OracleSql: String = {
+    val values = sentimentLexicon
+      .map { case (w, v) => s"('$w', ${v}::BIGINT)" }.mkString(", ")
+    s"""WITH lex(w, sc) AS (VALUES $values),
+       tok AS (SELECT doc_id, source, w FROM (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+           FROM documents) WHERE len(w) > 0),
+       pd AS (SELECT doc_id, source, count(*)::BIGINT AS n_tok,
+           sum(coalesce(sc, 0))::BIGINT AS net
+         FROM tok LEFT JOIN lex USING (w) GROUP BY doc_id, source)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN net > 0 THEN 1 ELSE 0 END)::BIGINT AS pos_docs,
+         sum(CASE WHEN net < 0 THEN 1 ELSE 0 END)::BIGINT AS neg_docs,
+         sum(CASE WHEN net = 0 THEN 1 ELSE 0 END)::BIGINT AS neu_docs,
+         ((sum(net) + 3 * sum(n_tok)) * 1000000) // sum(n_tok)
+           - 3000000 AS net_micro
+       FROM pd GROUP BY source ORDER BY source"""
+  }
 }

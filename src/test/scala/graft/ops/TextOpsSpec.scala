@@ -74,6 +74,22 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q198 sentiment: polarity classes and shifted intensity, hand-computed") {
+    // d1 "fast fast slow" → net +2 (pos); d2 "slow slow big" → −3
+    // (neg); d3 "table row" → 0 (neu). Source rollup: snet = −1,
+    // stok = 8 → net_micro = (−1 + 24)·1e6 div 8 − 3e6 = −125000.
+    val tmp = java.nio.file.Files.createTempDirectory("senti").toString
+    Seq((1L, "fast fast slow", "s0"), (2L, "slow slow big", "s0"),
+        (3L, "table row", "s0"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q198LexiconSentiment(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((1 to 4).map(r(0).getLong).toSeq == Seq(3L, 1L, 1L, 1L),
+      s"classes: ${r(0)}")
+    assert(r(0).getLong(5) == -125000L, s"net_micro: ${r(0)}")
+  }
+
   test("lang id prefers the language with most marker hits") {
     val scored = Seq(
       (1L, "the cat sat on the mat"),

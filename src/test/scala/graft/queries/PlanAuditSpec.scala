@@ -318,6 +318,13 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial+final HashAggregate pair")
   }
 
+  test("q198 sentiment joins the lexicon broadcast, never shuffling tokens to it") {
+    val p = plan("q198_lexicon_sentiment")
+    assert(p.contains("BroadcastHashJoin"), "lexicon must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the lexicon:\n${p.take(800)}")
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

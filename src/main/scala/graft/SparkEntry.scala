@@ -224,6 +224,7 @@ object SparkEntry {
     "q196_classification_report" -> ((s, d) => graft.ops.Inference.q196ClassificationReport(s, d)),
     "q197_variant_extract" -> EventOps.q197VariantExtract,
     "q198_lexicon_sentiment" -> ((s, d) => TextOps.q198LexiconSentiment(s, d)),
+    "q199_sketch_rollup"   -> ((s, d) => Relational.q199SketchRollup(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2383,5 +2384,6 @@ object SparkEntry {
     "q196_classification_report" -> graft.ops.Inference.q196OracleSql(),
     "q197_variant_extract" -> graft.ops.EventOps.q197OracleSql,
     "q198_lexicon_sentiment" -> graft.ops.TextOps.q198OracleSql,
+    "q199_sketch_rollup" -> Relational.q199OracleSql(),
   )
 }

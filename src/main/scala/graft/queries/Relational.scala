@@ -1003,4 +1003,97 @@ object Relational {
          max(CASE WHEN rv = (kn + 1) // 2 THEN v END) AS p50_est,
          max(CASE WHEN rv = (kn * 9 + 9) // 10 THEN v END) AS p90_est
        FROM r GROUP BY pri ORDER BY o_orderpriority"""
+
+  /** q199 — mergeable sketch ROLLUP, fully oracle-gated: the property
+    * that makes q186's linear-count sketch operationally valuable at
+    * 100 TB is that partial sketches MERGE — a corpus ingested day by
+    * day keeps one m-bucket occupancy set per (event_type, day), and
+    * any window's distinct-user estimate is the union of its days'
+    * sets, never a rescan of the raw events. This query gates that
+    * algebra exactly: per event_type it computes the occupied-bucket
+    * count BOTH directly over all events AND by merging the per-day
+    * partial sketches, emits both (equal by set-union exactness — the
+    * hash gate proves it cross-engine), plus the naive sum of per-day
+    * occupancies (the WRONG merge — it over-counts users active on
+    * several days; emitted so the error of the tempting shortcut is
+    * visible) and the linear-count estimate [Whang et al., TODS 1990]
+    * from the merged sketch next to the exact distinct-user reference.
+    *
+    * Scale shape: stage 1 is one (event_type, day) keyed aggregation
+    * whose per-group state is bounded by m = 4096 buckets regardless
+    * of event volume (the sketch contract); stage 2 merges |days|
+    * such sets per type — state ≤ days·m integers per type, the same
+    * bound the daily-rollup table itself has. The projected events
+    * frame is persisted because both the daily and the direct path
+    * consume it (caller owns cleanup per the cache contract); a
+    * production deployment keeps ONLY the daily partials and drops
+    * the direct/exact columns — they ride along as the gate's
+    * reference.
+    *
+    * Estimator bias, visible in the gated output: the replayable
+    * affine hash is chosen for cross-engine determinism, not mixing —
+    * on near-sequential user ids it is nearly collision-free, so
+    * occupied ≈ distinct and m·ln(m/V) over-corrects (the estimator
+    * assumes Poisson collisions it never observes). The gate
+    * certifies the MERGE ALGEBRA and sketch mechanics; q41's HLL
+    * remains the production estimator. */
+  def q199SketchRollup(s: SparkSession, dir: String,
+                       m: Int = 4096): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+              col("user_id"),
+              pmod(pmod(lit(LcA) * col("user_id") + lit(LcB), lit(LcP)),
+                   lit(m.toLong)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(collect_set(col("bucket")).as("bs"))
+      .select(col("event_type"), col("bs"),
+              size(col("bs")).cast("long").as("day_occ"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           size(array_distinct(flatten(collect_list(col("bs")))))
+             .cast("long").as("occ_merged"),
+           sum(col("day_occ")).as("naive_sum_occ"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("bucket")).as("occ_direct"),
+           countDistinct(col("user_id")).as("exact_users"))
+    merged.join(broadcast(direct), Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+              col("occ_direct"), col("occ_merged"),
+              (col("occ_direct") === col("occ_merged")).as("merge_exact"),
+              col("naive_sum_occ"),
+              when(col("occ_merged") < m,
+                r4(lit(m.toDouble) *
+                   log(lit(m.toDouble) /
+                       (lit(m.toLong) - col("occ_merged")).cast("double"))))
+                .as("lc_est"),
+              col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for q199 — identical affine bucket hash, per-day
+    * partial sets, list-union merge, and m·ln(m/V) estimator. */
+  def q199OracleSql(m: Int = 4096): String =
+    s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+         (($LcA * user_id + $LcB) % $LcP) % $m AS bucket FROM events),
+       daily AS (SELECT event_type, day,
+           list_distinct(list(bucket)) AS bs,
+           count(DISTINCT bucket) AS day_occ
+         FROM e GROUP BY event_type, day),
+       mg AS (SELECT event_type, count(*) AS n_days,
+           len(list_distinct(flatten(list(bs)))) AS occ_merged,
+           sum(day_occ) AS naive_sum_occ
+         FROM daily GROUP BY event_type),
+       dr AS (SELECT event_type, count(DISTINCT bucket) AS occ_direct,
+           count(DISTINCT user_id) AS exact_users
+         FROM e GROUP BY event_type)
+       SELECT mg.event_type, CAST(n_days AS BIGINT) AS n_days,
+         CAST(occ_direct AS BIGINT) AS occ_direct,
+         CAST(occ_merged AS BIGINT) AS occ_merged,
+         occ_direct = occ_merged AS merge_exact,
+         CAST(naive_sum_occ AS BIGINT) AS naive_sum_occ,
+         CASE WHEN occ_merged < $m THEN
+           round($m.0 * ln($m.0 / ($m - occ_merged)), 4) END AS lc_est,
+         CAST(exact_users AS BIGINT) AS exact_users
+       FROM mg JOIN dr USING (event_type) ORDER BY mg.event_type"""
 }

@@ -54,7 +54,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q195_contrastive_pairs", // r9 blocked candidates + dual argmax
     "q196_classification_report", // r9 conditional-count aggregate
     "q197_variant_extract",   // r9 VARIANT parse + banded aggregate
-    "q198_lexicon_sentiment") // r9 broadcast lexicon + sign classes
+    "q198_lexicon_sentiment", // r9 broadcast lexicon + sign classes
+    "q199_sketch_rollup")     // r9 per-day partial sets + union merge
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

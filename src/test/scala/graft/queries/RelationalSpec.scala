@@ -113,6 +113,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q199: merged per-day sketches equal the direct sketch; naive sum over-counts") {
+    // the oracle twin gates the numbers; this spec pins the ALGEBRA:
+    // union-merge of per-day partials is exactly the direct sketch
+    // (the property that lets a daily rollup answer any window), and
+    // the tempting per-day sum is an over-count whenever any user is
+    // active on more than one day
+    val rows = Relational.q199SketchRollup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getBoolean(4), s"$t: merged sketch != direct sketch")
+      assert(r.getLong(2) == r.getLong(3), s"$t: occ_direct != occ_merged")
+      assert(r.getLong(5) >= r.getLong(3), s"$t: naive sum below merged occupancy")
+    }
+    val overcount = rows.map(r => r.getLong(5) - r.getLong(3)).sum
+    assert(overcount > 0, "no multi-day user anywhere — naive-sum hazard not exercised")
+  }
+
   test("SparkEntry.entry: flagship query returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

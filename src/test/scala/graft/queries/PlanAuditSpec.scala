@@ -325,6 +325,18 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream must not shuffle for the lexicon:\n${p.take(800)}")
   }
 
+  test("q199 rollup reads the cached events projection for both sketch paths") {
+    val p = plan("q199_sketch_rollup")
+    // daily partials AND the direct reference both consume the
+    // persisted 4-column projection — a second parquet scan here
+    // would double the corpus read the rollup exists to avoid
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both paths must read the persisted projection:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the merged-vs-direct join (rows = |event types|) must broadcast")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

@@ -225,6 +225,10 @@ object SparkEntry {
     "q197_variant_extract" -> EventOps.q197VariantExtract,
     "q198_lexicon_sentiment" -> ((s, d) => TextOps.q198LexiconSentiment(s, d)),
     "q199_sketch_rollup"   -> ((s, d) => Relational.q199SketchRollup(s, d)),
+    "q200_market_basket"   -> ((s, d) => Relational.q200MarketBasket(s, d)),
+    "q201_winnowing"       -> ((s, d) => Dedup.q201Winnowing(s, d)),
+    "q202_winnow_pairs"    -> ((s, d) => Dedup.q202WinnowPairs(s, d)),
+    "q203_matryoshka_recall" -> ((s, d) => Similarity.q203MatryoshkaRecall(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2385,5 +2389,9 @@ object SparkEntry {
     "q197_variant_extract" -> graft.ops.EventOps.q197OracleSql,
     "q198_lexicon_sentiment" -> graft.ops.TextOps.q198OracleSql,
     "q199_sketch_rollup" -> Relational.q199OracleSql(),
+    "q200_market_basket" -> Relational.q200OracleSql,
+    "q201_winnowing" -> Dedup.q201OracleSql,
+    "q202_winnow_pairs" -> Dedup.q202OracleSql,
+    "q203_matryoshka_recall" -> Similarity.q203OracleSql(),
   )
 }

@@ -1484,4 +1484,191 @@ object Dedup {
        SELECT doc_a, doc_b, est_micro, exact_micro FROM sc
        WHERE est_micro >= 500000 ORDER BY doc_a, doc_b"""
   }
+
+  /** Winnowing parameters: word k-grams of size [[WinK]], window of
+    * [[WinW]] consecutive k-gram hashes. Density of selected
+    * fingerprints converges to 2/(w+1) = 0.4 on random text — the
+    * guarantee from the paper, visible in the gated output. */
+  // NOTE: winnowCtes unrolls the k-gram concat for k = 3 (toks[i] ||
+  // ' ' || toks[i+1] || ' ' || toks[i+2]); changing WinK requires
+  // updating that unroll or the engines silently diverge (the q184
+  // ADVICE r8 lesson, pinned here because WinK is a fixed val, not a
+  // caller parameter).
+  private[ops] val WinK = 3
+  private[ops] val WinW = 4
+  /** Position packing: packed = h·2²⁰ + (2²⁰−1−pos), so an integer
+    * MIN over a window selects (smallest hash, rightmost position) —
+    * the robust-winnowing tie rule — in one pass. h < 1e9+7 < 2³⁰
+    * keeps packed < 2⁵⁰; positions are capped far above any real
+    * document (2²⁰ tokens). */
+  private[ops] val WinPosCap = 1048576L
+
+  /** The shared winnowing selection: (doc_id, nk, pos, wmin) where
+    * wmin is the packed minimum of the w-hash window starting at pos
+    * (only full windows, pos ≤ nk − w + 1). The k-gram hash is the
+    * cross-engine base-31 char hash (the q36/q184 fingerprint), so
+    * the DuckDB oracle replays selection bit-for-bit. The per-doc
+    * window partitions by doc_id — document-sized state, the one
+    * partitioning a per-document positional algorithm needs. */
+  private def winnowSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TextOps.shinglePositions(TextOps.tokens(col("text")), WinK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val kg = base
+      .select(col("doc_id"), size(col("sh")).cast("long").as("nk"),
+              posexplode(col("sh")).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("nk"), (col("p0") + 1).cast("long").as("pos"),
+              graft.functions.VectorFunctions.rollingHash31(col("g")).as("h"))
+    val pk = kg.select(col("doc_id"), col("nk"), col("pos"),
+      (col("h") * lit(WinPosCap) + (lit(WinPosCap - 1) - col("pos"))).as("packed"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinW - 1)
+    pk.withColumn("wmin", min(col("packed")).over(w))
+      .filter(col("pos") <= col("nk") - (WinW - 1))
+  }
+
+  /** q201 — winnowing document fingerprints [Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm]: per document, hash
+    * every word k-gram, slide a w-hash window, and select each
+    * window's minimum hash (ties → rightmost occurrence). The
+    * guarantee content-defined selection buys over "every i-th hash"
+    * is positional robustness: any shared run of w + k − 1 tokens
+    * between two documents is fingerprinted by at least one COMMON
+    * selected hash, regardless of where the run sits in either
+    * document — which is why plagiarism/dedup systems winnow instead
+    * of striding. Output: per-doc k-gram/window counts, selected
+    * fingerprint counts (positions and distinct hashes), and the
+    * selection density in micros — ≈ 2/(w+1) by the paper's
+    * expected-density theorem, a visible self-check in the gate.
+    *
+    * Scale shape: one tokenize pass, one per-document window (state
+    * = w rows), one keyed aggregate. Nothing shuffles except the
+    * (doc-keyed) window/aggregate exchanges — corpus-linear. */
+  def q201Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val wm = winnowSelect(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sel = wm
+      .select(col("doc_id"), expr(s"wmin div $WinPosCap").as("h"),
+              (lit(WinPosCap - 1) - col("wmin") % lit(WinPosCap)).as("spos"))
+      .distinct()
+    val st = sel.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sel"), countDistinct(col("h")).as("n_fp"))
+    wm.groupBy(col("doc_id"))
+      .agg(max(col("nk")).as("n_kgrams"),
+           greatest(max(col("nk")) - (WinW - 1), lit(0L)).as("n_windows"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"), col("n_windows"),
+              coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+              coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+              when(col("n_windows") > 0,
+                   expr("coalesce(n_sel, 0L) * 1000000L div n_windows"))
+                .otherwise(lit(0L)).as("density_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared winnowing CTE chain for the DuckDB oracles: the k-gram
+    * hash list per doc, positional unnest, packing, and the window
+    * minimum — the exact [[winnowSelect]] replay. */
+  private def winnowCtes: String =
+    s"""td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       hl AS (SELECT doc_id, len(toks) - ${WinK - 1} AS nk,
+           list_transform(generate_series(1, len(toks) - ${WinK - 1}),
+             i -> list_reduce(list_prepend(0, list_transform(
+               string_split(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2], ''),
+               ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP))
+           AS hs
+         FROM td WHERE len(toks) >= $WinK),
+       kg AS (SELECT doc_id, nk, u.pos, u.h FROM (
+         SELECT doc_id, nk, unnest(list_transform(generate_series(1, len(hs)),
+           i -> {'pos': i, 'h': hs[i]})) AS u FROM hl)),
+       pk AS (SELECT doc_id, nk, pos,
+           h * $WinPosCap + (${WinPosCap - 1} - pos) AS packed FROM kg),
+       wm AS (SELECT doc_id, nk, pos,
+           min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+         FROM pk),
+       wf AS (SELECT doc_id, nk, wmin FROM wm WHERE pos <= nk - ${WinW - 1})"""
+
+  /** DuckDB oracle for q201 — the [[winnowCtes]] replay, distinct
+    * selections, per-doc stats. */
+  def q201OracleSql: String =
+    s"""WITH $winnowCtes,
+       sel AS (SELECT DISTINCT doc_id, wmin // $WinPosCap AS h,
+           ${WinPosCap - 1} - (wmin % $WinPosCap) AS spos FROM wf),
+       st AS (SELECT doc_id, count(*)::BIGINT AS n_sel,
+           count(DISTINCT h)::BIGINT AS n_fp FROM sel GROUP BY doc_id),
+       base AS (SELECT doc_id, max(nk)::BIGINT AS n_kgrams,
+           greatest(max(nk) - ${WinW - 1}, 0)::BIGINT AS n_windows
+         FROM wf GROUP BY doc_id)
+       SELECT b.doc_id, n_kgrams, n_windows,
+         coalesce(n_sel, 0) AS n_sel, coalesce(n_fp, 0) AS n_fp,
+         CASE WHEN n_windows > 0
+              THEN coalesce(n_sel, 0) * 1000000 // n_windows
+              ELSE 0 END AS density_micro
+       FROM base b LEFT JOIN st USING (doc_id) ORDER BY b.doc_id"""
+
+  /** q202 — winnowed near-dup detection, the MOSS match step: two
+    * documents sharing ≥ 2 selected fingerprints are reported with
+    * their overlap count and containment (shared / min fingerprint
+    * count, in micros). Fingerprints whose document frequency
+    * exceeds [[WinDfCap]] are excluded from pairing — the standard
+    * stop-fingerprint rule (a boilerplate k-gram shared by hundreds
+    * of documents carries no dedup signal and would make the
+    * fingerprint self-join quadratic in its bucket). With the cap,
+    * every join bucket is ≤ WinDfCap docs, so the pair expansion is
+    * corpus-linear — the same bound the LSH band join (q184) rides.
+    *
+    * Scale shape: the per-doc fingerprint frame is persisted (three
+    * consumers: df counts, both self-join sides, per-doc totals);
+    * the self-join keys on the fingerprint hash with bounded
+    * buckets; the top-30 by overlap plans as
+    * TakeOrderedAndProject. */
+  def q202WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = winnowSelect(s, dir)
+      .select(col("doc_id"), expr(s"wmin div $WinPosCap").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fp.join(
+      fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinDfCap).select(col("h")),
+      Seq("h"))
+    val pairs = rare.toDF("h", "doc_a").join(rare.toDF("h2", "doc_b"),
+        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    pairs
+      .join(cnt.toDF("doc_a", "nf_a"), Seq("doc_a"))
+      .join(cnt.toDF("doc_b", "nf_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+              col("nf_a"), col("nf_b"),
+              expr("shared * 1000000L div least(nf_a, nf_b)")
+                .as("containment_micro"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(30)
+  }
+
+  /** Stop-fingerprint document-frequency cap for [[q202WinnowPairs]]. */
+  private[ops] val WinDfCap = 10L
+
+  /** DuckDB oracle for q202 — [[winnowCtes]], df cap, pair join. */
+  def q202OracleSql: String =
+    s"""WITH $winnowCtes,
+       fp AS (SELECT DISTINCT doc_id, wmin // $WinPosCap AS h FROM wf),
+       dfq AS (SELECT h, count(*)::BIGINT AS df FROM fp GROUP BY h),
+       rare AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfq USING (h)
+         WHERE df <= $WinDfCap),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS shared
+         FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+       cnt AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fp GROUP BY doc_id)
+       SELECT doc_a, doc_b, shared, ca.nf AS nf_a, cb.nf AS nf_b,
+         shared * 1000000 // least(ca.nf, cb.nf) AS containment_micro
+       FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+       JOIN cnt cb ON cb.doc_id = doc_b
+       ORDER BY shared DESC, doc_a, doc_b LIMIT 30"""
 }

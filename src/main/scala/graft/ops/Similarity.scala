@@ -1698,4 +1698,73 @@ object Similarity {
          neg.b_id AS neg_id, neg.sim_micro AS neg_sim_micro
        FROM pos JOIN neg USING (a_id) ORDER BY anchor_id"""
   }
+
+  /** q203 — Matryoshka truncation recall [Kusupati et al., NeurIPS
+    * 2022]: recall@5 of cosine top-k computed on the embedding's
+    * FIRST dims (the MRL prefix, d = 16 of 64) against the full-dim
+    * exact top-k (q26's truth set). The metric every
+    * dimension-truncation deployment checks before serving the short
+    * vectors — prefix dims cut index memory and scoring flops 4×
+    * here, and this query measures exactly what that trade costs in
+    * retrieval quality (on these isotropic synthetic embeddings the
+    * prefix carries little signal, so the measured recall is
+    * honestly low — the operator's point is the measurement).
+    *
+    * Scale shape: both passes are q26's — broadcast query set,
+    * map-side scoring, bounded TopK aggregator (≤ k rows per query
+    * per partition cross the shuffle, never a corpus window); the
+    * truncated pass scores `slice(embedding, 1, d)` so its flops are
+    * d/64 of the full pass. The comparison join is k-rows-per-query
+    * sized regardless of corpus size. */
+  def q203MatryoshkaRecall(s: SparkSession, dir: String,
+                           d: Int = 16): DataFrame = {
+    val full = q26AnnTopK(s, dir).select(col("q_id"), col("n_id"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, d).as("temb"))
+      .select(col("vec_id"), col("temb"), l2norm(col("temb")).as("tnrm"))
+    val q = broadcast(e.filter(col("vec_id") < 8).toDF("q_id", "q_emb", "q_nrm"))
+    val c = e.toDF("n_id", "c_emb", "c_nrm")
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
+    val trunc = topKPerQuery(
+      q.join(c, col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sim.as("sim_exact")), 5)
+      .select(col("q_id").as("t_q"), col("n_id").as("t_n"))
+    full
+      .join(trunc, col("q_id") === col("t_q") && col("n_id") === col("t_n"),
+            "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("t_n")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+              (col("n_hits") * lit(20L)).as("recall_pct"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB oracle for q203 — q26's brute-force chain twice (full
+    * dims and the [1:d] prefix slice), joined on the top-5 sets. */
+  def q203OracleSql(d: Int = 16): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         embedding[1:$d] AS temb,
+         sqrt(list_sum(list_transform(embedding[1:$d], x -> x::DOUBLE * x::DOUBLE))) AS tnrm
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+           temb AS q_temb, tnrm AS q_tnrm FROM e WHERE vec_id < 8),
+       fs AS (SELECT q_id, c.vec_id AS n_id,
+           list_sum(list_transform(list_zip(q_emb, c.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q_nrm * c.nrm) AS sim
+         FROM q JOIN e c ON c.vec_id <> q_id),
+       fr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY sim DESC, n_id) AS rn FROM fs),
+       full5 AS (SELECT q_id, n_id FROM fr WHERE rn <= 5),
+       ts AS (SELECT q_id, c.vec_id AS n_id,
+           list_sum(list_transform(list_zip(q_temb, c.temb),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q_tnrm * c.tnrm) AS sim
+         FROM q JOIN e c ON c.vec_id <> q_id),
+       tr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY sim DESC, n_id) AS rn FROM ts),
+       t5 AS (SELECT q_id, n_id FROM tr WHERE rn <= 5)
+       SELECT f.q_id, count(t.n_id)::BIGINT AS n_hits,
+         count(t.n_id) * 20 AS recall_pct
+       FROM full5 f LEFT JOIN t5 t ON f.q_id = t.q_id AND f.n_id = t.n_id
+       GROUP BY f.q_id ORDER BY f.q_id"""
 }

@@ -1096,4 +1096,79 @@ object Relational {
            round($m.0 * ln($m.0 / ($m - occ_merged)), 4) END AS lc_est,
          CAST(exact_users AS BIGINT) AS exact_users
        FROM mg JOIN dr USING (event_type) ORDER BY mg.event_type"""
+
+  /** q200 — market-basket frequent-pair mining (support / confidence
+    * / lift) over the order→parts baskets, with the classic Apriori
+    * item-level prune [Agrawal & Srikant, VLDB 1994]: an infrequent
+    * ITEM can never appear in a frequent PAIR, so items below the
+    * support threshold are dropped BEFORE the within-basket pair
+    * expansion — the pruning is what makes pair mining tractable,
+    * since the expansion is quadratic in basket size only over the
+    * surviving items. The threshold is data-dependent but exact:
+    * half the mean item support, floored at 2, computed as one
+    * integer ceiling division over the |parts|-row support table
+    * (never a driver-side collect). All three metrics are exact
+    * integer micros — conf(a→b) = sup(ab)·1e6 div sup(a), lift =
+    * sup(ab)·N·1e6 div (sup(a)·sup(b)) — so the gate is bit-stable
+    * (max numerator ≈ sup·N·1e6 ≪ 2⁶³ at any realistic SF).
+    *
+    * Scale shape: baskets = one DISTINCT over (order, part),
+    * persisted because three consumers read it (supports, basket
+    * count, pruned pair join). The pair expansion is a self-join on
+    * the order key — fan-out bounded by basket size (≈7 here, ≤
+    * cart size in production), never all-pairs over parts. The item
+    * support table is |parts|-sized, so both metric lookups are
+    * broadcast joins; the 1-row stats and basket-count frames ride
+    * broadcast cross-joins. The final top-50 by lift plans as
+    * TakeOrderedAndProject (no global sort). */
+  def q200MarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sup = b.groupBy(col("p")).agg(count(lit(1)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = sup.agg(
+      greatest(lit(2L),
+        expr("(sum(s) + 2 * count(*) - 1) div (2 * count(*))")).as("t"))
+    val nb = b.agg(countDistinct(col("o")).as("n_orders"))
+    val keep = sup.crossJoin(broadcast(thr)).filter(col("s") >= col("t"))
+      .select(col("p"), col("s"))
+    val bp = b.join(broadcast(keep), Seq("p")).select(col("o"), col("p"))
+    val pairs = bp.toDF("o", "pa").join(bp.toDF("o2", "pb"),
+        col("o") === col("o2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= 2)
+    pairs
+      .join(broadcast(keep.toDF("pa", "sa")), Seq("pa"))
+      .join(broadcast(keep.toDF("pb", "sb")), Seq("pb"))
+      .crossJoin(broadcast(nb))
+      .select(col("pa"), col("pb"), col("sab"), col("sa"), col("sb"),
+              expr("sab * 1000000L div sa").as("conf_ab_micro"),
+              expr("sab * 1000000L div sb").as("conf_ba_micro"),
+              expr("sab * n_orders * 1000000L div (sa * sb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
+
+  /** DuckDB oracle for q200 — identical baskets, ceiling-division
+    * threshold, Apriori prune, pair expansion, and integer metrics. */
+  def q200OracleSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       sup AS (SELECT p, count(*)::BIGINT AS s FROM b GROUP BY p),
+       thr AS (SELECT greatest(2, (sum(s) + 2 * count(*) - 1) // (2 * count(*)))
+           AS t FROM sup),
+       nb AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM b),
+       keep AS (SELECT p, s FROM sup WHERE s >= (SELECT t FROM thr)),
+       bp AS (SELECT b.o, b.p FROM b JOIN keep USING (p)),
+       pairs AS (SELECT a.p AS pa, c.p AS pb, count(*)::BIGINT AS sab
+         FROM bp a JOIN bp c ON a.o = c.o AND a.p < c.p
+         GROUP BY a.p, c.p HAVING count(*) >= 2)
+       SELECT pa, pb, sab, ka.s AS sa, kb.s AS sb,
+         sab * 1000000 // ka.s AS conf_ab_micro,
+         sab * 1000000 // kb.s AS conf_ba_micro,
+         sab * (SELECT n_orders FROM nb) * 1000000 // (ka.s * kb.s)
+           AS lift_micro
+       FROM pairs JOIN keep ka ON ka.p = pa JOIN keep kb ON kb.p = pb
+       ORDER BY lift_micro DESC, pa, pb LIMIT 50"""
 }

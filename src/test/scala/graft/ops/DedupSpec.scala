@@ -567,4 +567,64 @@ class DedupSpec extends SparkSpec {
       .toSeq
     assert(got == want, s"top duplicated spans diverge:\n$got\n$want")
   }
+
+  test("q201 winnowing: density near 2/(w+1), invariants hold corpus-wide") {
+    val rows = Dedup.q201Winnowing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nk, nw, nSel, nFp, dens) =>
+      assert(nw == math.max(nk - 3, 0L), s"doc $id window count")
+      assert(nSel <= nw && nFp <= nSel, s"doc $id selection bounds")
+      // every w-window selects SOMETHING, and one selection covers at
+      // most w windows -> at least ceil(nw / w) selections
+      assert(nSel >= (nw + 3) / 4, s"doc $id under-selects: $nSel of $nw")
+      assert(dens == (if (nw > 0) nSel * 1000000L / nw else 0L))
+    }
+    // the paper's expected density 2/(w+1) = 0.4 on random text
+    val mean = rows.map(_._6).sum / rows.length
+    assert(mean > 350000L && mean < 500000L, s"mean density $mean")
+    spark.catalog.clearCache()
+  }
+
+  test("q202 winnowing guarantee: a shared token run is always detected") {
+    val tmp = java.nio.file.Files.createTempDirectory("win").toString
+    val shared = (1 to 30).map(i => s"run$i").mkString(" ")
+    val padA = (1 to 20).map(i => s"pa$i").mkString(" ")
+    val padB = (1 to 25).map(i => s"pb$i").mkString(" ")
+    Seq(
+      (1L, s"$padA $shared"),         // shared run at the END
+      (2L, s"$shared $padB"),         // shared run at the START
+      (3L, (1 to 40).map(i => s"solo$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q202WinnowPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // winnowing's guarantee: any shared run of >= w + k - 1 = 6 tokens
+    // shares a selected fingerprint wherever the run sits; a 30-token
+    // run yields 25 full windows -> comfortably >= 2 shared
+    assert(got.contains((1L, 2L)), s"planted pair missed: $got")
+    assert(got((1L, 2L)) >= 2L)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated doc paired: $got")
+    spark.catalog.clearCache()
+  }
+
+  test("q202 identical docs reach containment 1.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("win2").toString
+    val body = (1 to 35).map(i => s"tw$i").mkString(" ")
+    Seq((1L, body), (2L, body))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Dedup.q202WinnowPairs(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(0), r.head.getLong(1)) == ((1L, 2L)))
+    assert(r.head.getLong(2) == r.head.getLong(3)) // shared == nf_a
+    assert(r.head.getLong(5) == 1000000L, "identical docs must contain fully")
+    spark.catalog.clearCache()
+  }
 }

@@ -446,4 +446,21 @@ class SimilaritySpec extends SparkSpec {
       s"anchor 0 must pair (pos=1, neg=3), got $a0")
     spark.catalog.clearCache()
   }
+
+  test("q203 matryoshka recall: d=64 is exact; d=16 stays in 20-step range") {
+    // truncating to the FULL dimension must reproduce q26's top-5
+    // exactly -> recall 100 for every query (the identity check that
+    // pins the truncated pass to the full pass's arithmetic)
+    val full = Similarity.q203MatryoshkaRecall(spark, sf0001, d = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(full.length == 8)
+    assert(full.forall(_._2 == 100L), s"d=64 must be exact: ${full.toSeq}")
+    val t16 = Similarity.q203MatryoshkaRecall(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t16.length == 8)
+    t16.foreach { case (q, hits, pct) =>
+      assert(hits >= 0L && hits <= 5L && pct == hits * 20L,
+        s"query $q recall out of range: ($hits, $pct)")
+    }
+  }
 }

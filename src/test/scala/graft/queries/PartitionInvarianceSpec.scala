@@ -55,7 +55,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q196_classification_report", // r9 conditional-count aggregate
     "q197_variant_extract",   // r9 VARIANT parse + banded aggregate
     "q198_lexicon_sentiment", // r9 broadcast lexicon + sign classes
-    "q199_sketch_rollup")     // r9 per-day partial sets + union merge
+    "q199_sketch_rollup",     // r9 per-day partial sets + union merge
+    "q200_market_basket",     // r9 Apriori prune + basket pair join
+    "q201_winnowing",         // r9 per-doc window min + keyed rollup
+    "q202_winnow_pairs",      // r9 df-capped fingerprint self-join
+    "q203_matryoshka_recall") // r9 two bounded TopK passes + set join
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

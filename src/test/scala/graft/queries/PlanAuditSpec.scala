@@ -337,6 +337,39 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q200 basket mining broadcasts every metric lookup; top-k not global sort") {
+    val p = plan("q200_market_basket")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 by lift must plan as TakeOrderedAndProject")
+    // threshold, basket count, and both support lookups ride broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length +
+           "BroadcastNestedLoopJoin".r.findAllIn(p).length >= 4,
+      s"metric lookups must broadcast:\n${p.take(1200)}")
+    // the distinct basket frame feeds supports, count, and the pair
+    // join from cache — not three parquet scans
+    assert(p.contains("InMemoryTableScan"),
+      "basket frame must be persisted for its three consumers")
+    spark.catalog.clearCache()
+  }
+
+  test("q202 winnow pairs reads the fingerprint cache for all consumers") {
+    val p = plan("q202_winnow_pairs")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"df counts, both join sides and totals must read the fp cache:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 by overlap must plan as TakeOrderedAndProject")
+    spark.catalog.clearCache()
+  }
+
+  test("q203 truncated pass rides the bounded TopK aggregator, no corpus window") {
+    val p = plan("q203_matryoshka_recall")
+    assert(!p.contains("Window"),
+      s"top-k must not be a per-query window sort:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded TopK aggregator missing from the truncated pass")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

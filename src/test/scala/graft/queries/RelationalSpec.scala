@@ -369,4 +369,28 @@ class RelationalSpec extends SparkSpec {
       assert(got(fk) == ((child.size.toLong, 0L, orphans)), s"$fk: ${got(fk)}")
     }
   }
+
+  test("q200 market basket: Apriori prune and exact metrics, hand-computed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mb").toString
+    // items 10/20 in all four baskets (sup 4); four singleton items
+    // (sup 1). Mean support = 12/6 = 2 -> thr = max(2, ceil(1)) = 2
+    // -> only 10 and 20 survive the prune; the duplicate (1, 10)
+    // line exercises the per-basket DISTINCT.
+    Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+        (2L, 10L), (2L, 20L), (2L, 40L),
+        (3L, 10L), (3L, 20L), (3L, 50L),
+        (4L, 10L), (4L, 20L), (4L, 60L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = graft.queries.Relational.q200MarketBasket(spark, tmp).collect()
+    assert(r.length == 1, s"expected one surviving pair, got ${r.toSeq}")
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == ((10L, 20L)))
+    assert(row.getLong(2) == 4L && row.getLong(3) == 4L && row.getLong(4) == 4L)
+    // conf both ways = 4/4; lift = 4·4/(4·4) = 1 exactly
+    assert(row.getLong(5) == 1000000L && row.getLong(6) == 1000000L)
+    assert(row.getLong(7) == 1000000L)
+    spark.catalog.clearCache()
+  }
 }

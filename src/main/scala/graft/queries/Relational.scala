@@ -1114,13 +1114,17 @@ object Relational {
     *
     * Scale shape: baskets = one DISTINCT over (order, part),
     * persisted because three consumers read it (supports, basket
-    * count, pruned pair join). The pair expansion is a self-join on
-    * the order key — fan-out bounded by basket size (≈7 here, ≤
-    * cart size in production), never all-pairs over parts. The item
-    * support table is |parts|-sized, so both metric lookups are
-    * broadcast joins; the 1-row stats and basket-count frames ride
-    * broadcast cross-joins. The final top-50 by lift plans as
-    * TakeOrderedAndProject (no global sort). */
+    * count, pruned pair expansion). Pairs expand by collecting each
+    * order's surviving items into one (basket-sized, ≈7-element)
+    * sorted array and exploding the i<j combinations map-side — ONE
+    * shuffle on the order key, versus the self-join formulation's
+    * two sort exchanges + merge that the first cut measured 2×
+    * slower on (the per-order HOF touches ≤ basket² tiny elements,
+    * the q113 interpreted-HOF concern doesn't bite at this group
+    * size). The item support table is |parts|-sized, so both metric
+    * lookups are broadcast joins; the 1-row stats and basket-count
+    * frames ride broadcast cross-joins. The final top-50 by lift
+    * plans as TakeOrderedAndProject (no global sort). */
   def q200MarketBasket(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -1134,9 +1138,15 @@ object Relational {
     val nb = b.agg(countDistinct(col("o")).as("n_orders"))
     val keep = sup.crossJoin(broadcast(thr)).filter(col("s") >= col("t"))
       .select(col("p"), col("s"))
-    val bp = b.join(broadcast(keep), Seq("p")).select(col("o"), col("p"))
-    val pairs = bp.toDF("o", "pa").join(bp.toDF("o2", "pb"),
-        col("o") === col("o2") && col("pa") < col("pb"))
+    val bp = b.join(broadcast(keep.select(col("p"))), Seq("p"))
+      .select(col("o"), col("p"))
+    val pairs = bp.groupBy(col("o"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+           (x, i) -> transform(slice(ps, i + 2, size(ps)),
+                               y -> struct(x AS pa, y AS pb))))""")).as("pr"))
+      .select(col("pr.pa"), col("pr.pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
       .filter(col("sab") >= 2)
     pairs

@@ -229,6 +229,8 @@ object SparkEntry {
     "q201_winnowing"       -> ((s, d) => Dedup.q201Winnowing(s, d)),
     "q202_winnow_pairs"    -> ((s, d) => Dedup.q202WinnowPairs(s, d)),
     "q203_matryoshka_recall" -> ((s, d) => Similarity.q203MatryoshkaRecall(s, d)),
+    "q204_rake_keywords"   -> ((s, d) => TextOps.q204RakeKeywords(s, d)),
+    "q205_ewma_forecast"   -> ((s, d) => EventOps.q205EwmaForecast(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2393,5 +2395,7 @@ object SparkEntry {
     "q201_winnowing" -> Dedup.q201OracleSql,
     "q202_winnow_pairs" -> Dedup.q202OracleSql,
     "q203_matryoshka_recall" -> Similarity.q203OracleSql(),
+    "q204_rake_keywords" -> TextOps.q204OracleSql(),
+    "q205_ewma_forecast" -> EventOps.q205OracleSql,
   )
 }

@@ -1178,4 +1178,71 @@ object EventOps {
          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type, k_band ORDER BY event_type, k_band"""
+
+  /** q205 — EWMA one-step-ahead forecast backtest over per-type
+    * daily volumes, with the smoothing recursion made EXACT: α = 1/2
+    * gives dyadic weights, so the 16-day-truncated EWMA scaled by
+    * 2¹⁵ is the integer 2¹⁴·c_{t−1} + 2¹³·c_{t−2} + … + 1·c_{t−15}
+    * + 1·c_{t−16} (the tail term absorbs the geometric remainder —
+    * weights sum to exactly 2¹⁵; truncation error vs the infinite
+    * recursion is < 2⁻¹⁶ of the oldest counts, far below the
+    * forecast's own error). No float exp/pow ever decides a gated
+    * value — the q161 determinism argument applied to the classic
+    * exponential smoother. Backtests every day with ≥ 16 observed
+    * predecessors: per type, the evaluated-day count, the total
+    * scaled absolute error, the MAE in count-micros, and the last
+    * in-sample one-step forecast. Forecasting runs over the OBSERVED
+    * day sequence (lag over day order), so calendar gaps behave as
+    * adjacent observations — documented, and identical in both
+    * engines.
+    *
+    * Scale shape: the corpus-linear work is the one (type, day)
+    * count aggregation; the 16-lag window and the rollup run on the
+    * |types|·|days| daily frame — thousands of rows at any corpus
+    * size, the same posture as q118's anomaly stats. */
+  def q205EwmaForecast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val fc = (1 to 15)
+      .map(i => lit(1L << (15 - i)) * lag(col("c"), i).over(w))
+      .reduce(_ + _) + lag(col("c"), 16).over(w)
+    daily
+      .select(col("event_type"), col("c"),
+              row_number().over(w).as("rn"), fc.as("fc"))
+      .withColumn("rn_max", max(col("rn")).over(wAll))
+      .filter(col("rn") >= 17)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+           sum(abs(col("fc") - lit(32768L) * col("c"))).as("total_err_scaled"),
+           expr("sum(abs(fc - 32768L * c)) * 1000000L div (32768L * count(*))")
+             .as("mae_micro"),
+           expr("max(CASE WHEN rn = rn_max THEN fc END) * 1000000L div 32768L")
+             .as("last_fc_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for q205 — identical dyadic lag chain and integer
+    * error rollup. */
+  def q205OracleSql: String = {
+    val lags = (1 to 15)
+      .map(i => s"${1L << (15 - i)} * lag(c, $i) OVER w").mkString(" + ") +
+      " + lag(c, 16) OVER w"
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*)::BIGINT AS c FROM events GROUP BY event_type, day),
+       f AS (SELECT event_type, day, c, row_number() OVER w AS rn,
+           ($lags) AS fc
+         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       g AS (SELECT *, max(rn) OVER (PARTITION BY event_type) AS rn_max FROM f)
+       SELECT event_type, count(*)::BIGINT AS n_eval,
+         sum(abs(fc - 32768 * c))::BIGINT AS total_err_scaled,
+         (sum(abs(fc - 32768 * c)) * 1000000 // (32768 * count(*)))::BIGINT
+           AS mae_micro,
+         (max(CASE WHEN rn = rn_max THEN fc END) * 1000000 // 32768)::BIGINT
+           AS last_fc_micro
+       FROM g WHERE rn >= 17 GROUP BY event_type ORDER BY event_type"""
+  }
 }

@@ -1372,4 +1372,96 @@ object TextOps {
            - 3000000 AS net_micro
        FROM pd GROUP BY source ORDER BY source"""
   }
+
+  /** q204 — RAKE keyword extraction [Rose, Engel, Cramer & Cowley,
+    * "Automatic Keyword Extraction from Individual Documents", 2010]:
+    * candidate phrases are maximal stopword-free token runs (capped
+    * at 4 words, the classic setting), each word scores
+    * deg(w)/freq(w) within its document (deg = summed length of the
+    * phrases containing w — favors words that live in long
+    * collocations), and a phrase scores the sum of its words'
+    * ratios. Per doc the top-scoring phrase wins (score ties →
+    * lexicographically smallest phrase, resolved as a max-then-min
+    * pair of aggregates so both engines agree without struct
+    * ordering); the corpus rollup reports how many documents each
+    * keyword tops. All scores are exact integer micros (per-word
+    * integer division BEFORE the sum, so engines can never disagree
+    * on a last-ulp float boundary).
+    *
+    * Scale shape: phrase islands come from ONE per-document window
+    * (pos − row_number over non-stopword rows — the gaps-and-islands
+    * move, q178's trick applied to token runs); every join
+    * (token↔phrase, token↔word-stats, phrase↔score) keys on doc_id —
+    * corpus-partitioned, never global. The non-stop token frame and
+    * the phrase frame persist for their two consumers each. The
+    * final top-25 plans as TakeOrderedAndProject. */
+  def q204RakeKeywords(s: SparkSession, dir: String,
+                       maxPhraseLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ns = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      .filter(length(col("w")) > 0 && !col("w").isin(stopwords: _*))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = ns.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("plen"),
+           array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+                      " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wl = ns.join(ph.select(col("doc_id"), col("island"), col("plen")),
+                     Seq("doc_id", "island"))
+    val ws = wl.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val psc = wl.select(col("doc_id"), col("island"), col("w"))
+      .join(ws, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(sum(expr("deg * 1000000L div freq")).as("score"))
+    val fl = ph.select(col("doc_id"), col("island"), col("phrase"))
+      .join(psc, Seq("doc_id", "island"))
+    val mx = fl.groupBy(col("doc_id")).agg(max(col("score")).as("ms"))
+    val top = fl.join(mx, Seq("doc_id"))
+      .filter(col("score") === col("ms"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("phrase")).as("phrase"), max(col("score")).as("score"))
+    top.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_docs"), max(col("score")).as("best_score"))
+      .orderBy(col("n_docs").desc, col("phrase"))
+      .limit(25)
+  }
+
+  /** DuckDB oracle for q204 — identical islands, cap, deg/freq
+    * ratios, and max-then-min tie resolution. */
+  def q204OracleSql(maxPhraseLen: Int = 4): String = {
+    val stop = stopwords.map(sw => s"'$sw'").mkString("(", ",", ")")
+    s"""WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       tok AS (SELECT doc_id, u.pos, u.w FROM (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+           i -> {'pos': i, 'w': toks[i]})) AS u FROM td)),
+       ns AS (SELECT doc_id, pos, w,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM tok WHERE w NOT IN $stop AND len(w) > 0),
+       ph AS (SELECT doc_id, island, count(*)::BIGINT AS plen,
+           string_agg(w, ' ' ORDER BY pos) AS phrase
+         FROM ns GROUP BY doc_id, island HAVING count(*) <= $maxPhraseLen),
+       wl AS (SELECT n.doc_id, n.island, n.w, p.plen
+         FROM ns n JOIN ph p ON p.doc_id = n.doc_id AND p.island = n.island),
+       ws AS (SELECT doc_id, w, count(*)::BIGINT AS freq,
+           sum(plen)::BIGINT AS deg FROM wl GROUP BY doc_id, w),
+       psc AS (SELECT wl.doc_id, wl.island,
+           sum(ws.deg * 1000000 // ws.freq)::BIGINT AS score
+         FROM wl JOIN ws ON ws.doc_id = wl.doc_id AND ws.w = wl.w
+         GROUP BY wl.doc_id, wl.island),
+       fl AS (SELECT p.doc_id, p.phrase, s.score
+         FROM ph p JOIN psc s ON s.doc_id = p.doc_id AND s.island = p.island),
+       mx AS (SELECT doc_id, max(score) AS ms FROM fl GROUP BY doc_id),
+       top AS (SELECT f.doc_id, min(f.phrase) AS phrase, max(f.score) AS score
+         FROM fl f JOIN mx ON mx.doc_id = f.doc_id AND f.score = mx.ms
+         GROUP BY f.doc_id)
+       SELECT phrase, count(*)::BIGINT AS n_docs,
+         max(score)::BIGINT AS best_score
+       FROM top GROUP BY phrase ORDER BY n_docs DESC, phrase LIMIT 25"""
+  }
 }

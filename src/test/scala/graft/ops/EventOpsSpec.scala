@@ -615,4 +615,24 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaVariant == viaStruct)
   }
+
+  test("q205 EWMA: constant series forecasts itself exactly (weights sum 2^15)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    // 20 days x 2 events/day: every 16-lag window sees the constant,
+    // and because the dyadic weights sum to exactly 2^15 the scaled
+    // forecast equals 32768*c -> zero error, last forecast = c
+    val rows = for {
+      d <- 1 to 20; k <- 1 to 2
+    } yield (("t"), java.sql.Timestamp.valueOf(f"2024-01-$d%02d 0$k:00:00"))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q205EwmaForecast(spark, tmp).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 4L, s"n_eval: days 17..20, got ${r.getLong(1)}")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L, "constant series has no error")
+    assert(r.getLong(4) == 2000000L, s"last forecast must be c=2: ${r.getLong(4)}")
+  }
 }

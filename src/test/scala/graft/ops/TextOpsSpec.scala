@@ -423,4 +423,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     want.foreach { case (src, v) => assert(got(src) == v, s"source $src") }
   }
+
+  test("q204 RAKE: deg/freq scores and stopword islands, hand-computed") {
+    val tmp = java.nio.file.Files.createTempDirectory("rake").toString
+    // doc 1: phrases "fast join", "fast join", "join" (split at 'the')
+    //   freq(fast)=2 deg=4 -> 2e6; freq(join)=3 deg=5 -> 1666666
+    //   "fast join" = 3666666 beats "join" = 1666666
+    // doc 2: one phrase "slow scan" -> 2e6 + 2e6 = 4e6
+    Seq((1L, "fast join the fast join the join"),
+        (2L, "slow scan"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q204RakeKeywords(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("fast join", 1L, 3666666L), ("slow scan", 1L, 4000000L)),
+      s"got $got")
+    spark.catalog.clearCache()
+  }
+
+  test("q204 phrase cap: runs longer than 4 words never become keywords") {
+    val tmp = java.nio.file.Files.createTempDirectory("rake2").toString
+    Seq((1L, "one two three four five of short run"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q204RakeKeywords(spark, tmp).collect()
+      .map(r => r.getString(0)).toSeq
+    // the 5-word island is disqualified; its words still don't leak
+    // into scoring (deg/freq come from candidate phrases only)
+    assert(got == Seq("short run"), s"got $got")
+    spark.catalog.clearCache()
+  }
 }

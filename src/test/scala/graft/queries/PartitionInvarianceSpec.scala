@@ -59,7 +59,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q200_market_basket",     // r9 Apriori prune + basket pair join
     "q201_winnowing",         // r9 per-doc window min + keyed rollup
     "q202_winnow_pairs",      // r9 df-capped fingerprint self-join
-    "q203_matryoshka_recall") // r9 two bounded TopK passes + set join
+    "q203_matryoshka_recall", // r9 two bounded TopK passes + set join
+    "q204_rake_keywords",     // r9 island windows + doc-keyed joins
+    "q205_ewma_forecast")     // r9 16-lag dyadic window chain
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

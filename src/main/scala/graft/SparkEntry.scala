@@ -231,6 +231,8 @@ object SparkEntry {
     "q203_matryoshka_recall" -> ((s, d) => Similarity.q203MatryoshkaRecall(s, d)),
     "q204_rake_keywords"   -> ((s, d) => TextOps.q204RakeKeywords(s, d)),
     "q205_ewma_forecast"   -> ((s, d) => EventOps.q205EwmaForecast(s, d)),
+    "q206_skipgram_cooc"   -> ((s, d) => TextOps.q206SkipgramCooc(s, d)),
+    "q207_novelty_curve"   -> ((s, d) => Dedup.q207NoveltyCurve(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2397,5 +2399,7 @@ object SparkEntry {
     "q203_matryoshka_recall" -> Similarity.q203OracleSql(),
     "q204_rake_keywords" -> TextOps.q204OracleSql(),
     "q205_ewma_forecast" -> EventOps.q205OracleSql,
+    "q206_skipgram_cooc" -> TextOps.q206OracleSql,
+    "q207_novelty_curve" -> Dedup.q207OracleSql,
   )
 }

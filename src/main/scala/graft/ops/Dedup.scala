@@ -1671,4 +1671,65 @@ object Dedup {
        FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
        JOIN cnt cb ON cb.doc_id = doc_b
        ORDER BY shared DESC, doc_a, doc_b LIMIT 30"""
+
+  /** q207 — corpus novelty curve: for each doc_id decile of the
+    * corpus, what fraction of its documents' distinct 3-grams appear
+    * there for the FIRST time (first occurrence = the gram's minimum
+    * doc_id)? This is the diminishing-novelty measurement a curation
+    * pipeline plots to decide when additional data from a source
+    * stops contributing — the aggregate view of q107's
+    * batch-vs-corpus incremental dedup, attributed along the ingest
+    * order. On this corpus the curve falls ~92% → ~36% across
+    * deciles: the visible Heaps'-law decay.
+    *
+    * Scale shape: novel counts need NO gram→doc join-back — a
+    * gram's first-doc attribution is just min(doc_id) per gram, so
+    * novel(doc) = count of grams whose min IS doc: two keyed
+    * aggregates (per-doc gram counts; per-gram min then per-first-doc
+    * counts) and one doc-keyed left join. The decile bucket uses a
+    * broadcast 1-row max, never a global ntile window. */
+  def q207NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("gram"))
+    val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    val mx = Tables.documents(s, dir)
+      .agg((max(col("doc_id")) + 1).as("m"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              coalesce(col("novel"), lit(0L)).as("novel"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr("doc_id * 10 div m").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_grams")).as("n_grams"),
+           sum(col("novel")).as("novel"))
+      .select(col("decile"), col("n_docs"), col("n_grams"), col("novel"),
+              expr("novel * 1000000L div n_grams").as("novelty_micro"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB oracle for q207 — identical two-aggregate attribution. */
+  def q207OracleSql: String =
+    """WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       g AS (SELECT DISTINCT doc_id, u AS gram FROM (
+         SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS u FROM td)),
+       per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+         FROM g GROUP BY doc_id),
+       nv AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS novel FROM
+         (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+         GROUP BY first_doc),
+       mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+       pd AS (SELECT p.doc_id, p.n_grams, coalesce(nv.novel, 0) AS novel
+         FROM per_doc p LEFT JOIN nv USING (doc_id))
+       SELECT (doc_id * 10 // (SELECT m FROM mx))::BIGINT AS decile,
+         count(*)::BIGINT AS n_docs, sum(n_grams)::BIGINT AS n_grams,
+         sum(novel)::BIGINT AS novel,
+         (sum(novel) * 1000000 // sum(n_grams))::BIGINT AS novelty_micro
+       FROM pd GROUP BY decile ORDER BY decile"""
 }

@@ -1464,4 +1464,50 @@ object TextOps {
          max(score)::BIGINT AS best_score
        FROM top GROUP BY phrase ORDER BY n_docs DESC, phrase LIMIT 25"""
   }
+
+  /** q206 — skip-gram co-occurrence counts with distance weighting
+    * (the GloVe X-matrix build [Pennington, Socher & Manning, EMNLP
+    * 2014]: X_ij accumulates 1/d for every co-occurrence at token
+    * distance d ≤ window): the preprocessing pass every
+    * count-based embedding trainer runs over the corpus. Pairs are
+    * unordered (least/greatest keying, so ij and ji merge), the
+    * window is 2, and weights are exact integer micros (1e6 div d —
+    * 1/1 and 1/2 are exact, no float decides the gate).
+    *
+    * Scale shape: pair generation is ONE map pass — a nested HOF
+    * over each doc's token array emits ≤ window pairs per token, no
+    * self-join, no shuffle before the (wa, wb)-keyed aggregate
+    * (map-side partials collapse the corpus stream to
+    * vocabulary²-bounded rows — in practice the Zipf head). Top-40
+    * by weight plans as TakeOrderedAndProject. */
+  def q206SkipgramCooc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+      .select(explode(expr(
+        """flatten(transform(toks,
+           (x, i) -> transform(slice(toks, i + 2, 2),
+             (y, j) -> struct(least(x, y) AS wa, greatest(x, y) AS wb,
+                              CAST(j + 1 AS BIGINT) AS d))))""")).as("p"))
+      .select(col("p.wa"), col("p.wb"), col("p.d"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("1000000L div d")).as("wsum_micro"))
+      .orderBy(col("wsum_micro").desc, col("wa"), col("wb"))
+      .limit(40)
+
+  /** DuckDB oracle for q206 — identical windowed pair explode. */
+  def q206OracleSql: String =
+    """WITH td AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         FROM documents),
+       pr AS (SELECT doc_id, u.wa, u.wb, u.d FROM (
+         SELECT doc_id, unnest(flatten(list_transform(
+           generate_series(1, len(toks)),
+           i -> list_transform(generate_series(i + 1, least(i + 2, len(toks))),
+             j -> {'wa': least(toks[i], toks[j]),
+                   'wb': greatest(toks[i], toks[j]),
+                   'd': j - i})))) AS u FROM td))
+       SELECT wa, wb, count(*)::BIGINT AS n,
+         sum(1000000 // d)::BIGINT AS wsum_micro
+       FROM pr GROUP BY wa, wb ORDER BY wsum_micro DESC, wa, wb LIMIT 40"""
 }

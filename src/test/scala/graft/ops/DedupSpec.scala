@@ -627,4 +627,32 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getLong(5) == 1000000L, "identical docs must contain fully")
     spark.catalog.clearCache()
   }
+
+  test("q207 novelty: first occurrence wins, repeats score zero") {
+    val tmp = java.nio.file.Files.createTempDirectory("nov").toString
+    // doc_ids 0..9 -> m = 10, decile = doc_id; docs 1..4, 6..8 empty-ish
+    Seq((0L, "a b c"),   // gram "a b c" first seen here -> novel
+        (5L, "a b c"),   // exact repeat -> novelty 0
+        (9L, "x y z"))   // fresh gram -> novel
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q207NoveltyCurve(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got == Seq((0L, 1L, 1L, 1L, 1000000L),
+                      (5L, 1L, 1L, 0L, 0L),
+                      (9L, 1L, 1L, 1L, 1000000L)), s"got $got")
+  }
+
+  test("q207 decile novelty decays monotonically-ish on the ordered corpus") {
+    val rows = Dedup.q207NoveltyCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(rows.length == 10)
+    // Heaps'-law decay: the first decile is far more novel than the
+    // last (the exact curve is data, the direction is the law)
+    assert(rows.head._2 > rows.last._2 * 2,
+      s"novelty must decay along ingest order: ${rows.toSeq}")
+  }
 }

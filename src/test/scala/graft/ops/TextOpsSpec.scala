@@ -457,4 +457,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("short run"), s"got $got")
     spark.catalog.clearCache()
   }
+
+  test("q206 skipgram: window-2 pairs, 1/d weights, unordered merge") {
+    val tmp = java.nio.file.Files.createTempDirectory("skg").toString
+    Seq((1L, "a b c"), (2L, "x y x"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q206SkipgramCooc(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // doc 1: (a,b,d1) (a,c,d2) (b,c,d1); doc 2: (x,y,d1) (x,x,d2) (y,x,d1)
+    // -> unordered (x,y) merges both directions: n=2, 2e6
+    assert(got == Seq(
+      ("x", "y", 2L, 2000000L),
+      ("a", "b", 1L, 1000000L),
+      ("b", "c", 1L, 1000000L),
+      ("a", "c", 1L, 500000L),
+      ("x", "x", 1L, 500000L)), s"got $got")
+  }
 }

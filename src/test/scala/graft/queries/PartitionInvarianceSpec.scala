@@ -61,7 +61,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q202_winnow_pairs",      // r9 df-capped fingerprint self-join
     "q203_matryoshka_recall", // r9 two bounded TopK passes + set join
     "q204_rake_keywords",     // r9 island windows + doc-keyed joins
-    "q205_ewma_forecast")     // r9 16-lag dyadic window chain
+    "q205_ewma_forecast",     // r9 16-lag dyadic window chain
+    "q206_skipgram_cooc",     // r9 HOF pair explode + pair-keyed agg
+    "q207_novelty_curve")     // r9 min-attribution double aggregate
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

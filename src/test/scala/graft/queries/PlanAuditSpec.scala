@@ -395,6 +395,27 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q206 skipgram pair explode is join-free map-side work") {
+    val p = plan("q206_skipgram_cooc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+           !p.contains("CartesianProduct"),
+      s"pair generation must be the HOF explode, not a self-join:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-40 must plan as TakeOrderedAndProject")
+  }
+
+  test("q207 novelty needs no gram-to-doc join-back") {
+    val p = plan("q207_novelty_curve")
+    // exactly one equi-join (the doc-keyed perDoc<->novel merge) plus
+    // the broadcast 1-row max; a gram-keyed join-back would add a
+    // third corpus-sized join input. Count detail headers — formatted
+    // mode prints every node twice (tree + detail section).
+    val joins =
+      """\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+        .findAllIn(p).length
+    assert(joins == 1, s"expected exactly one doc-keyed join, found $joins:\n${p.take(1200)}")
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

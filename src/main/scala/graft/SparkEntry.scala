@@ -233,6 +233,7 @@ object SparkEntry {
     "q205_ewma_forecast"   -> ((s, d) => EventOps.q205EwmaForecast(s, d)),
     "q206_skipgram_cooc"   -> ((s, d) => TextOps.q206SkipgramCooc(s, d)),
     "q207_novelty_curve"   -> ((s, d) => Dedup.q207NoveltyCurve(s, d)),
+    "q208_frame_phash"     -> ((s, d) => Multimodal.q208FramePhash(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2401,5 +2402,6 @@ object SparkEntry {
     "q205_ewma_forecast" -> EventOps.q205OracleSql,
     "q206_skipgram_cooc" -> TextOps.q206OracleSql,
     "q207_novelty_curve" -> Dedup.q207OracleSql,
+    "q208_frame_phash" -> Multimodal.q208OracleSql(),
   )
 }

@@ -201,4 +201,106 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  /** q208 — perceptual-hash frame NEAR-dup across videos: q97 catches
+    * bit-identical frames (md5); this catches re-encoded /
+    * slightly-corrupted copies the way image dedup actually does it —
+    * an average-hash (aHash) fingerprint per sampled frame (bit i =
+    * sample i above the frame mean, the content-adaptive threshold
+    * that survives uniform brightness shifts) and Hamming-distance
+    * pairing via q185's pigeonhole-complete 4×15-bit chunk banding
+    * (exact for hamming ≤ 3). The fingerprint is 60 bits over the
+    * frame's first 60 samples so the whole hash packs one long and
+    * the chunk arithmetic is shared with the SimHash path. Frames are
+    * every 2nd 64-byte block (q66's stride discipline); videos pair
+    * on the count of near-dup DISTINCT frame-hash pairs.
+    *
+    * Scale shape: fingerprinting is one map pass (only (doc, fp)
+    * longs leave the scan — never frame bytes); the per-video
+    * distinct collapses map-side; the only corpus exchange is the
+    * chunk-key self-join, whose buckets are capped at
+    * [[PhashDfCap]] members (the q202 stop-fingerprint rule — a
+    * test-card frame shared by hundreds of videos carries no pair
+    * signal and would quadratic-blow its bucket); verification is a
+    * single XOR+popcount per candidate. Top-30 video pairs plan as
+    * TakeOrderedAndProject. */
+  def q208FramePhash(s: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x15 chunk banding is complete only for hamming <= 3, got $maxHamming")
+    val frames = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, (length(text) div 64 - 1) div 2),
+           j -> substring(text, j * 128 + 1, 64))""")).as("f"))
+    val fp = frames
+      .withColumn("arr", expr(
+        "transform(sequence(1, 60), i -> CAST(ascii(substring(f, i, 1)) AS BIGINT))"))
+      .withColumn("ssum", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), expr(
+        """aggregate(zip_with(arr, sequence(0, 59),
+           (b, i) -> IF(60L * b > ssum, shiftleft(1L, i), 0L)),
+           0L, (a, x) -> a + x)""").as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ck = fp.select(col("doc_id"), col("fp"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (fp >> (15 * c)) & 32767)"))
+        .as(Seq("c", "ckey")))
+    val rare = ck.join(
+      ck.groupBy(col("c"), col("ckey")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= PhashDfCap).select(col("c"), col("ckey")),
+      Seq("c", "ckey"))
+    val cand = rare.toDF("c", "ckey", "doc_a", "fp_a")
+      .join(rare.toDF("c2", "ckey2", "doc_b", "fp_b"),
+            col("c") === col("c2") && col("ckey") === col("ckey2") &&
+            col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .filter(bit_count(expr("fp_a ^ fp_b")) <= maxHamming)
+    cand.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           min(bit_count(expr("fp_a ^ fp_b")).cast("long")).as("min_hamming"))
+      .orderBy(col("n_pairs").desc, col("doc_a"), col("doc_b"))
+      .limit(30)
+  }
+
+  /** Chunk-bucket population cap for [[q208FramePhash]]. */
+  private[ops] val PhashDfCap = 20L
+
+  /** DuckDB oracle for q208 — identical frame slices, aHash bits,
+    * chunk keys, bucket cap, and XOR/popcount verify. */
+  def q208OracleSql(maxHamming: Int = 3): String = {
+    require(maxHamming <= 3,
+      s"4x15 chunk banding is complete only for hamming <= 3, got $maxHamming")
+    s"""WITH fr AS (SELECT doc_id, u AS f FROM (
+         SELECT doc_id, unnest(list_transform(
+           generate_series(0, (strlen(text) // 64 - 1) // 2),
+           j -> substr(text, j * 128 + 1, 64))) AS u
+         FROM documents WHERE strlen(text) >= 64)),
+       ar AS (SELECT doc_id, f, list_transform(generate_series(1, 60),
+           i -> ascii(substr(f, i, 1))::BIGINT) AS arr FROM fr),
+       sm AS (SELECT doc_id, arr, list_sum(arr) AS ssum FROM ar),
+       fp AS (SELECT DISTINCT doc_id,
+           list_sum(list_transform(generate_series(0, 59),
+             i -> CASE WHEN 60 * arr[i + 1] > ssum
+                  THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS fp
+         FROM sm),
+       ck AS (SELECT doc_id, fp, c, (fp >> (15 * c)) & 32767 AS ckey
+         FROM fp, unnest([0, 1, 2, 3]) AS u(c)),
+       bc AS (SELECT c, ckey FROM (SELECT c, ckey, count(*) AS bn
+         FROM ck GROUP BY c, ckey) WHERE bn <= $PhashDfCap),
+       rare AS (SELECT ck.doc_id, ck.fp, ck.c, ck.ckey
+         FROM ck JOIN bc USING (c, ckey)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.fp AS fp_a, y.fp AS fp_b
+         FROM rare x JOIN rare y ON x.c = y.c AND x.ckey = y.ckey
+           AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.fp, y.fp)) <= $maxHamming)
+       SELECT doc_a, doc_b, count(*)::BIGINT AS n_pairs,
+         min(bit_count(xor(fp_a, fp_b)))::BIGINT AS min_hamming
+       FROM cand GROUP BY doc_a, doc_b
+       ORDER BY n_pairs DESC, doc_a, doc_b LIMIT 30"""
+  }
 }

@@ -75,4 +75,28 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(nos == Seq(0, 1, 2, 3))
   }
+
+  test("q208 aHash: one-sample flip pairs at hamming 1, inverse never pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("ph").toString
+    // 'az' x 32: a-samples sit far below the frame mean, z-samples far
+    // above -> wide margins, so single-sample edits move exactly the
+    // edited bit (the mean shift of ±25/60 cannot cross any margin)
+    val base = "az" * 32
+    val flipped = "zz" + base.drop(2)          // sample 0: a -> z, bit 0 flips
+    val inverse = "za" * 32                    // complement hash, hamming 60
+    Seq((1L, base), (2L, flipped), (3L, inverse), (4L, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Multimodal.q208FramePhash(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.get((1L, 2L)).contains((1L, 1L)), s"flip must pair at h=1: $got")
+    assert(got.get((1L, 4L)).contains((1L, 0L)), s"identical frames at h=0: $got")
+    assert(got.get((2L, 4L)).contains((1L, 1L)), s"transitive flip pair: $got")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"the complement hash must never pair: $got")
+    spark.catalog.clearCache()
+  }
 }

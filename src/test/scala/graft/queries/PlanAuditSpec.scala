@@ -416,6 +416,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly one doc-keyed join, found $joins:\n${p.take(1200)}")
   }
 
+  test("q208 phash: fingerprint cache feeds banding, only longs cross the shuffle") {
+    val p = plan("q208_frame_phash")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"bucket counts and both band-join sides must read the fp cache:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 video pairs must plan as TakeOrderedAndProject")
+    // frame strings/bytes must never cross an exchange: every
+    // Exchange's schema carries only ids/longs, not the frame column
+    assert(!"Exchange[^\\n]*\\bf#".r.findFirstIn(p).isDefined,
+      s"frame payload crossed a shuffle:\n${p.take(1200)}")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

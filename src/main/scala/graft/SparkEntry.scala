@@ -234,6 +234,7 @@ object SparkEntry {
     "q206_skipgram_cooc"   -> ((s, d) => TextOps.q206SkipgramCooc(s, d)),
     "q207_novelty_curve"   -> ((s, d) => Dedup.q207NoveltyCurve(s, d)),
     "q208_frame_phash"     -> ((s, d) => Multimodal.q208FramePhash(s, d)),
+    "q209_hits"            -> ((s, d) => graft.ops.GraphOps.q209Hits(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2403,5 +2404,6 @@ object SparkEntry {
     "q206_skipgram_cooc" -> TextOps.q206OracleSql,
     "q207_novelty_curve" -> Dedup.q207OracleSql,
     "q208_frame_phash" -> Multimodal.q208OracleSql(),
+    "q209_hits" -> graft.ops.GraphOps.q209OracleSql(),
   )
 }

@@ -347,4 +347,76 @@ object GraphOps {
          WHERE bfs.dist < $maxHops)
        SELECT item, CAST(min(dist) AS BIGINT) AS dist
        FROM bfs GROUP BY item ORDER BY item"""
+
+  /** q209 — HITS hubs & authorities [Kleinberg, JACM 1999] over the
+    * DIRECTED user→item click graph (the bipartite case where HITS
+    * is most natural: hub users whose clicks concentrate on
+    * authoritative items). The mutual-reinforcement rounds run in
+    * exact integer arithmetic by normalizing with the L∞ norm
+    * instead of L2: after each half-step every score rescales to
+    * score·1e6 div max(score) — a 1-row broadcast max and an integer
+    * division, no float sqrt anywhere, so the DuckDB oracle replays
+    * all rounds bit-for-bit (the q82 fixed-point discipline; L∞ and
+    * L2 normalization converge to the same principal-eigenvector
+    * RANKING, which is the quantity HITS exists to produce).
+    *
+    * Scale shape: per round, two hash joins of the score vectors
+    * against the persisted edge list and two keyed aggregations —
+    * the q82 posture exactly; the normalizing max is a 1-row
+    * broadcast, never a driver collect. Fixed iteration count keeps
+    * the plan a finite unrolled DAG. */
+  def q209Hits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+              get_json_object(col("props"), "$.k").cast("long").as("i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def renorm(df: DataFrame, key: String, sc: String): DataFrame = {
+      val mx = df.agg(max(col(sc)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key), expr(s"$sc * 1000000L div mx").as(sc))
+    }
+    var hubs = e.select(col("u")).distinct()
+      .select(col("u"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = renorm(
+        e.join(hubs, Seq("u")).groupBy(col("i")).agg(sum(col("h")).as("a")),
+        "i", "a")
+      hubs = renorm(
+        e.join(auth, Seq("i")).groupBy(col("u")).agg(sum(col("a")).as("h")),
+        "u", "h")
+    }
+    hubs.select(concat(lit("u"), col("u")).as("node"), lit("hub").as("kind"),
+                col("h").as("score_micro"))
+      .unionByName(
+        auth.select(concat(lit("i"), col("i")).as("node"),
+                    lit("authority").as("kind"), col("a").as("score_micro")))
+      .orderBy(col("kind"), col("node"))
+  }
+
+  /** DuckDB oracle for q209 — identical unrolled half-steps with the
+    * L∞ rescale as a scalar subquery per round. */
+  def q209OracleSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT e.i, CAST(sum(h) AS BIGINT) AS a
+           FROM e JOIN h${i - 1} USING (u) GROUP BY e.i),
+         a$i AS (SELECT i, CAST(a * 1000000 // (SELECT max(a) FROM a${i}r)
+           AS BIGINT) AS a FROM a${i}r),
+         h${i}r AS (SELECT e.u, CAST(sum(a) AS BIGINT) AS h
+           FROM e JOIN a$i USING (i) GROUP BY e.u),
+         h$i AS (SELECT u, CAST(h * 1000000 // (SELECT max(h) FROM h${i}r)
+           AS BIGINT) AS h FROM h${i}r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+           FROM events WHERE event_type = 'click'),
+         h0 AS (SELECT DISTINCT u, 1000000::BIGINT AS h FROM e),
+         $rounds
+         SELECT 'u' || u AS node, 'hub' AS kind, h AS score_micro FROM h$iters
+         UNION ALL
+         SELECT 'i' || i, 'authority', a FROM a$iters
+         ORDER BY kind, node"""
+  }
 }

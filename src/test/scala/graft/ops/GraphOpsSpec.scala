@@ -120,4 +120,27 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 3L), s"got $got")
   }
+
+  test("q209 HITS matches the hand-unrolled L-inf rounds") {
+    val tmp = java.nio.file.Files.createTempDirectory("hits").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // u1 -> {i1, i2}, u2 -> {i1}:
+    //   r1: a=(1e6, 500000)          h=(1e6, 666666)
+    //   r2: a=(1e6, 600000)          h=(1e6, 625000)
+    //   r3: a=(1e6, 615384)          h=(1e6, 619047)
+    Seq(
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 1L, t0, "click", 1.0, """{"k": 2}"""),
+      (3L, 2L, t0, "click", 1.0, """{"k": 1}"""),
+      (4L, 2L, t0, "view",  1.0, """{"k": 7}""")   // non-click: ignored
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q209Hits(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("i1", "authority") -> 1000000L, ("i2", "authority") -> 615384L,
+      ("u1", "hub") -> 1000000L, ("u2", "hub") -> 619047L), s"got $got")
+    spark.catalog.clearCache()
+  }
 }

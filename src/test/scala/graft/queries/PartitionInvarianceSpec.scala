@@ -64,7 +64,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q205_ewma_forecast",     // r9 16-lag dyadic window chain
     "q206_skipgram_cooc",     // r9 HOF pair explode + pair-keyed agg
     "q207_novelty_curve",     // r9 min-attribution double aggregate
-    "q208_frame_phash")       // r9 aHash chunk banding + capped buckets
+    "q208_frame_phash",       // r9 aHash chunk banding + capped buckets
+    "q209_hits")              // r9 L-inf fixed-point mutual rounds
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

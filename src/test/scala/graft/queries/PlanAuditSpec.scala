@@ -429,6 +429,16 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q209 HITS rounds reuse the persisted edge list, max is broadcast") {
+    val p = plan("q209_hits")
+    // 3 rounds x 2 half-steps read the edge cache, plus the hub seed
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 6,
+      s"every half-step must read the edge cache:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "the L-inf rescale must broadcast its 1-row max")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

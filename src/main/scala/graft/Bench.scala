@@ -55,6 +55,11 @@ object Bench {
     }
     val forceGc = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a query whose ADAPTIVE extra run failed keeps its N valid base
+    // timings (the sample could only have tightened the min) but the
+    // failure must stay visible — silently publishing it as cleanly
+    // measured hides flaky queries from the board (ADVICE r9)
+    val retriedErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeGroup(group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, Double, Double, Option[String])] = {
       // JVM/Spark warmup outside the timed region (codegen compilation,
@@ -92,12 +97,15 @@ object Bench {
         // value_max runs 1.7× their value); one more sample costs
         // only noisy queries anything and the min discards the burst.
         // The extra sample may only TIGHTEN the result: if it fails,
-        // keep the N valid base samples and clear its error instead
-        // of retroactively publishing a measured query as failed.
+        // keep the N valid base samples — but record the failure in
+        // retried_errors so a flaky query stays visible (ADVICE r9).
         val times =
           if (base.size >= 2 && err.isEmpty && base.max / base.min > 1.4) {
             val extra = timedRun()
-            if (extra.isEmpty) err = None
+            if (extra.isEmpty) {
+              retriedErrors(name) = err.getOrElse("extra run failed")
+              err = None
+            }
             base ++ extra
           } else base
         spark.catalog.clearCache()
@@ -127,8 +135,14 @@ object Bench {
     // rounds compare on), `value_max` the max-of-N total — a wide
     // gap between them says machine-state noise, not plan change
     val totalMax = results.map(_._3).filter(_ >= 0).sum
+    // the headline `value` is the SUM OF PER-QUERY MINS across the N
+    // runs (each query's steady-state time), `value_max` the sum of
+    // per-query maxes — the gap between them is machine-state spread,
+    // not plan change; `agg` spells this out for the board reader
+    val rerrs = retriedErrors.map { case (k, e) =>
+      "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —
     // carries the per-query GC seconds the compact stdout line omits
     val gcs = results.map { case (k, _, _, _) =>
@@ -136,7 +150,7 @@ object Bench {
     val qmax = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
@@ -152,6 +166,6 @@ object Bench {
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"runs":$runs,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

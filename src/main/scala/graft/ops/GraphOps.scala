@@ -363,8 +363,14 @@ object GraphOps {
     * Scale shape: per round, two hash joins of the score vectors
     * against the persisted edge list and two keyed aggregations —
     * the q82 posture exactly; the normalizing max is a 1-row
-    * broadcast, never a driver collect. Fixed iteration count keeps
-    * the plan a finite unrolled DAG. */
+    * broadcast, never a driver collect. Each half-step's aggregate
+    * frame is lineage-cut (Checkpoints.cut) BEFORE renorm reads it
+    * twice (the max and the rescale join): without the cut the
+    * physical plan doubles per half-step, 2^(2·iters) subtree
+    * replication (VERDICT r9 #1 — 135.8 s at sf0.1). With it every
+    * round's plan is constant-depth over a materialized leaf. The
+    * last hub and auth cuts stay alive (the returned frame reads
+    * them); older generations are released as the loop advances. */
   def q209Hits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val e = Tables.events(s, dir)
       .filter(col("event_type") === "click")
@@ -372,9 +378,18 @@ object GraphOps {
               get_json_object(col("props"), "$.k").cast("long").as("i"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Keep the two newest cuts (final hubs + final auth feed the
+    // returned union); release anything older — localCheckpoint
+    // blocks have no lineage to recompute from, so a too-eager
+    // release would corrupt the result.
+    var newest: DataFrame = null
+    var second: DataFrame = null
     def renorm(df: DataFrame, key: String, sc: String): DataFrame = {
-      val mx = df.agg(max(col(sc)).as("mx"))
-      df.crossJoin(broadcast(mx))
+      val cutd = Checkpoints.cut(df)
+      if (second != null) Checkpoints.release(second)
+      second = newest; newest = cutd
+      val mx = cutd.agg(max(col(sc)).as("mx"))
+      cutd.crossJoin(broadcast(mx))
         .select(col(key), expr(s"$sc * 1000000L div mx").as(sc))
     }
     var hubs = e.select(col("u")).distinct()
@@ -388,6 +403,7 @@ object GraphOps {
         e.join(auth, Seq("i")).groupBy(col("u")).agg(sum(col("a")).as("h")),
         "u", "h")
     }
+    e.unpersist(blocking = false) // final frames read only the cuts
     hubs.select(concat(lit("u"), col("u")).as("node"), lit("hub").as("kind"),
                 col("h").as("score_micro"))
       .unionByName(

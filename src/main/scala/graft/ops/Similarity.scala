@@ -1365,6 +1365,10 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
               floor(col("sim_exact") * lit(1000000.0) + lit(0.5))
                 .cast("long").as("rel_micro"))
+      // two consumers (vector join-back + the greedy-group seed
+      // below) — persist the |Q|·n-row frame so the corpus-sized
+      // retrieval pass runs exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // re-attach candidate vectors: broadcast the |Q|·n-row id frame,
     // stream the persisted corpus once
     val cv = e.join(broadcast(cands), col("vec_id") === col("n_id"))
@@ -1374,14 +1378,24 @@ object Similarity {
     val pb = cv.select(col("q_id"), col("n_id"), col("embedding"), col("nrm"))
       .toDF("q_id", "b_id", "b_emb", "b_nrm")
     val pairSim = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
-    val rows = pa.join(pb, Seq("q_id"))
+    // the greedy groups seed from CANDS, not the a≠b pair frame: a
+    // query with exactly one retrieved candidate has no pairs, and
+    // seeding from pairs would drop its pick-1 row while the oracle
+    // still emits it (ADVICE r9) — left-join the pairwise map and
+    // default it empty
+    val pairMaps = pa.join(pb, Seq("q_id"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("q_id"), col("a_id"), col("a_rel"), col("b_id"),
+      .select(col("q_id"), col("a_id"), col("b_id"),
               floor(pairSim * lit(1000000.0) + lit(0.5))
                 .cast("long").as("pm_micro"))
-      .groupBy(col("q_id"), col("a_id"), col("a_rel"))
+      .groupBy(col("q_id"), col("a_id"))
       .agg(map_from_entries(collect_list(struct(col("b_id"), col("pm_micro"))))
              .as("pm"))
+    val rows = cands
+      .join(pairMaps, cands("q_id") === pairMaps("q_id") &&
+                      cands("n_id") === pairMaps("a_id"), "left")
+      .select(cands("q_id"), col("n_id"), col("rel_micro"),
+              coalesce(col("pm"), typedLit(Map.empty[Long, Long])).as("pm"))
       .as[(Long, Long, Long, Map[Long, Long])]
     rows.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>

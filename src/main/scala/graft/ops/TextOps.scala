@@ -1368,8 +1368,8 @@ object TextOps {
          sum(CASE WHEN net > 0 THEN 1 ELSE 0 END)::BIGINT AS pos_docs,
          sum(CASE WHEN net < 0 THEN 1 ELSE 0 END)::BIGINT AS neg_docs,
          sum(CASE WHEN net = 0 THEN 1 ELSE 0 END)::BIGINT AS neu_docs,
-         ((sum(net) + 3 * sum(n_tok)) * 1000000) // sum(n_tok)
-           - 3000000 AS net_micro
+         CAST(((sum(net) + 3 * sum(n_tok)) * 1000000) // sum(n_tok)
+           - 3000000 AS BIGINT) AS net_micro
        FROM pd GROUP BY source ORDER BY source"""
   }
 

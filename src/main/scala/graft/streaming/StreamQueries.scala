@@ -346,9 +346,12 @@ object StreamQueries {
       // mtimes: the file source orders by modification time, so under
       // maxFilesPerTrigger=2 the snapshot+seed pair is batch 0 and
       // each of these becomes its own later batch, exactly like the
-      // explicit drop loop it replaces. (setLastModifiedTime may
-      // touch a hard-linked cache inode — harmless: every run re-sets
-      // its own ordering before start.)
+      // explicit drop loop it replaces. The retimed file is a COPY,
+      // never a hard link: setLastModifiedTime on a link mutates the
+      // shared per-dir cache inode, and a concurrently staging run
+      // (parallel suites) could then see its own seed/sentinel links
+      // retimed into the future and silently co-batch a watermark
+      // advance (ADVICE r9).
       // Guard: with ≥2 post-seed sentinels the 2-file batch window
       // would CO-BATCH them, silently collapsing two watermark
       // advances into one — no current query does this; one that
@@ -360,7 +363,7 @@ object StreamQueries {
       remainingPicks.zipWithIndex.foreach { case (pick, idx) =>
         sentinelNo += 1
         val dst = tmp.resolve(s"sentinel$sentinelNo.parquet")
-        linkOrCopy(sentFile(pick), dst)
+        Files.copy(sentFile(pick), dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(now + 5000L * (idx + 1)))
       }

@@ -387,6 +387,27 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q189 MMR emits pick 1 for a query with exactly one candidate") {
+    import spark.implicits._
+    // ADVICE r9: a corpus of two vectors gives each query (both ids
+    // < 4) exactly ONE candidate — no a≠b pairs exist, so a greedy
+    // loop seeded from the pair frame would drop both queries while
+    // the oracle still emits their pick-1 rows. The group must seed
+    // from cands with an empty pairwise map.
+    val tmp = java.nio.file.Files.createTempDirectory("mmr1").toString
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q189MmrRerank(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 1L, 1L, 7000000L), (1L, 1L, 0L, 7000000L)),
+      s"single-candidate picks wrong: ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
+
   test("q190 margin mining pairs each side-A vector with its true match") {
     import spark.implicits._
     // evens = side A, odds = side B; a0 has an exact copy at b1, a2 a

@@ -429,14 +429,55 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q209 HITS rounds reuse the persisted edge list, max is broadcast") {
+  test("q209 HITS final plan reads only the last cuts; max is broadcast") {
+    // after the per-half-step lineage cuts (VERDICT r9 #1) the
+    // returned union must read the two final checkpointed score
+    // frames — never the parquet scan or any earlier round's lineage
     val p = plan("q209_hits")
-    // 3 rounds x 2 half-steps read the edge cache, plus the hub seed
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 6,
-      s"every half-step must read the edge cache:\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"),
+      s"final plan must read the checkpointed score frames:\n${p.take(1200)}")
+    assert(!p.contains("Scan parquet"),
+      s"round history leaked into the final plan:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"),
       "the L-inf rescale must broadcast its 1-row max")
     spark.catalog.clearCache()
+  }
+
+  /** VERDICT r9 #3: the guardrail that would have caught q209's
+    * exponential plan pre-merge. An iterative operator whose carried
+    * frame re-enters a round more than once without a lineage cut
+    * doubles its plan subtree per round — optimized-plan node count
+    * goes exponential in `iters` and shows up here as a super-linear
+    * second delta long before the bench burns. Every round-count-
+    * parameterized operator must stay at most LINEAR. */
+  private def nodeCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case n => n }.length
+
+  test("iterative operators: plan node count grows at most linearly in rounds") {
+    val mk: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "q82_pagerank" -> (i => graft.ops.GraphOps.q82PageRank(spark, sf0001, i)),
+      "q99_label_prop" -> (i => graft.ops.GraphOps.q99LabelProp(spark, sf0001, i)),
+      "q126_weighted_pagerank" ->
+        (i => graft.ops.GraphOps.q126WeightedPageRank(spark, sf0001, i)),
+      "q157_khop_bfs" ->
+        (i => graft.ops.GraphOps.q157KHopBfs(spark, sf0001, maxHops = i)),
+      "q209_hits" -> (i => graft.ops.GraphOps.q209Hits(spark, sf0001, i)))
+    for ((name, f) <- mk) {
+      val counts = Seq(2, 3, 4).map { i =>
+        val n = nodeCount(f(i)); spark.catalog.clearCache(); n
+      }
+      val (d1, d2) = (counts(1) - counts(0), counts(2) - counts(1))
+      assert(d2 <= d1 + 4,
+        s"$name plan grows super-linearly: nodes(iters=2,3,4)=$counts")
+    }
+  }
+
+  test("q209 plan is CONSTANT in rounds — cuts erase all history") {
+    val n2 = nodeCount(graft.ops.GraphOps.q209Hits(spark, sf0001, 2))
+    spark.catalog.clearCache()
+    val n5 = nodeCount(graft.ops.GraphOps.q209Hits(spark, sf0001, 5))
+    spark.catalog.clearCache()
+    assert(n2 == n5, s"q209 plan grew with iters: nodes(2)=$n2 nodes(5)=$n5")
   }
 
   test("q196 report is one scoring pass into one aggregate pair") {

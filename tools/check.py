@@ -78,6 +78,27 @@ def main() -> None:
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
+        # The driver's gate hashes VALUES WITH THEIR TYPES: an oracle
+        # column that DuckDB widens to HUGEINT fetches as float64 and
+        # hash-mismatches Spark's int64 even when every value is
+        # numerically equal (the q198/q63 lesson). Mirror that here by
+        # failing on int-vs-float dtype class divergence.
+        def _cls(dt):
+            if pd.api.types.is_integer_dtype(dt):
+                return "int"
+            if pd.api.types.is_float_dtype(dt):
+                return "float"
+            return "other"
+        tbad = [
+            f"  col {c}: spark dtype {got[c].dtype} vs oracle dtype {want[c].dtype}"
+            for c in got.columns
+            if {_cls(got[c].dtype), _cls(want[c].dtype)} == {"int", "float"}
+        ]
+        if tbad:
+            print(f"FAIL {name}: dtype class mismatch (HUGEINT/uncast sum in oracle?)")
+            print("\n".join(tbad))
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1

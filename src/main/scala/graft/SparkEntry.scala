@@ -235,6 +235,11 @@ object SparkEntry {
     "q207_novelty_curve"   -> ((s, d) => Dedup.q207NoveltyCurve(s, d)),
     "q208_frame_phash"     -> ((s, d) => Multimodal.q208FramePhash(s, d)),
     "q209_hits"            -> ((s, d) => graft.ops.GraphOps.q209Hits(s, d)),
+    "q210_cell_caps"       -> ((s, d) => graft.ops.Sampling.q210CellCaps(s, d)),
+    "q211_seq_patterns"    -> ((s, d) => graft.ops.EventOps.q211SeqPatterns(s, d)),
+    "q212_colbert_maxsim"  -> ((s, d) => Similarity.q212ColbertMaxsim(s, d)),
+    "q213_kmv_set_ops"     -> ((s, d) => Relational.q213KmvSetOps(s, d)),
+    "q214_hll_registers"   -> ((s, d) => Relational.q214HllRegisters(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2405,5 +2410,10 @@ object SparkEntry {
     "q207_novelty_curve" -> Dedup.q207OracleSql,
     "q208_frame_phash" -> Multimodal.q208OracleSql(),
     "q209_hits" -> graft.ops.GraphOps.q209OracleSql(),
+    "q210_cell_caps" -> graft.ops.Sampling.q210OracleSql,
+    "q211_seq_patterns" -> graft.ops.EventOps.q211OracleSql(),
+    "q212_colbert_maxsim" -> Similarity.q212OracleSql(),
+    "q213_kmv_set_ops" -> Relational.q213OracleSql(),
+    "q214_hll_registers" -> Relational.q214OracleSql,
   )
 }

@@ -1245,4 +1245,66 @@ object EventOps {
            AS last_fc_micro
        FROM g WHERE rn >= 17 GROUP BY event_type ORDER BY event_type"""
   }
+
+  /** q211 — length-3 SEQUENTIAL pattern mining (the PrefixSpan /
+    * SPAM problem family [Pei et al., ICDE 2001]): which ordered
+    * event-type triples a>b>c (order preserved, gaps allowed) occur
+    * in the most users' event streams. Support counts USERS, not
+    * occurrences — each user's pattern set is dedup'd before the
+    * count, the standard sequence-mining semantics. Every user's
+    * stream is capped at its first 20 events (by time, event_id
+    * ties) so the per-user candidate fan-out is bounded at
+    * C(20,3) = 1,140 regardless of how heavy the user is.
+    *
+    * Scale shape: one per-user window caps the stream (user-keyed
+    * partitioning — millions of users parallelize it); subsequence
+    * enumeration is a pure map-side HOF over the ≤20-element array
+    * (no self-joins — the positional triple join a DB would run is
+    * collapsed into nested `transform`s inside one task); support
+    * is a single count aggregation on the exploded pattern stream.
+    * At 100 TB only (pattern, user) pairs cross the shuffle, capped
+    * at 1,140 per user. */
+  def q211SeqPatterns(s: SparkSession, dir: String,
+                      cap: Int = 20, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seqs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")
+             .as("sq"))
+    seqs
+      .select(col("user_id"),
+        explode(when(size(col("sq")) >= 3, expr(
+          """array_distinct(flatten(flatten(
+               transform(sequence(1, size(sq) - 2), i ->
+                 transform(sequence(i + 1, size(sq) - 1), j ->
+                   transform(sequence(j + 1, size(sq)), k ->
+                     concat(sq[i-1], '>', sq[j-1], '>', sq[k-1])))))))"""))
+          .otherwise(typedLit(Seq.empty[String]))).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("pattern"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for q211 — the same capped streams, with the
+    * HOF enumeration expressed as the classic positional triple
+    * self-join and per-user DISTINCT. */
+  def q211OracleSql(cap: Int = 20, k: Int = 25): String =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn FROM events),
+       sq AS (SELECT u, rn, t FROM ev WHERE rn <= $cap),
+       pat AS (SELECT DISTINCT a.u,
+           a.t || '>' || b.t || '>' || c.t AS pattern
+         FROM sq a
+         JOIN sq b ON a.u = b.u AND b.rn > a.rn
+         JOIN sq c ON b.u = c.u AND c.rn > b.rn)
+       SELECT pattern, count(*)::BIGINT AS n_users
+       FROM pat GROUP BY pattern
+       ORDER BY n_users DESC, pattern LIMIT $k"""
 }

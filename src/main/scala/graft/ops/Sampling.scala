@@ -835,4 +835,77 @@ object Sampling {
          FROM dw JOIN sc USING (w) GROUP BY ALL)
        SELECT doc_id, source, lang, n_tokens, num // n_tokens AS w_micro
        FROM wts ORDER BY w_micro DESC, doc_id LIMIT $k"""
+
+  /** q210 — per-cell frequency capping (the RefinedWeb/FineWeb
+    * "per-domain cap" move, on the (source, lang) cells this corpus
+    * has): cells over-represented in the raw crawl are capped at a
+    * data-derived budget — cap = ⌈N / (2·|cells|)⌉, i.e. half the
+    * mean cell size, floor 1 — and WHICH documents survive is
+    * decided by content hash rank (smallest [[hashRank52]] first,
+    * doc_id ties), never by position or randomness, so any engine
+    * and any layout reproduces the identical survivor set. Reported
+    * per cell: raw size, cap, kept count, and kept char mass — the
+    * audit row a corpus-build logs.
+    *
+    * Scale shape: the cap is ONE 1-row aggregate collected to the
+    * driver (the A2 global-scalar discipline); survivor selection is
+    * the bounded [[graft.functions.TopK]] aggregator per cell
+    * (map-side partial, ≤ cap rows per cell per partition cross the
+    * shuffle — never a corpus-wide window sort); kept stats re-enter
+    * via a broadcast id join (|cells|·cap rows). At 100 TB nothing
+    * but per-cell top-cap buffers and the tiny kept-id frame move. */
+  def q210CellCaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopK
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+              hashRank52(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap = ceil(N / (2*|cells|)): one scalar to the driver (A2)
+    val Array(total, nCells) = cells
+      .agg(sum(col("n_docs")), count(lit(1))).as[(Long, Long)]
+      .collect().map { case (t, c) => Array(t, c) }.head
+    val cap = math.max(1L, (total + 2 * nCells - 1) / (2 * nCells)).toInt
+    val kept = d
+      .select(concat_ws("|", col("source"), col("lang")).as("cell"),
+              col("doc_id"), col("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      // smallest hash wins; TopK keeps score DESC with id-asc ties,
+      // so feed -h (ids break exact-duplicate-text hash ties)
+      .mapValues { case (_, id, h) => TopK.Scored(id, -h.toDouble) }
+      .agg(TopK.topK(cap).toColumn.name("top"))
+      .flatMap { case (_, top) => top.map(_.id) }
+      .toDF("doc_id")
+    val keptStats = d.join(broadcast(kept), Seq("doc_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    cells.join(keptStats, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"),
+              lit(cap.toLong).as("cap"), col("n_kept"), col("kept_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** DuckDB oracle for q210 — identical ceiling-division cap and
+    * (hash, doc_id)-ranked survivor selection. */
+  def q210OracleSql: String =
+    """WITH d AS (SELECT source, lang, doc_id, n_chars,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT AS h FROM documents),
+       cells AS (SELECT source, lang, count(*)::BIGINT AS n_docs
+         FROM d GROUP BY source, lang),
+       cap AS (SELECT greatest(1, (sum(n_docs) + 2 * count(*) - 1)
+           // (2 * count(*))) AS cap FROM cells),
+       rk AS (SELECT source, lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY h, doc_id) AS r FROM d),
+       kept AS (SELECT source, lang,
+         count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+         FROM rk WHERE r <= (SELECT cap FROM cap) GROUP BY source, lang)
+       SELECT source, lang, n_docs, (SELECT cap FROM cap)::BIGINT AS cap,
+         n_kept, kept_chars
+       FROM cells JOIN kept USING (source, lang)
+       ORDER BY source, lang"""
 }

@@ -1781,4 +1781,67 @@ object Similarity {
          count(t.n_id) * 20 AS recall_pct
        FROM full5 f LEFT JOIN t5 t ON f.q_id = t.q_id AND f.n_id = t.n_id
        GROUP BY f.q_id ORDER BY f.q_id"""
+
+  /** q212 — ColBERT-style LATE-INTERACTION retrieval scoring
+    * [Khattab & Zaharia, SIGIR 2020]: multi-vector documents scored
+    * by MaxSim — score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u) — instead
+    * of one pooled vector per document. The vector table is grouped
+    * into 4-token pseudo-documents (did = vec_id div 4, token slot =
+    * vec_id mod 4); queries are the first two documents. Every
+    * pairwise cosine is quantized to integer micro-units BEFORE the
+    * max and sum, so the whole interaction matrix reduction is
+    * integer-exact and the oracle replays it bit-for-bit (sums of
+    * ≤4 micro values stay ≤ 4e6 — double-exact through the TopK
+    * aggregator too).
+    *
+    * Scale shape: queries broadcast (|Q|·4 token vectors); the
+    * corpus-sized stage is ONE map-side scoring pass producing
+    * (q, doc, q_token, micro) rows, then two keyed reductions
+    * (max per q-token, sum per doc) and the bounded [[topKPerQuery]]
+    * top-k. No doc-side self-join, no window over the corpus — the
+    * same posture as q26 with a 4× row multiplier for the token
+    * dimension. */
+  def q212ColbertMaxsim(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(expr("vec_id div 4").as("did"), expr("vec_id % 4").as("tok"),
+              col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = broadcast(
+      e.filter(col("did") < 2).toDF("q_did", "q_tok", "q_emb", "q_nrm"))
+    val c = e.toDF("c_did", "c_tok", "c_emb", "c_nrm")
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
+    val scored = q.join(c, col("c_did") =!= col("q_did"))
+      .select(col("q_did"), col("c_did"), col("q_tok"),
+              floor(sim * lit(1000000.0) + lit(0.5)).cast("long").as("sm"))
+      .groupBy(col("q_did"), col("c_did"), col("q_tok"))
+      .agg(max(col("sm")).as("ms"))
+      .groupBy(col("q_did"), col("c_did"))
+      .agg(sum(col("ms")).as("score"))
+    topKPerQuery(
+      scored.select(col("q_did"), col("c_did"),
+                    col("score").cast("double").as("sd")), k)
+      .select(col("q_id").as("q_did"), col("n_id").as("c_did"),
+              col("sim_exact").cast("long").as("maxsim_micro"), col("rn"))
+      .orderBy(col("q_did"), col("rn"))
+  }
+
+  /** DuckDB oracle for q212 — identical grouping, micro quantization,
+    * max-then-sum reduction, and (score DESC, id) top-k. */
+  def q212OracleSql(k: Int = 5): String =
+    s"""WITH t AS (SELECT vec_id // 4 AS did, vec_id % 4 AS tok, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm FROM embeddings),
+       pw AS (SELECT q.did AS q_did, c.did AS c_did, q.tok AS q_tok,
+         CAST(floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q.nrm * c.nrm)
+           * 1000000 + 0.5) AS BIGINT) AS sm
+         FROM t q JOIN t c ON q.did < 2 AND c.did <> q.did),
+       mx AS (SELECT q_did, c_did, q_tok, max(sm) AS ms
+         FROM pw GROUP BY q_did, c_did, q_tok),
+       sc AS (SELECT q_did, c_did, sum(ms)::BIGINT AS score
+         FROM mx GROUP BY q_did, c_did),
+       rk AS (SELECT q_did, c_did, score,
+         row_number() OVER (PARTITION BY q_did
+                            ORDER BY score DESC, c_did) AS rn FROM sc)
+       SELECT q_did, c_did, score AS maxsim_micro, CAST(rn AS INT) AS rn
+       FROM rk WHERE rn <= $k ORDER BY q_did, rn"""
 }

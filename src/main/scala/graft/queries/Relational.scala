@@ -1181,4 +1181,206 @@ object Relational {
            AS lift_micro
        FROM pairs JOIN keep ka ON ka.p = pa JOIN keep kb ON kb.p = pb
        ORDER BY lift_micro DESC, pa, pb LIMIT 50"""
+
+  /** q213 — KMV (k-minimum-values) SET OPERATIONS [Beyer et al.,
+    * SIGMOD 2007]: per event-type pair, estimate |A∪B| and |A∩B| of
+    * the two types' user sets from 64-value bottom-k sketches, next
+    * to the exact answers the gate verifies everything against. The
+    * union sketch of two KMV sketches is the bottom-k of their merged
+    * values (KMV's closure property — the reason warehouses ship it);
+    * est_union = (k−1)·P div h_k with the replayable affine hash
+    * uniform on [0,P); the intersection rides the union sketch:
+    * ρ = |{h ∈ union-k : h ∈ skA ∧ h ∈ skB}| (any union-k member
+    * belonging to A is necessarily in A's bottom-k), and
+    * est_inter = ρ·est_union div k. When |A∪B| < k the sketches ARE
+    * the sets and both estimates collapse to exact counts. All
+    * arithmetic is int64: est_union ≤ 63·P ≈ 6.3e10.
+    *
+    * Scale shape: one distinct (type, hash) projection, then the
+    * bounded [[graft.functions.TopK]] aggregator per type (map-side
+    * partial, ≤ k values per type per partition cross the shuffle);
+    * pair combination runs on the |types|²-row sketch frame with
+    * list HOFs — corpus size never enters the pair stage. Exact
+    * baselines are one user-keyed aggregation + a broadcast of the
+    * tiny type-pair list. */
+  def q213KmvSetOps(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopK
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+    // bottom-k of the affine user hash per type, ascending array
+    val sk = ev.distinct()
+      .select(col("t"), pmod(lit(LcA) * col("u") + lit(LcB), lit(LcP)).as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, hv) => TopK.Scored(hv, -hv.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .map { case (t, top) => (t, top.map(_.id).sorted.toArray) }
+      .toDF("t", "sk")
+    // exact pairwise counts: one user-keyed type-set aggregation,
+    // then a broadcast pair probe (|pairs| = |types|·(|types|−1)/2)
+    val types = ev.select(col("t")).distinct()
+    val pairsList = types.toDF("ta")
+      .crossJoin(types.toDF("tb")).filter(col("ta") < col("tb"))
+    val userTypes = ev.distinct()
+      .groupBy(col("u")).agg(collect_set(col("t")).as("ts"))
+    val exact = userTypes
+      .join(broadcast(pairsList),
+        array_contains(col("ts"), col("ta")) ||
+        array_contains(col("ts"), col("tb")))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("exact_union"),
+           sum((array_contains(col("ts"), col("ta")) &&
+                array_contains(col("ts"), col("tb"))).cast("long"))
+             .as("exact_inter"))
+    val p = sk.toDF("ta", "ska")
+      .join(sk.toDF("tb", "skb"), col("ta") < col("tb"))
+      .withColumn("uk", slice(array_sort(array_union(col("ska"), col("skb"))),
+                              1, k))
+      .withColumn("small", size(col("uk")) < k)
+      .withColumn("est_union",
+        when(col("small"), size(col("uk")).cast("long"))
+          .otherwise(expr(s"(${k - 1}L * $LcP) div element_at(uk, $k)")))
+      .withColumn("rho",
+        size(filter(col("uk"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+          .cast("long"))
+      .withColumn("est_inter",
+        when(col("small"), col("rho"))
+          .otherwise(expr(s"(rho * est_union) div $k")))
+    p.join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("est_union"), col("est_inter"),
+              col("exact_union"), col("exact_inter"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** DuckDB oracle for q213 — identical affine hash, bottom-k via
+    * ranked window, identical list-HOF union/intersection estimates,
+    * and exact baselines from a user-type contingency join. */
+  def q213OracleSql(k: Int = 64): String =
+    s"""WITH ev AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+       h AS (SELECT t, ($LcA * u + $LcB) % $LcP AS hv FROM ev),
+       rk AS (SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv)
+           AS r FROM h),
+       sk AS (SELECT t, list(hv ORDER BY hv) AS sk FROM rk
+           WHERE r <= $k GROUP BY t),
+       pr AS (SELECT a.t AS ta, b.t AS tb, a.sk AS ska, b.sk AS skb
+           FROM sk a JOIN sk b ON a.t < b.t),
+       est AS (SELECT ta, tb,
+           list_sort(list_distinct(list_concat(ska, skb)))[:$k] AS uk,
+           ska, skb FROM pr),
+       e2 AS (SELECT ta, tb,
+           len(uk) < $k AS small,
+           CASE WHEN len(uk) < $k THEN len(uk)::BIGINT
+                ELSE (${k - 1}::BIGINT * $LcP) // uk[$k] END AS est_union,
+           len(list_filter(uk, x -> list_contains(ska, x)
+               AND list_contains(skb, x)))::BIGINT AS rho
+           FROM est),
+       ut AS (SELECT u, list(DISTINCT t) AS ts FROM ev GROUP BY u),
+       pairs AS (SELECT a.t AS ta, b.t AS tb
+           FROM (SELECT DISTINCT t FROM ev) a
+           JOIN (SELECT DISTINCT t FROM ev) b ON a.t < b.t),
+       ex AS (SELECT ta, tb,
+           count(*)::BIGINT AS exact_union,
+           sum(CASE WHEN list_contains(ts, ta) AND list_contains(ts, tb)
+               THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+           FROM ut JOIN pairs ON list_contains(ts, ta) OR list_contains(ts, tb)
+           GROUP BY ta, tb)
+       SELECT e2.ta, e2.tb, est_union,
+         CASE WHEN small THEN rho ELSE (rho * est_union) // $k END AS est_inter,
+         exact_union, exact_inter
+       FROM e2 JOIN ex ON e2.ta = ex.ta AND e2.tb = ex.tb
+       ORDER BY e2.ta, e2.tb"""
+
+  /** q214 — register-exact HyperLogLog [Flajolet et al., AofA 2007]:
+    * the register construction of q41's approx_count_distinct, made
+    * fully oracle-replayable. Each o_custkey hashes to 52 md5 bits;
+    * the top 8 index one of m = 256 registers, the register keeps
+    * max(ρ) where ρ = leading-zero count of the remaining 44 bits
+    * + 1 (computed EXACTLY as 45 − len(bin(rest)), no floats). The
+    * raw estimate α·m²/Σ2^{−ρ} is two exact-integer reductions (the
+    * 2-power sum is carried as Σ2^{45−ρ} ≤ 256·2^45 ≈ 9e15, inside
+    * int64) and ONE final double expression rounded to 4dp; the
+    * small-range regime applies linear counting on the zero
+    * registers (the q186 estimator, reused) — both engines compute
+    * the identical double from identical integers. Verified next to
+    * the exact distinct count per group.
+    *
+    * Scale shape: (group, register) partial max — map-side combine,
+    * ≤ m·|groups| rows cross the shuffle regardless of corpus size —
+    * then an m-row-per-group rollup. This is the mergeable-sketch
+    * shape warehouses run over 100 TB: registers, not rows, move. */
+  def q214HllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val two44 = 17592186044416L // 2^44
+    val two45 = 35184372088832L // 2^45
+    val h52 = conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+                   16, 10).cast("long")
+    val regs = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_custkey"), h52.as("h"))
+      .select(col("o_orderstatus"), col("o_custkey"),
+              expr(s"h div ${two44}L").as("bucket"),
+              expr(s"h % ${two44}L").as("rest"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(max(when(col("rest") === 0, lit(45))
+                 .otherwise(lit(45) - length(bin(col("rest")))))
+             .cast("long").as("rho"))
+    val exact = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    val m = 256
+    val alpha = 0.7182725932495458 // 0.7213/(1 + 1.079/256)
+    regs
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("occupied"),
+           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(45 - rho AS INT))"))
+             .as("s_occ"))
+      .select(col("o_orderstatus"), col("occupied"),
+              (col("s_occ") + (lit(m.toLong) - col("occupied")) * lit(two45))
+                .as("s_sum"))
+      .withColumn("hll_raw",
+        r4(lit(alpha) * lit(m.toDouble * m.toDouble) * lit(two45.toDouble) /
+           col("s_sum").cast("double")))
+      .withColumn("hll_est",
+        when(col("hll_raw") <= lit(2.5 * m) && col("occupied") < m,
+          r4(lit(m.toDouble) *
+             log(lit(m.toDouble) /
+                 (lit(m.toLong) - col("occupied")).cast("double"))))
+          .otherwise(col("hll_raw")))
+      .join(exact, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("occupied"), col("s_sum"),
+              col("hll_raw"), col("hll_est"), col("exact_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB oracle for q214 — identical md5 bit split, bin()-length
+    * ρ, integer register sum, and the same two-regime estimator. */
+  def q214OracleSql: String =
+    s"""WITH h AS (SELECT o_orderstatus,
+         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))::BIGINT AS h,
+         o_custkey FROM orders),
+       b AS (SELECT o_orderstatus, h // 17592186044416 AS bucket,
+         h % 17592186044416 AS rest, o_custkey FROM h),
+       regs AS (SELECT o_orderstatus, bucket,
+         max(CASE WHEN rest = 0 THEN 45
+             ELSE 45 - length(bin(rest)) END)::BIGINT AS rho
+         FROM b GROUP BY o_orderstatus, bucket),
+       agg AS (SELECT o_orderstatus, count(*)::BIGINT AS occupied,
+         sum(1::BIGINT << (45 - rho)::INT)::BIGINT AS s_occ
+         FROM regs GROUP BY o_orderstatus),
+       s AS (SELECT o_orderstatus, occupied,
+         s_occ + (256 - occupied) * 35184372088832 AS s_sum FROM agg),
+       est AS (SELECT o_orderstatus, occupied, s_sum,
+         round(0.7182725932495458::DOUBLE * 65536.0::DOUBLE *
+               35184372088832.0::DOUBLE / s_sum::DOUBLE, 4) AS hll_raw
+         FROM s),
+       ex AS (SELECT o_orderstatus,
+         count(DISTINCT o_custkey)::BIGINT AS exact_customers
+         FROM orders GROUP BY o_orderstatus)
+       SELECT est.o_orderstatus, occupied, s_sum, hll_raw,
+         CASE WHEN hll_raw <= 640.0 AND occupied < 256
+              THEN round(256.0 * ln(256.0 / (256 - occupied)), 4)
+              ELSE hll_raw END AS hll_est,
+         exact_customers
+       FROM est JOIN ex ON est.o_orderstatus = ex.o_orderstatus
+       ORDER BY est.o_orderstatus"""
 }

@@ -635,4 +635,34 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.getLong(3) == 0L, "constant series has no error")
     assert(r.getLong(4) == 2000000L, s"last forecast must be c=2: ${r.getLong(4)}")
   }
+  test("q211 sequential patterns: user-deduped support, order preserved, gaps allowed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("seqp").toString
+    def ev(id: Long, u: Long, sec: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), u, t, 1.0, "{}")
+    // u1: a b c d  -> triples abc abd acd bcd
+    // u2: a b c    -> abc
+    // u3: b c      -> none (too short)
+    // u4: a a b b c -> aab abb abc(x4, dedup to 1) aac? no second... patterns:
+    //                  aab aac abb abc bbc — each counted ONCE for u4
+    val rows = Seq(
+      ev(1, 1, 1, "a"), ev(2, 1, 2, "b"), ev(3, 1, 3, "c"), ev(4, 1, 4, "d"),
+      ev(5, 2, 1, "a"), ev(6, 2, 2, "b"), ev(7, 2, 3, "c"),
+      ev(8, 3, 1, "b"), ev(9, 3, 2, "c"),
+      ev(10, 4, 1, "a"), ev(11, 4, 2, "a"), ev(12, 4, 3, "b"),
+      ev(13, 4, 4, "b"), ev(14, 4, 5, "c"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q211SeqPatterns(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = Map(
+      "a>b>c" -> 3L, // u1, u2, u4 (u4 counted once despite 4 embeddings)
+      "a>b>d" -> 1L, "a>c>d" -> 1L, "b>c>d" -> 1L,
+      "a>a>b" -> 1L, "a>a>c" -> 1L, "a>b>b" -> 1L, "b>b>c" -> 1L)
+    assert(got.toMap == want, s"got ${got.mkString(", ")}")
+    // ordering: support desc then pattern asc
+    assert(got.head == ("a>b>c", 3L))
+    assert(got.map(-_._2).zip(got.map(_._1)).sorted.map(_._2).toSeq ==
+      got.map(_._1).toSeq, "output order must be (support desc, pattern)")
+  }
 }

@@ -450,4 +450,34 @@ class SamplingSpec extends SparkSpec {
                             (3L, 3L, 458333L)), s"got ${got.mkString(", ")}")
     spark.catalog.clearCache()
   }
+  test("q210 cell caps: ceiling cap, hash-ranked survivors, exact kept mass") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("caps").toString
+    // cell (s1,en): 5 docs; cell (s2,fr): 1 doc -> N=6, cells=2,
+    // cap = ceil(6 / 4) = 2
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "gamma delta", "en", "s1", 11L),
+      (3L, "epsilon zeta", "en", "s1", 12L),
+      (4L, "eta theta", "en", "s1", 13L),
+      (5L, "iota kappa", "en", "s1", 14L),
+      (6L, "lambda mu", "fr", "s2", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // expected survivors of the s1 cell: the 2 smallest content-hash
+    // ranks, computed through the SAME public hash
+    val ranked = docs.filter(_._4 == "s1")
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select($"doc_id", $"n_chars", Sampling.hashRank52($"text").as("h"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).take(2)
+    val wantChars = ranked.map(_._3).sum
+    val got = Sampling.q210CellCaps(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("s1", "en", 5L, 2L, 2L, wantChars),
+      ("s2", "fr", 1L, 2L, 1L, 20L)), s"got ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

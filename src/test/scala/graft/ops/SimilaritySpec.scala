@@ -484,4 +484,29 @@ class SimilaritySpec extends SparkSpec {
         s"query $q recall out of range: ($hits, $pct)")
     }
   }
+  test("q212 MaxSim: per-token max then sum, ties by candidate id") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("colbert").toString
+    def axis(i: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == i) 1f else 0f)
+    // doc0 (query): tokens e1..e4; doc1 (query): four e1 tokens;
+    // doc2: e1..e4 (perfect match for doc0); doc3: four e4 tokens
+    val vecs =
+      (0 to 3).map(t => (t.toLong, axis(t), 0)) ++
+      (4 to 7).map(v => (v.toLong, axis(0), 0)) ++
+      (8 to 11).map(v => (v.toLong, axis(v - 8), 0)) ++
+      (12 to 15).map(v => (v.toLong, axis(3), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q212ColbertMaxsim(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // q0: d2 matches all 4 tokens (4e6); d1 and d3 match one (1e6) -> id tie
+    assert(got.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 2L, 4000000L, 1), (0L, 1L, 1000000L, 2), (0L, 3L, 1000000L, 3)),
+      s"q0 ranking wrong: ${got.mkString(", ")}")
+    // q1 (all e1): d0 and d2 both give every token maxsim 1 -> 4e6 tie by id
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 4000000L, 1), (1L, 2L, 4000000L, 2), (1L, 3L, 0L, 3)),
+      s"q1 ranking wrong: ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

@@ -480,6 +480,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(n2 == n5, s"q209 plan grew with iters: nodes(2)=$n2 nodes(5)=$n5")
   }
 
+  test("q210 cell caps: bounded TopK survivor pick, broadcast join-back, no corpus window") {
+    val p = plan("q210_cell_caps")
+    assert(!p.contains("Window"),
+      s"survivor pick must be the bounded aggregator, not a window:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final TopK ObjectHashAggregate pair")
+    assert(p.contains("BroadcastHashJoin"),
+      "kept-id stats join must broadcast the tiny survivor frame")
+    spark.catalog.clearCache()
+  }
+
+  test("q211 subsequence enumeration is join-free map-side HOF work") {
+    val p = plan("q211_seq_patterns")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+           !p.contains("CartesianProduct"),
+      s"triple enumeration must be nested transforms, not self-joins:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k patterns must be TakeOrdered, not a global sort")
+  }
+
+  test("q212 MaxSim: broadcast queries, bounded top-k, no corpus window") {
+    val p = plan("q212_colbert_maxsim")
+    assert(!p.contains("Window"),
+      s"top-k must not window the corpus-sized score frame:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final TopK ObjectHashAggregate pair")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query token vectors must broadcast against the corpus")
+  }
+
+  test("q213 KMV sketches ride the bounded aggregator; pair stage sees only sketch rows") {
+    val p = plan("q213_kmv_set_ops")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final bottom-k ObjectHashAggregate pair")
+    assert(!p.contains("CartesianProduct"),
+      s"type-pair combination must be the keyed/broadcast join:\n${p.take(1200)}")
+  }
+
+  test("q214 HLL registers: map-side combine, no window, no self-join") {
+    val p = plan("q214_hll_registers")
+    assert(!p.contains("Window"), "register build must not window")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final pairs for both the register and rollup aggs")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

@@ -393,4 +393,54 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(7) == 1000000L)
     spark.catalog.clearCache()
   }
+  test("q213 KMV small regime: sketches are the sets, estimates exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv").toString
+    def ev(id: Long, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), u, t, 1.0, "{}")
+    // X users {1,2,3}; Y users {2,3,4}; Z users {9}
+    val rows = Seq(ev(1, 1, "X"), ev(2, 2, "X"), ev(3, 3, "X"),
+      ev(4, 2, "Y"), ev(5, 3, "Y"), ev(6, 4, "Y"), ev(7, 9, "Z"),
+      ev(8, 2, "X")) // duplicate (X,2) must not double-count
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.Relational.q213KmvSetOps(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("X", "Y", 4L, 2L, 4L, 2L),
+      ("X", "Z", 4L, 0L, 4L, 0L),
+      ("Y", "Z", 4L, 0L, 4L, 0L)), s"got ${got.mkString(", ")}")
+  }
+
+  test("q214 HLL: exact baseline, register bounds, and the two-regime estimator") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hll").toString
+    val rows = (1 to 300).map(i => (i.toLong, (i % 100).toLong + 1, "A", 10.0)) ++
+      Seq((1001L, 7L, "B", 5.0))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.queries.Relational.q214HllRegisters(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4), r.getLong(5)))
+    val m = 256
+    val two45 = 35184372088832L
+    got.foreach { case (st, occ, sSum, raw, est, exact) =>
+      val nCust = if (st == "A") 100L else 1L
+      assert(exact == nCust, s"$st exact wrong: $exact")
+      assert(occ >= 1 && occ <= math.min(m.toLong, nCust), s"$st occupied $occ")
+      // raw estimate must equal the closed form over the integer sum
+      val wantRaw = BigDecimal(
+        0.7182725932495458 * m.toDouble * m.toDouble * two45.toDouble / sSum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(raw - wantRaw) < 5e-4, s"$st raw $raw != $wantRaw")
+      // both fixtures sit in the small-range regime -> linear counting
+      val wantEst = BigDecimal(m.toDouble *
+          math.log(m.toDouble / (m - occ)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(raw <= 2.5 * m, s"$st unexpectedly out of small range")
+      assert(math.abs(est - wantEst) < 5e-4, s"$st est $est != $wantEst")
+    }
+    assert(got.map(_._1).toSeq == Seq("A", "B"))
+  }
 }

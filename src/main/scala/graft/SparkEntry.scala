@@ -240,6 +240,9 @@ object SparkEntry {
     "q212_colbert_maxsim"  -> ((s, d) => Similarity.q212ColbertMaxsim(s, d)),
     "q213_kmv_set_ops"     -> ((s, d) => Relational.q213KmvSetOps(s, d)),
     "q214_hll_registers"   -> ((s, d) => Relational.q214HllRegisters(s, d)),
+    "q215_kcore"           -> ((s, d) => graft.ops.GraphOps.q215KCore(s, d)),
+    "q216_containment"     -> ((s, d) => Dedup.q216Containment(s, d)),
+    "q217_ndcg_eval"       -> ((s, d) => Similarity.q217NdcgEval(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2415,5 +2418,8 @@ object SparkEntry {
     "q212_colbert_maxsim" -> Similarity.q212OracleSql(),
     "q213_kmv_set_ops" -> Relational.q213OracleSql(),
     "q214_hll_registers" -> Relational.q214OracleSql,
+    "q215_kcore" -> graft.ops.GraphOps.q215OracleSql(),
+    "q216_containment" -> Dedup.q216OracleSql(),
+    "q217_ndcg_eval" -> Similarity.q217OracleSql(),
   )
 }

@@ -1732,4 +1732,126 @@ object Dedup {
          sum(novel)::BIGINT AS novel,
          (sum(novel) * 1000000 // sum(n_grams))::BIGINT AS novelty_micro
        FROM pd GROUP BY decile ORDER BY decile"""
+
+  /** q216 — one-sided CONTAINMENT near-dup pairs over 3-gram shingle
+    * sets: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric
+    * overlap measure that catches QUOTE/SUBSET duplication (a short
+    * passage embedded verbatim in a longer document makes A's shingle
+    * set a near-subset of B's and scores near 1e6 on A's side, while
+    * the pair's Jaccard — what q184's MinHash banding hunts — stays
+    * low, so symmetric banding would miss exactly these pairs).
+    * Shingles, not unigram tokens: this corpus draws from a ~31-word
+    * vocabulary, so every TOKEN is corpus-common and token-level
+    * blocking/containment carries no signal, while 3-gram sequences
+    * are document-distinctive (the q185 lesson). Candidates come from
+    * the df-capped inverted index (q91's blocking: pairs must share a
+    * shingle with document frequency ≤ dfCap); the verify is exact
+    * set arithmetic on the carried distinct-shingle arrays, integer
+    * micro both directions.
+    *
+    * Scale shape: one per-doc shingle projection feeds the posting
+    * lists and both verify sides (persisted); pair generation is
+    * q91's map-side HOF expansion (≤ dfCap²/2 pairs per rare
+    * shingle, never a shingle-keyed self-join of the corpus). The
+    * million-scale raw pair stream carries ONLY (a, b) longs into a
+    * rare-shared count; candidates then pass a SOUND upper-bound
+    * prune — inter ≤ rs + min(common_a, common_b), where common_d =
+    * the doc's df > dfCap shingle count — before the shingle arrays
+    * are ever joined back, so the array verify touches dozens of
+    * survivors, not the pair stream (7.4 s → ~1 s at sf0.1). The
+    * prune can never drop a qualifying pair, so the UNPRUNED oracle
+    * definition still matches exactly. Completeness caveat
+    * (documented, same as q91): a qualifying pair sharing ONLY
+    * df > dfCap shingles is not generated — in both engines alike,
+    * so the gate stays exact. */
+  def q216Containment(s: SparkSession, dir: String, dfCap: Int = 20,
+                      tau: Long = 600000L, k: Int = 30): DataFrame = {
+    val td = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              array_sort(TextOps.shingles(TextOps.tokens(col("text")), 3))
+                .as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = td
+      .select(explode(col("toks")).as("w"), col("doc_id"))
+      .groupBy(col("w")).agg(collect_list(col("doc_id")).as("docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rare-shared count per pair, LONGS ONLY across the shuffle: the
+    // 1M+ raw pair expansions never carry the shingle arrays (the
+    // array join-back below runs on the pruned survivors, dozens of
+    // rows). rs = |A∩B ∩ rare| is a LOWER bound on the intersection.
+    val rs = posting
+      .filter(size(col("docs")) <= dfCap && size(col("docs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(docs,
+             x -> transform(filter(docs, y -> y > x),
+                            y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("rs"))
+    // per-doc totals and the doc's COMMON-shingle count (df > dfCap):
+    // inter ≤ rs + min(common_a, common_b), a sound upper bound, so
+    // the prune below can never drop a qualifying pair — the oracle
+    // verifies the unpruned definition and still matches exactly.
+    val common = posting
+      .filter(size(col("docs")) > dfCap)
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    val sizes = td
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .join(common, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"),
+              coalesce(col("n_common"), lit(0L)).as("nc"))
+    val pruned = rs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+                         col("nc").as("nc_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+                         col("nc").as("nc_b")), Seq("doc_b"))
+      .filter(expr(
+        s"(rs + least(nc_a, nc_b)) * 1000000L >= $tau * least(n_a, n_b)"))
+      .select(col("doc_a"), col("doc_b"))
+    pruned
+      .join(td.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(td.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+              size(col("ta")).cast("long").as("n_a"),
+              size(col("tb")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+              expr("inter * 1000000L div n_a").as("cont_ab_micro"),
+              expr("inter * 1000000L div n_b").as("cont_ba_micro"))
+      .filter(greatest(col("cont_ab_micro"), col("cont_ba_micro")) >= tau)
+      .orderBy(greatest(col("cont_ab_micro"), col("cont_ba_micro")).desc,
+               col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for q216 — identical distinct-shingle sets, rare-
+    * shingle candidate blocking, and exact integer containment. */
+  def q216OracleSql(dfCap: Int = 20, tau: Long = 600000L, k: Int = 30): String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       td AS (SELECT doc_id, toks FROM (
+         SELECT doc_id, list_sort(list_distinct(CASE WHEN len(tk) >= 3 THEN
+             list_transform(generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           ELSE [] END)) AS toks FROM t0)
+         WHERE len(toks) > 0),
+       dt AS (SELECT doc_id, unnest(toks) AS w FROM td),
+       rare AS (SELECT w FROM dt GROUP BY w
+         HAVING count(*) <= $dfCap AND count(*) >= 2),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM dt a JOIN dt b ON a.w = b.w AND a.doc_id < b.doc_id
+         JOIN rare r ON r.w = a.w),
+       v AS (SELECT doc_a, doc_b,
+         len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+         len(ta.toks)::BIGINT AS n_a, len(tb.toks)::BIGINT AS n_b
+         FROM cand JOIN td ta ON ta.doc_id = doc_a
+                   JOIN td tb ON tb.doc_id = doc_b)
+       SELECT doc_a, doc_b, inter, n_a, n_b,
+         inter * 1000000 // n_a AS cont_ab_micro,
+         inter * 1000000 // n_b AS cont_ba_micro
+       FROM v
+       WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= $tau
+       ORDER BY greatest(cont_ab_micro, cont_ba_micro) DESC, doc_a, doc_b
+       LIMIT $k"""
 }

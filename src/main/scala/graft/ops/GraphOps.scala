@@ -435,4 +435,66 @@ object GraphOps {
          SELECT 'i' || i, 'authority', a FROM a$iters
          ORDER BY kind, node"""
   }
+
+  /** q215 — k-CORE PEELING CURVE [Seidman, Social Networks 1983;
+    * Batagelj & Zaveršnik 2003]: synchronous peeling rounds toward
+    * the k = 3 core of the undirected user↔item click graph. Each
+    * round drops every node whose current degree is < k and every
+    * edge touching a dropped node; the emitted curve — (round,
+    * surviving nodes, surviving directed edges) — is the standard
+    * audit of how fast a graph's periphery sheds (a pure-integer,
+    * engine-replayable quantity). A node that keeps its degree but
+    * loses all neighbors disappears with its edges; "surviving
+    * nodes" counts nodes with ≥ 1 surviving edge (the only
+    * edge-derivable definition, identical in both engines).
+    *
+    * Scale shape: each round is one degree aggregation plus a
+    * two-sided semi-join of the edge list against the keep set —
+    * all keyed on node ids, the connected-components posture. The
+    * carried edge frame is lineage-cut EVERY round (the q209/q60
+    * discipline, enforced by PlanAuditSpec's linear-growth
+    * guardrail); the final plan unions per-round 1-row aggregates
+    * over the cut leaves, so no round is ever recomputed. All
+    * round cuts stay alive until the caller's action — they are
+    * exactly what the output reads (the q157 hop pattern). */
+  def q215KCore(s: SparkSession, dir: String, k: Int = 3,
+                rounds: Int = 4): DataFrame = {
+    var edges = Checkpoints.cut(clickEdges(s, dir))
+    val stats = (1 to rounds).map { r =>
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("src").as("node"))
+      edges = Checkpoints.cut(
+        edges
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      edges.agg(countDistinct(col("src")).as("n_nodes"),
+                count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** DuckDB oracle for q215 — identical unrolled peel rounds. */
+  def q215OracleSql(k: Int = 3, rounds: Int = 4): String = {
+    val cte = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT src, count(*) AS d FROM e${r - 1} GROUP BY src),
+         k$r AS (SELECT src AS node FROM d$r WHERE d >= $k),
+         e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+           JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"""
+    }.mkString(",\n         ")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r::BIGINT AS round,
+           count(DISTINCT src)::BIGINT AS n_nodes,
+           count(*)::BIGINT AS n_edges FROM e$r"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH c AS (SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+           FROM events WHERE event_type = 'click'),
+         e0 AS (SELECT 'u' || u AS src, 'i' || i AS dst FROM c
+                UNION ALL SELECT 'i' || i, 'u' || u FROM c),
+         $cte
+         $rows
+         ORDER BY round"""
+  }
 }

@@ -1844,4 +1844,97 @@ object Similarity {
                             ORDER BY score DESC, c_did) AS rn FROM sc)
        SELECT q_did, c_did, score AS maxsim_micro, CAST(rn AS INT) AS rn
        FROM rk WHERE rn <= $k ORDER BY q_did, rn"""
+
+  /** q217 — nDCG@10 retrieval evaluation [Järvelin & Kekäläinen,
+    * TOIS 2002]: each query's top-10 exact-cosine neighbors are
+    * graded by label agreement (rel = 1 iff the neighbor carries the
+    * query's label — the standard proxy when no editorial judgments
+    * exist), DCG discounts hits by 1/log2(rank+1), and the ideal DCG
+    * normalizes by the best achievable ordering given how many
+    * relevant neighbors exist at all (min(10, |same-label| − 1)).
+    * The only floats are the log2 discounts of small integer ranks,
+    * summed over ≤ 10 terms and rounded to 4dp — the q186 float
+    * discipline; counts stay exact integers.
+    *
+    * Scale shape: retrieval is q26's bounded-TopK pass (broadcast
+    * queries, ≤ k rows per query cross the shuffle); grading joins
+    * the |Q|·k-row result to broadcast label lookups; the per-label
+    * relevant totals are one tiny aggregate broadcast back. Nothing
+    * after the retrieval pass is corpus-sized. */
+  def q217NdcgEval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+              col("label"))
+    val q = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"), col("label").as("q_label")))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+                     col("nrm").as("c_nrm"), col("label").as("c_label"))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
+    val hits = topKPerQuery(
+      q.join(c, col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sim.as("sim_exact")), k)
+      .join(broadcast(q.select(col("q_id"), col("q_label"))), Seq("q_id"))
+      .join(broadcast(e.select(col("vec_id").as("n_id"),
+                               col("label").as("c_label"))), Seq("n_id"))
+      .select(col("q_id"), col("q_label"), col("rn"),
+              (col("c_label") === col("q_label")).cast("long").as("rel"))
+    val labelTotals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    hits
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(col("rel")).as("n_rel_ret"),
+           sum(col("rel").cast("double") /
+               log2(col("rn").cast("double") + 1.0)).as("dcg_raw"))
+      .join(broadcast(labelTotals.withColumnRenamed("label", "q_label")),
+            Seq("q_label"))
+      .withColumn("r_ideal",
+        least(lit(k.toLong), col("n_label") - 1L).cast("long"))
+      .withColumn("idcg_raw", expr(
+        """aggregate(sequence(1, CAST(r_ideal AS INT)), CAST(0.0 AS DOUBLE),
+             (acc, i) -> acc + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"""))
+      .select(col("q_id"), col("n_rel_ret"), col("r_ideal"),
+              round(col("dcg_raw"), 4).as("dcg"),
+              round(col("idcg_raw"), 4).as("idcg"),
+              when(col("r_ideal") > 0,
+                   round(col("dcg_raw") / col("idcg_raw"), 4))
+                .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB oracle for q217 — identical retrieval ranking, label
+    * grading, log2 discounts, and ideal-DCG normalization. */
+  def q217OracleSql(k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         label AS q_label FROM e WHERE vec_id < 8),
+       sims AS (SELECT q_id, q_label, c.vec_id AS n_id, c.label AS c_label,
+         list_sum(list_transform(list_zip(q_emb, c.embedding),
+           p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (q_nrm * c.nrm) AS sim_exact
+         FROM q JOIN e c ON c.vec_id <> q_id),
+       r AS (SELECT q_id, q_label, n_id, c_label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim_exact DESC, n_id) AS rn FROM sims),
+       h AS (SELECT q_id, q_label, rn,
+         CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+         FROM r WHERE rn <= $k),
+       lt AS (SELECT label, count(*)::BIGINT AS n_label FROM e GROUP BY label),
+       agg AS (SELECT q_id, q_label,
+         sum(rel)::BIGINT AS n_rel_ret,
+         sum(rel::DOUBLE / log2(rn::DOUBLE + 1.0)) AS dcg_raw
+         FROM h GROUP BY q_id, q_label),
+       f AS (SELECT q_id, n_rel_ret,
+         least($k::BIGINT, n_label - 1) AS r_ideal, dcg_raw,
+         CASE WHEN least($k::BIGINT, n_label - 1) > 0 THEN
+           list_sum(list_transform(
+             generate_series(1, (least($k::BIGINT, n_label - 1))::INT),
+             i -> 1.0 / log2(i::DOUBLE + 1.0)))
+         ELSE 0.0 END AS idcg_raw
+         FROM agg JOIN lt ON lt.label = agg.q_label)
+       SELECT q_id, n_rel_ret, r_ideal,
+         round(dcg_raw, 4) AS dcg, round(idcg_raw, 4) AS idcg,
+         CASE WHEN r_ideal > 0 THEN round(dcg_raw / idcg_raw, 4)
+              ELSE 0.0 END AS ndcg
+       FROM f ORDER BY q_id"""
 }

@@ -655,4 +655,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.head._2 > rows.last._2 * 2,
       s"novelty must decay along ingest order: ${rows.toSeq}")
   }
+  test("q216 containment: full-subset doc scores 1e6 one-way, Jaccard-low") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cont").toString
+    Seq(
+      (1L, "apple banana cherry", "en", "s1", 19L),
+      (2L, "apple banana cherry date egg fig grape", "en", "s1", 39L),
+      (3L, "zebra yak xray", "en", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q216Containment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc1 is one 3-gram ("apple banana cherry") fully inside doc2
+    // (7 tokens -> 5 shingles): containment 1/1 = 1e6 from doc1's
+    // side, 1/5 from doc2's; the pair's Jaccard (1/5) sits far below
+    // any near-dup bar. doc3 shares nothing: no candidate, no row.
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1L, 5L, 1000000L, 200000L)),
+      s"got ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

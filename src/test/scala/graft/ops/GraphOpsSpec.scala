@@ -143,4 +143,42 @@ class GraphOpsSpec extends SparkSpec {
       ("u1", "hub") -> 1000000L, ("u2", "hub") -> 619047L), s"got $got")
     spark.catalog.clearCache()
   }
+  test("q215 k-core peels the star periphery and keeps the dense core") {
+    val tmp = java.nio.file.Files.createTempDirectory("kcore").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // Bipartite clique K3,3 (u1..u3 x i1..i3): every node degree 3 —
+    // the 3-core. u9 clicks only i1 (degree 1): peeled in round 1,
+    // dropping i1 to... i1 keeps degree 3 from the clique (+1 from u9
+    // pre-peel). So round 1 removes exactly u9 and its 2 directed
+    // edges; rounds 2..4 are stable at the clique.
+    val clique = for (u <- 1L to 3L; i <- 1L to 3L) yield (u, i)
+    val rows = (clique :+ ((9L, 1L))).zipWithIndex.map { case ((u, i), n) =>
+      (n.toLong, u, t0, "click", 1.0, s"""{"k": $i}""")
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q215KCore(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // K3,3: 6 nodes, 9 undirected = 18 directed edges
+    assert(got.toSeq == Seq((1L, 6L, 18L), (2L, 6L, 18L),
+                            (3L, 6L, 18L), (4L, 6L, 18L)), s"got ${got.mkString(", ")}")
+  }
+
+  test("q215 fully peels a graph below the core threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("kcore0").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // path u1-i1-u2-i2: all degrees <= 2 < 3 -> empty after round 1
+    Seq(
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 2L, t0, "click", 1.0, """{"k": 1}"""),
+      (3L, 2L, t0, "click", 1.0, """{"k": 2}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q215KCore(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L),
+                            (3L, 0L, 0L), (4L, 0L, 0L)), s"got ${got.mkString(", ")}")
+  }
 }

@@ -509,4 +509,47 @@ class SimilaritySpec extends SparkSpec {
       s"q1 ranking wrong: ${got.mkString(", ")}")
     spark.catalog.clearCache()
   }
+  test("q217 nDCG matches an independent driver-side recomputation") {
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labelCounts = all.groupBy(_._3).view.mapValues(_.size).toMap
+    val want = all.filter(_._1 < 8).map { case (qid, qv, ql) =>
+      val top = all.filter(_._1 != qid)
+        .map { case (nid, v, l) => (nid, cos(qv, v), l) }
+        .sortBy { case (nid, sim, _) => (-sim, nid) }.take(10)
+      val rels = top.zipWithIndex.map { case ((_, _, l), i) =>
+        (i + 1, if (l == ql) 1 else 0) }
+      val dcg = rels.map { case (rk, r) =>
+        r / (math.log(rk + 1.0) / math.log(2.0)) }.sum
+      val rIdeal = math.min(10, labelCounts(ql) - 1)
+      val idcg = (1 to rIdeal).map(i =>
+        1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      (qid, rels.map(_._2).sum.toLong, rIdeal.toLong, dcg, idcg,
+       if (rIdeal > 0) dcg / idcg else 0.0)
+    }.sortBy(_._1)
+    val got = Similarity.q217NdcgEval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4), r.getDouble(5)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"counts diverge: got $g want $w")
+      assert(math.abs(g._4 - w._4) < 1e-3 && math.abs(g._5 - w._5) < 1e-3 &&
+             math.abs(g._6 - w._6) < 1e-3, s"dcg diverges: got $g want $w")
+    }
+    assert(got.exists(_._2 > 0), "at least one query should retrieve a relevant hit")
+  }
 }

@@ -461,7 +461,9 @@ class PlanAuditSpec extends SparkSpec {
         (i => graft.ops.GraphOps.q126WeightedPageRank(spark, sf0001, i)),
       "q157_khop_bfs" ->
         (i => graft.ops.GraphOps.q157KHopBfs(spark, sf0001, maxHops = i)),
-      "q209_hits" -> (i => graft.ops.GraphOps.q209Hits(spark, sf0001, i)))
+      "q209_hits" -> (i => graft.ops.GraphOps.q209Hits(spark, sf0001, i)),
+      "q215_kcore" ->
+        (i => graft.ops.GraphOps.q215KCore(spark, sf0001, rounds = i)))
     for ((name, f) <- mk) {
       val counts = Seq(2, 3, 4).map { i =>
         val n = nodeCount(f(i)); spark.catalog.clearCache(); n
@@ -524,6 +526,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "expected partial+final pairs for both the register and rollup aggs")
     spark.catalog.clearCache()
+  }
+
+  test("q216 containment: map-side pair expansion, persisted token frame, no self-join of the corpus") {
+    val p = plan("q216_containment")
+    assert(p.contains("InMemoryTableScan"),
+      s"token frame must be persisted for postings + both verify sides:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the df-capped HOF expansion")
+    spark.catalog.clearCache()
+  }
+
+  test("q217 nDCG: bounded top-k retrieval, broadcast grading joins, no corpus window") {
+    val p = plan("q217_ndcg_eval")
+    assert(!p.contains("Window"),
+      s"retrieval must be the bounded aggregator:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final TopK ObjectHashAggregate pair")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      "label lookups and query attach must ride broadcasts")
   }
 
   test("q196 report is one scoring pass into one aggregate pair") {

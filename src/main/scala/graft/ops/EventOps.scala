@@ -1266,16 +1266,17 @@ object EventOps {
     * at 1,140 per user. */
   def q211SeqPatterns(s: SparkSession, dir: String,
                       cap: Int = 20, k: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+    // single user-keyed aggregation: collect, sort in the array
+    // (ts, event_id ties are impossible — ids are unique), cap to
+    // the first `cap` events — one shuffle, no separate window sort
+    // pass over the full stream
     val seqs = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
       .groupBy(col("user_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")
-             .as("sq"))
+      .agg(expr(
+        s"""transform(slice(array_sort(collect_list(
+              struct(ts, event_id, event_type))), 1, $cap),
+            x -> x.event_type)""").as("sq"))
     seqs
       .select(col("user_id"),
         explode(when(size(col("sq")) >= 3, expr(

@@ -201,6 +201,7 @@ object SparkEntry {
     "q173_hapax_richness"  -> TextOps.q173HapaxRichness,
     "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
     "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
+    "q218_stream_top_users" -> graft.streaming.StreamQueries.q218StreamTopUsers,
     "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
     "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
     "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
@@ -253,7 +254,7 @@ object SparkEntry {
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
         "q101_stream_outer_join", "q156_stream_late_data",
-        "q175_stream_lifetime")
+        "q175_stream_lifetime", "q218_stream_top_users")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2421,5 +2422,13 @@ object SparkEntry {
     "q215_kcore" -> graft.ops.GraphOps.q215OracleSql(),
     "q216_containment" -> Dedup.q216OracleSql(),
     "q217_ndcg_eval" -> Similarity.q217OracleSql(),
+    "q218_stream_top_users" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
+           FROM events GROUP BY event_type, user_id),
+         r AS (SELECT event_type, user_id, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, user_id) AS rk FROM c)
+         SELECT event_type, rk::BIGINT AS rk, user_id, n
+         FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
   )
 }

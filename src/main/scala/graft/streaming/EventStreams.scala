@@ -26,6 +26,15 @@ case class UserStats(user_id: Long, n_events: Long, total_value: Double,
 case class UserStatsMicro(user_id: Long, n_events: Long, total_micro: Long,
                           last_seen: Option[Timestamp])
 
+/** One (user, count) entry of a per-type streaming top-k (q218). */
+case class TopEntry(user_id: Long, n: Long)
+
+/** Per-type running top-k emission (mapGroupsWithState output). */
+case class TypeTopK(event_type: String, top: Seq[TopEntry])
+
+/** Per-type exact counter map carried in GroupState (q218). */
+case class TypeCounts(counts: Map[Long, Long])
+
 /** Structured Streaming twins of the batch event operators
   * (graft.ops.EventOps): the SAME logical shapes — tumbling window
   * aggregation and gap-based sessionization — expressed as an
@@ -168,6 +177,35 @@ object EventStreams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(fingerprintCols)
+
+  /** Running per-type TOP-K USERS via mapGroupsWithState (q218): the
+    * state is an exact per-user counter map per event type, and each
+    * batch emits that type's current top-k by (count DESC, user_id) —
+    * the EXACT streaming heavy-hitters twin of q179's Count-Min
+    * production sibling (same question, sketched state vs exact
+    * state). Counts are longs, ranking ties break by user id, so the
+    * emission is independent of group-iterator order and an oracle
+    * replays it bit-for-bit. State per type is one long per ACTIVE
+    * user — the documented bound; a deployment whose user set
+    * outgrows executor memory swaps this operator for the CMS+heap
+    * variant (q179's state shape) and keeps the same emission
+    * contract. */
+  def typeTopUsers(events: Dataset[EventRow], k: Int = 3): Dataset[TypeTopK] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[TypeCounts, TypeTopK](GroupStateTimeout.NoTimeout) {
+        (t, rows, state) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => m ++= s.counts)
+          rows.foreach { e => m(e.user_id) = m.getOrElse(e.user_id, 0L) + 1L }
+          state.update(TypeCounts(m.toMap))
+          val top = m.toSeq
+            .sortBy { case (u, c) => (-c, u) }
+            .take(k)
+            .map { case (u, c) => TopEntry(u, c) }
+          TypeTopK(t, top)
+      }
+  }
 
   /** Full-precision event time: Timestamp.getTime is millis-truncated,
     * but event data carries microseconds — gap arithmetic at millis

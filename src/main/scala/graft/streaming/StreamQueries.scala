@@ -661,4 +661,24 @@ object StreamQueries {
               date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
                 .as("last_seen"))
       .orderBy(col("user_id"))
+
+  /** q218 — streaming EXACT top-k heavy hitters per event type
+    * ([[EventStreams.typeTopUsers]]): mapGroupsWithState carrying a
+    * composite counter-map state with in-state ranking — the custom-
+    * state shape between q175's scalar accumulator and q52's
+    * timeout-driven sessions. Update mode over the single-snapshot
+    * feed (the q175 argument: batch 0's emission is final); the
+    * array-of-struct emission is exploded into (type, rank, user, n)
+    * rows after the sink. Oracle: the batch per-type top-3. */
+  def q218StreamTopUsers(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q218", drops = 0,
+              outputMode = OutputMode.Update) { src =>
+      import src.sparkSession.implicits._
+      EventStreams.typeTopUsers(
+        src.filter(col("event_type") =!= sentinelType).as[EventRow]).toDF()
+    }
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+              col("col.user_id").as("user_id"), col("col.n").as("n"))
+      .orderBy(col("event_type"), col("rk"))
 }

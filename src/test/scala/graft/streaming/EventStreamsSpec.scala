@@ -338,4 +338,32 @@ class EventStreamsSpec extends SparkSpec {
     val total = ev.count()
     assert(got.map(_._3).sum < total)
   }
+  test("typeTopUsers: counter-map state accumulates across batches, ties by user id") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.typeTopUsers(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("toptypes")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 5, "10:00"), ev(2, 5, "10:01"), ev(3, 7, "10:02"),
+                 ev(4, 9, "10:03", typ = "view"))
+      q.processAllAvailable()
+      def latest(): Map[String, Seq[(Long, Long)]] =
+        spark.table("toptypes").collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(e => (e.getLong(0), e.getLong(1))).toSeq)
+          .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      val b0 = latest()
+      assert(b0("click") == Seq((5L, 2L), (7L, 1L)), s"b0 $b0")
+      assert(b0("view") == Seq((9L, 1L)))
+      // batch 1: user 7 catches up to user 5 -> tie broken by id (5 first);
+      // user 8 enters view and ties user 9 at 1 -> id order (8, 9)
+      in.addData(ev(5, 7, "10:10"), ev(6, 8, "10:11", typ = "view"))
+      q.processAllAvailable()
+      val b1 = latest()
+      assert(b1("click") == Seq((5L, 2L), (7L, 2L)), s"b1 $b1")
+      assert(b1("view") == Seq((8L, 1L), (9L, 1L)), s"b1 $b1")
+    } finally q.stop()
+  }
 }

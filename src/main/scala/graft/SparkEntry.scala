@@ -244,6 +244,7 @@ object SparkEntry {
     "q215_kcore"           -> ((s, d) => graft.ops.GraphOps.q215KCore(s, d)),
     "q216_containment"     -> ((s, d) => Dedup.q216Containment(s, d)),
     "q217_ndcg_eval"       -> ((s, d) => Similarity.q217NdcgEval(s, d)),
+    "q219_markov_eval"     -> ((s, d) => graft.ops.EventOps.q219MarkovEval(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2430,5 +2431,6 @@ object SparkEntry {
                               ORDER BY n DESC, user_id) AS rk FROM c)
          SELECT event_type, rk::BIGINT AS rk, user_id, n
          FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
+    "q219_markov_eval" -> graft.ops.EventOps.q219OracleSql,
   )
 }

@@ -1308,4 +1308,86 @@ object EventOps {
        SELECT pattern, count(*)::BIGINT AS n_users
        FROM pat GROUP BY pattern
        ORDER BY n_users DESC, pattern LIMIT $k"""
+
+  /** q219 — MARKOV NEXT-EVENT PREDICTION EVAL: train a first-order
+    * transition model on the hash-split train users (q76's
+    * content-hash discipline applied to user ids — assignment is
+    * layout- and engine-independent), predict each test transition's
+    * next event type as the train argmax for its source type (ties
+    * by type name — a total deterministic rule), and report per
+    * source type the top-1 accuracy in exact integer micros. This is
+    * the eval-harness shape every training pipeline needs: fit on
+    * one split, score on the other, no leakage (q121's concern), all
+    * integer-exact so both engines agree bit-for-bit.
+    *
+    * Scale shape: transitions come from one per-user ordered window
+    * (user-keyed — the q167 shape); the fitted model is |types|²
+    * rows, its argmax a tiny aggregation that BROADCASTS back onto
+    * the test transition stream; accuracy is one keyed count
+    * aggregation. Nothing after the transition build exceeds
+    * |types|² except the map-side test scoring pass. */
+  def q219MarkovEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("from_type"),
+              pmod(conv(substring(md5(col("user_id").cast("string")), 29, 4),
+                        16, 10).cast("long"), lit(100L)).as("bucket"))
+      .select(col("user_id"), col("bucket"), col("from_type"),
+              lead(col("from_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // argmax next type per source on the TRAIN split (bucket < 80),
+    // ties by type name
+    val wincount = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    val model = trans.filter(col("bucket") < 80)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wincount))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("pred_type"),
+              col("n").as("train_n"))
+    trans.filter(col("bucket") >= 80)
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_test"),
+           // when() (not a bare boolean cast): a from_type absent
+           // from the train model predicts null, and the null
+           // comparison must count 0, not poison the sum
+           sum(when(col("to_type") === col("pred_type"), 1L).otherwise(0L))
+             .as("n_hit"),
+           max(col("pred_type")).as("pred_type"))
+      .select(col("from_type"), col("pred_type"), col("n_test"), col("n_hit"),
+              expr("n_hit * 1000000L div n_test").as("acc_micro"))
+      .orderBy(col("from_type"))
+  }
+
+  /** DuckDB oracle for q219 — identical hash split, window
+    * transitions, argmax model, and integer accuracy. */
+  def q219OracleSql: String =
+    """WITH tr AS (SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 29, 4))::BIGINT % 100
+           AS bucket,
+         event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+         FROM events),
+       t AS (SELECT * FROM tr WHERE to_type IS NOT NULL),
+       cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+         FROM t WHERE bucket < 80 GROUP BY from_type, to_type),
+       model AS (SELECT from_type, to_type AS pred_type, n AS train_n
+         FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+                 ORDER BY n DESC, to_type) AS rn FROM cnt) WHERE rn = 1)
+       SELECT t.from_type, max(pred_type) AS pred_type,
+         count(*)::BIGINT AS n_test,
+         sum(CASE WHEN to_type = pred_type THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit,
+         CAST(sum(CASE WHEN to_type = pred_type THEN 1 ELSE 0 END)
+              * 1000000 // count(*) AS BIGINT) AS acc_micro
+       FROM t LEFT JOIN model ON model.from_type = t.from_type
+       WHERE bucket >= 80
+       GROUP BY t.from_type ORDER BY t.from_type"""
 }

@@ -665,4 +665,31 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(-_._2).zip(got.map(_._1)).sorted.map(_._2).toSeq ==
       got.map(_._1).toSeq, "output order must be (support desc, pattern)")
   }
+  test("q219 Markov eval: deterministic chains score perfect accuracy on the test split") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("markov").toString
+    // 100 users, each with the chain a -> b -> a: the fitted model is
+    // a->b / b->a under ANY train subset, so test accuracy must be
+    // exactly 1e6 for both source types
+    val rows = (1 to 100).flatMap { u =>
+      Seq(
+        (u * 10L + 1, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), u.toLong, "a", 1.0, "{}"),
+        (u * 10L + 2, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), u.toLong, "b", 1.0, "{}"),
+        (u * 10L + 3, java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), u.toLong, "a", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q219MarkovEval(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 2, s"got ${got.mkString(", ")}")
+    val byType = got.map(t => t._1 -> t).toMap
+    assert(byType("a")._2 == "b" && byType("b")._2 == "a")
+    got.foreach { case (ft, _, nTest, nHit, acc) =>
+      assert(nTest > 0, s"$ft: empty test split")
+      assert(nHit == nTest && acc == 1000000L, s"$ft: $nHit/$nTest acc=$acc")
+    }
+    // the split must actually hold data out: test transitions < total
+    assert(byType("a")._3 < 200, "test split unexpectedly contains all users")
+    spark.catalog.clearCache()
+  }
 }

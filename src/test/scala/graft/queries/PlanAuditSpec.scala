@@ -549,6 +549,17 @@ class PlanAuditSpec extends SparkSpec {
       "label lookups and query attach must ride broadcasts")
   }
 
+  test("q219 Markov eval: model broadcasts onto the test stream; transitions cached once") {
+    val p = plan("q219_markov_eval")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row model must broadcast:\n${p.take(1200)}")
+    assert(p.contains("InMemoryTableScan"),
+      "train and test must read the one cached transition frame")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join belongs here:\n${p.take(1200)}")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

@@ -245,6 +245,7 @@ object SparkEntry {
     "q216_containment"     -> ((s, d) => Dedup.q216Containment(s, d)),
     "q217_ndcg_eval"       -> ((s, d) => Similarity.q217NdcgEval(s, d)),
     "q219_markov_eval"     -> ((s, d) => graft.ops.EventOps.q219MarkovEval(s, d)),
+    "q220_keyframes"       -> ((s, d) => Multimodal.q220Keyframes(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2432,5 +2433,6 @@ object SparkEntry {
          SELECT event_type, rk::BIGINT AS rk, user_id, n
          FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
     "q219_markov_eval" -> graft.ops.EventOps.q219OracleSql,
+    "q220_keyframes" -> Multimodal.q220OracleSql(),
   )
 }

@@ -303,4 +303,78 @@ object Multimodal {
        FROM cand GROUP BY doc_a, doc_b
        ORDER BY n_pairs DESC, doc_a, doc_b LIMIT 30"""
   }
+
+  /** q220 — KEYFRAME SELECTION by scene change: within each video
+    * (the q208 fake-decode convention: a document's text is the
+    * byte stream, frames are its 64-char slices in order), a frame
+    * is a KEYFRAME iff it is the first frame or its aHash hamming
+    * distance to the PREVIOUS frame is ≥ `minDist` — the standard
+    * shot-boundary heuristic (a large perceptual-hash jump marks a
+    * cut), expressed as one per-video lag window over integer
+    * fingerprints. Emitted per video: frame count, keyframe count,
+    * and the keep ratio in exact micros — the sampling-rate audit a
+    * video-curation pipeline logs before deciding decode budgets.
+    *
+    * Scale shape: frame explode and aHash are map-side (the q208
+    * kernel); the only shuffle is the per-video window (key = video
+    * id, partition size = frames per video — bounded by clip length,
+    * not corpus size) and the per-video rollup that follows it.
+    * Swapping the fake decode for a real codec changes only the
+    * frame-bytes expression, as with q64/q66/q208. */
+  def q220Keyframes(s: SparkSession, dir: String,
+                    minDist: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (length(text) div 64 - 1) div 2),
+           j -> substring(text, j * 128 + 1, 64))""")).as(Seq("idx", "f")))
+    val fp = frames
+      .withColumn("arr", expr(
+        "transform(sequence(1, 60), i -> CAST(ascii(substring(f, i, 1)) AS BIGINT))"))
+      .withColumn("ssum", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("idx"), expr(
+        """aggregate(zip_with(arr, sequence(0, 59),
+           (b, i) -> IF(60L * b > ssum, shiftleft(1L, i), 0L)),
+           0L, (a, x) -> a + x)""").as("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    fp
+      .withColumn("prev", lag(col("fp"), 1).over(w))
+      .withColumn("is_key",
+        when(col("prev").isNull ||
+             bit_count(expr("fp ^ prev")) >= minDist, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("is_key")).as("n_key"))
+      .select(col("doc_id"), col("n_frames"), col("n_key"),
+              expr("n_key * 1000000L div n_frames").as("key_ratio_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for q220 — identical frame slices, aHash bits,
+    * lag window, and threshold. */
+  def q220OracleSql(minDist: Int = 30): String =
+    s"""WITH fr AS (SELECT doc_id, j AS idx,
+         substr(text, j * 128 + 1, 64) AS f
+         FROM documents,
+           unnest(generate_series(0, (strlen(text) // 64 - 1) // 2)) t(j)
+         WHERE strlen(text) >= 64),
+       ar AS (SELECT doc_id, idx, list_transform(generate_series(1, 60),
+           i -> ascii(substr(f, i, 1))::BIGINT) AS arr FROM fr),
+       sm AS (SELECT doc_id, idx, arr, list_sum(arr) AS ssum FROM ar),
+       fp AS (SELECT doc_id, idx,
+           list_sum(list_transform(generate_series(0, 59),
+             i -> CASE WHEN 60 * arr[i + 1] > ssum
+                  THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS fp FROM sm),
+       lg AS (SELECT doc_id, idx, fp,
+           lag(fp) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM fp),
+       k AS (SELECT doc_id,
+           CASE WHEN prev IS NULL
+                     OR bit_count(xor(fp, prev)) >= $minDist
+                THEN 1 ELSE 0 END AS is_key FROM lg)
+       SELECT doc_id, count(*)::BIGINT AS n_frames,
+         sum(is_key)::BIGINT AS n_key,
+         CAST(sum(is_key) * 1000000 // count(*) AS BIGINT)
+           AS key_ratio_micro
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -99,4 +99,27 @@ class MultimodalSpec extends SparkSpec {
       s"the complement hash must never pair: $got")
     spark.catalog.clearCache()
   }
+  test("q220 keyframes: first frame always keeps; identical frames never re-key") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("keyf").toString
+    // doc 1: two IDENTICAL 64-char frames (hamming 0 < 30) with a
+    // 64-char gap slice between (q208's every-other-slice convention:
+    // frames are slices at 0 and 128) -> 2 frames, 1 keyframe.
+    // doc 2: frame 1 = 30 'a' then 30 'z' (aHash 30 zeros, 30 ones);
+    // frame 2 reverses the halves -> every one of the 60 bits flips
+    // (hamming 60 >= 30) -> 2 keyframes.
+    val a = "abcdefgh" * 8          // 64 chars
+    val gap = "x" * 64
+    val f1 = "a" * 30 + "z" * 30 + "mmmm"
+    val f2 = "z" * 30 + "a" * 30 + "mmmm"
+    Seq(
+      (1L, a + gap + a, "en", "s1", 192L),
+      (2L, f1 + gap + f2, "en", "s1", 192L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Multimodal.q220Keyframes(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 2L, 1000000L)),
+      s"got ${got.mkString(", ")}")
+  }
 }

@@ -246,6 +246,7 @@ object SparkEntry {
     "q217_ndcg_eval"       -> ((s, d) => Similarity.q217NdcgEval(s, d)),
     "q219_markov_eval"     -> ((s, d) => graft.ops.EventOps.q219MarkovEval(s, d)),
     "q220_keyframes"       -> ((s, d) => Multimodal.q220Keyframes(s, d)),
+    "q221_kanon_audit"     -> ((s, d) => TextOps.q221KAnonAudit(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2434,5 +2435,6 @@ object SparkEntry {
          FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
     "q219_markov_eval" -> graft.ops.EventOps.q219OracleSql,
     "q220_keyframes" -> Multimodal.q220OracleSql(),
+    "q221_kanon_audit" -> TextOps.q221OracleSql(),
   )
 }

@@ -1510,4 +1510,53 @@ object TextOps {
        SELECT wa, wb, count(*)::BIGINT AS n,
          sum(1000000 // d)::BIGINT AS wsum_micro
        FROM pr GROUP BY wa, wb ORDER BY wsum_micro DESC, wa, wb LIMIT 40"""
+
+  /** q221 — k-ANONYMITY AUDIT [Sweeney, IJUFKS 2002] over the
+    * corpus's quasi-identifier lattice cell (source, lang,
+    * log2-length bucket): a document whose QI combination is shared
+    * by fewer than k = 5 documents is re-identifiable by those
+    * attributes alone — the governance check a dataset release runs
+    * BEFORE the content-level PII scrub (q55 redacts what the text
+    * says; this catches what the metadata reveals). Emitted per
+    * source: equivalence-class count, sub-k classes, documents at
+    * risk, and the at-risk share in exact micros, plus the size of
+    * the smallest class (the release's effective k).
+    *
+    * Scale shape: one partial+final aggregation to the QI classes
+    * (map-side combined — class count is bounded by the QI domain,
+    * not the corpus), one tiny rollup over classes. Nothing else
+    * moves. */
+  def q221KAnonAudit(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+              (length(bin(col("n_chars"))) - 1).cast("long").as("len_bucket"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_classes"),
+           sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_classes"),
+           sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_docs"),
+           sum(col("n")).as("n_docs"),
+           min(col("n")).as("effective_k"))
+      .select(col("source"), col("n_classes"), col("risky_classes"),
+              col("risky_docs"), col("n_docs"),
+              expr("risky_docs * 1000000L div n_docs").as("risk_micro"),
+              col("effective_k"))
+      .orderBy(col("source"))
+
+  /** DuckDB oracle for q221 — identical QI bucketing and rollup. */
+  def q221OracleSql(k: Int = 5): String =
+    s"""WITH qi AS (SELECT source, lang,
+         (length(bin(n_chars)) - 1)::BIGINT AS len_bucket
+         FROM documents),
+       cls AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS n
+         FROM qi GROUP BY source, lang, len_bucket)
+       SELECT source, count(*)::BIGINT AS n_classes,
+         sum(CASE WHEN n < $k THEN 1 ELSE 0 END)::BIGINT AS risky_classes,
+         sum(CASE WHEN n < $k THEN n ELSE 0 END)::BIGINT AS risky_docs,
+         sum(n)::BIGINT AS n_docs,
+         CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) * 1000000
+              // sum(n) AS BIGINT) AS risk_micro,
+         min(n)::BIGINT AS effective_k
+       FROM cls GROUP BY source ORDER BY source"""
 }

@@ -65,7 +65,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q206_skipgram_cooc",     // r9 HOF pair explode + pair-keyed agg
     "q207_novelty_curve",     // r9 min-attribution double aggregate
     "q208_frame_phash",       // r9 aHash chunk banding + capped buckets
-    "q209_hits")              // r9 L-inf fixed-point mutual rounds
+    "q209_hits",              // r9 L-inf fixed-point mutual rounds
+    "q210_cell_caps",         // r10 driver cap scalar + TopK survivors
+    "q211_seq_patterns",      // r10 in-array sort + HOF triple fan-out
+    "q212_colbert_maxsim",    // r10 max-then-sum interaction reduction
+    "q213_kmv_set_ops",       // r10 bottom-k sketches + list HOF combine
+    "q214_hll_registers",     // r10 register max + two-regime estimate
+    "q215_kcore",             // r10 per-round cut semi-join peeling
+    "q216_containment",       // r10 longs-only counting + bound prune
+    "q217_ndcg_eval",         // r10 bounded top-k + log2 discount sums
+    "q219_markov_eval",       // r10 hash split + argmax model broadcast
+    "q220_keyframes")         // r10 per-video lag over aHash prints
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

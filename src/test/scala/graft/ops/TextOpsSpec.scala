@@ -477,4 +477,23 @@ class TextOpsSpec extends SparkSpec {
       ("a", "c", 1L, 500000L),
       ("x", "x", 1L, 500000L)), s"got $got")
   }
+  test("q221 k-anonymity: sub-k classes and effective k are exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kanon").toString
+    // source s1: class (en, bucket 3 = lengths 8..15) holds 6 docs
+    // (safe at k=5), class (fr, bucket 3) holds 2 (risky);
+    // source s2: one singleton class (risky, effective_k 1)
+    val rows =
+      (1 to 6).map(i => (i.toLong, "x", "en", "s1", 10L)) ++
+      Seq((7L, "x", "fr", "s1", 12L), (8L, "x", "fr", "s1", 13L),
+          (9L, "x", "de", "s2", 200L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q221KAnonAudit(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 1L, 2L, 8L, 250000L, 2L),
+      ("s2", 1L, 1L, 1L, 1L, 1000000L, 1L)), s"got ${got.mkString(", ")}")
+  }
 }

@@ -247,6 +247,8 @@ object SparkEntry {
     "q219_markov_eval"     -> ((s, d) => graft.ops.EventOps.q219MarkovEval(s, d)),
     "q220_keyframes"       -> ((s, d) => Multimodal.q220Keyframes(s, d)),
     "q221_kanon_audit"     -> ((s, d) => TextOps.q221KAnonAudit(s, d)),
+    "q222_rand_stability"  -> ((s, d) => graft.ops.GraphOps.q222RandStability(s, d)),
+    "q223_lsh_recall"      -> ((s, d) => Dedup.q223LshRecall(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2436,5 +2438,7 @@ object SparkEntry {
     "q219_markov_eval" -> graft.ops.EventOps.q219OracleSql,
     "q220_keyframes" -> Multimodal.q220OracleSql(),
     "q221_kanon_audit" -> TextOps.q221OracleSql(),
+    "q222_rand_stability" -> graft.ops.GraphOps.q222OracleSql,
+    "q223_lsh_recall" -> Dedup.q223OracleSql(),
   )
 }

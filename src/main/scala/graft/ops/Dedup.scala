@@ -1270,26 +1270,12 @@ object Dedup {
     31357L, 65539L, 131101L, 524309L, 1299721L, 15485867L,
     32452867L, 49979693L, 67867979L, 86028157L)
 
-  /** q184 — MinHash + LSH, FULLY oracle-gated (the q179 move applied
-    * to the dedup family's estimator): q24's MinHash is rows-only
-    * because its XXH64 signatures can't be replayed in SQL — this
-    * twin derives every shingle fingerprint from the cross-engine
-    * base-31 rolling hash and every signature slot from an affine
-    * (A·H+B) mod P permutation, so the DuckDB oracle rebuilds the
-    * identical 16-slot signatures, the identical 4×4 LSH band keys,
-    * and the identical candidate pairs. For each banded candidate
-    * pair the output carries BOTH the signature estimate (matching
-    * slots / 16, integer micro) and the exact shingle Jaccard —
-    * the estimator's per-pair error is itself hash-gated.
-    *
-    * Scale shape: signatures are one map-side pass (array_min over a
-    * transform — no explode ever materializes per-(doc, slot) rows);
-    * the only corpus exchange is the band-key self-join, whose bucket
-    * population is near-dup-group-sized by construction (the LSH
-    * guarantee); the exact-Jaccard verify joins shingle arrays for
-    * CANDIDATE pairs only — the all-pairs stage never exists. */
-  def q184MinhashJaccard(s: SparkSession, dir: String,
-                         bands: Int = 4, rows: Int = 4): DataFrame = {
+  /** q184's per-doc (shingles, signature) frame and its band-bucket
+    * candidate pairs — shared with q223's blocking-recall eval so the
+    * evaluated generator IS the production generator, not a copy. */
+  private[ops] def minhashDocsAndCands(
+      s: SparkSession, dir: String,
+      bands: Int, rows: Int): (DataFrame, DataFrame) = {
     val k = bands * rows
     require(MhA.length >= k)
     val base = Tables.documents(s, dir)
@@ -1315,6 +1301,31 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (docs, cands)
+  }
+
+  /** q184 — MinHash + LSH, FULLY oracle-gated (the q179 move applied
+    * to the dedup family's estimator): q24's MinHash is rows-only
+    * because its XXH64 signatures can't be replayed in SQL — this
+    * twin derives every shingle fingerprint from the cross-engine
+    * base-31 rolling hash and every signature slot from an affine
+    * (A·H+B) mod P permutation, so the DuckDB oracle rebuilds the
+    * identical 16-slot signatures, the identical 4×4 LSH band keys,
+    * and the identical candidate pairs. For each banded candidate
+    * pair the output carries BOTH the signature estimate (matching
+    * slots / 16, integer micro) and the exact shingle Jaccard —
+    * the estimator's per-pair error is itself hash-gated.
+    *
+    * Scale shape: signatures are one map-side pass (array_min over a
+    * transform — no explode ever materializes per-(doc, slot) rows);
+    * the only corpus exchange is the band-key self-join, whose bucket
+    * population is near-dup-group-sized by construction (the LSH
+    * guarantee); the exact-Jaccard verify joins shingle arrays for
+    * CANDIDATE pairs only — the all-pairs stage never exists. */
+  def q184MinhashJaccard(s: SparkSession, dir: String,
+                         bands: Int = 4, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val (docs, cands) = minhashDocsAndCands(s, dir, bands, rows)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
                         col("sig").as("sig_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -1854,4 +1865,105 @@ object Dedup {
        WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= $tau
        ORDER BY greatest(cont_ab_micro, cont_ba_micro) DESC, doc_a, doc_b
        LIMIT $k"""
+
+  /** q223 — BLOCKING-RECALL EVAL for the MinHash banding: of the
+    * hamming ≤ 3 SimHash near-dup pairs — a COMPLETE truth set by
+    * q185's pigeonhole argument, no exhaustive join needed — what
+    * fraction does q184's band-bucket candidate generator produce?
+    * This is the dedup-tuning measurement (bands × rows vs recall)
+    * a corpus build runs before trusting its blocking scheme, and
+    * it evaluates the PRODUCTION generator ([[minhashDocsAndCands]],
+    * shared code), not a reimplementation. One audit row: truth
+    * size, candidate volume (the cost side), hits, and recall in
+    * exact micros (vacuous truth ⇒ 1e6 by convention).
+    *
+    * Scale shape: both inputs are the existing banded pipelines
+    * (bounded buckets, no all-pairs anywhere); the comparison is a
+    * left-semi join of the truth pairs against the candidate pairs
+    * on (a, b), then three 1-row aggregates broadcast-crossed into
+    * the audit row. */
+  def q223LshRecall(s: SparkSession, dir: String,
+                    bands: Int = 4, rows: Int = 4,
+                    maxHamming: Int = 3): DataFrame = {
+    val truth = q185SimhashPairs(s, dir, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, cands) = minhashDocsAndCands(s, dir, bands, rows)
+    val cand = cands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+              when(col("n_truth") === 0, lit(1000000L))
+                .otherwise(expr("n_hits * 1000000L div n_truth"))
+                .as("recall_micro"))
+  }
+
+  /** DuckDB oracle for q223 — q185's fingerprint/banding truth chain
+    * and q184's signature/band-key candidate chain, joined. */
+  def q223OracleSql(bands: Int = 4, rows: Int = 4,
+                    maxHamming: Int = 3): String = {
+    val k = bands * rows
+    val params = (0 until k)
+      .map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")
+    val bList = (0 until bands).mkString("[", ",", "]")
+    val bkeyFold = (2 to rows).foldLeft(s"sl[$rows*b + 1]")(
+      (acc, r) => s"($acc * 31 + sl[$rows*b + $r])")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS gs FROM t0),
+       td AS (SELECT doc_id, gs FROM sh0 WHERE len(gs) > 0),
+       hhv AS (SELECT doc_id, list_transform(gs, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP)
+             * 1073741824
+           + list_reduce(list_prepend(0, list_transform(string_split(reverse(g), ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP))
+           AS hs FROM td),
+       hfp AS (SELECT doc_id, sum(CASE WHEN
+           list_sum(list_transform(hs, h ->
+             CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+         FROM hhv, unnest(generate_series(0, 59)) AS t(b)
+         GROUP BY doc_id),
+       hck AS (SELECT doc_id, c, (fp >> (15 * c)) & 32767 AS ckey
+         FROM hfp, unnest([0, 1, 2, 3]) AS u(c)),
+       truth AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM hck x JOIN hck y ON x.c = y.c AND x.ckey = y.ckey
+           AND x.doc_id < y.doc_id
+         JOIN hfp fa ON fa.doc_id = x.doc_id
+         JOIN hfp fb ON fb.doc_id = y.doc_id
+         WHERE bit_count(xor(fa.fp, fb.fp)) <= $maxHamming),
+       mhv AS (SELECT doc_id, list_transform(gs, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP))
+           AS hv FROM td),
+       prm(j, a, b) AS (VALUES $params),
+       sig AS (SELECT doc_id, j,
+           list_min(list_transform(hv, h -> (h * a + b) % $MhP)) AS s
+         FROM mhv, prm GROUP BY ALL),
+       sigl AS (SELECT doc_id, list(s ORDER BY j) AS sl
+         FROM sig GROUP BY doc_id),
+       bk AS (SELECT doc_id, b, $bkeyFold AS bkey
+         FROM sigl, unnest($bList) AS t(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id),
+       agg AS (SELECT
+         (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+              WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))::BIGINT
+           AS n_hits)
+       SELECT n_truth, n_candidates, n_hits,
+         CASE WHEN n_truth = 0 THEN 1000000::BIGINT
+              ELSE CAST(n_hits * 1000000 // n_truth AS BIGINT) END
+           AS recall_micro
+       FROM agg"""
+  }
 }

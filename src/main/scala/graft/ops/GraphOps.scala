@@ -497,4 +497,107 @@ object GraphOps {
          $rows
          ORDER BY round"""
   }
+
+  /** q222 — CLUSTER-STABILITY audit via the RAND INDEX [Rand, JASA
+    * 1971]: how much does the label-propagation community structure
+    * (q99) move between round 2 and round 3? Both labelings come
+    * from ONE unrolled run (the carried frame after each round), the
+    * contingency table is a keyed count over the joined labelings,
+    * and the Rand index — agreeing pairs / all pairs — is evaluated
+    * in exact integer arithmetic from the pair-count identity
+    * R = (C(n,2) + 2·Σ C(n_ij,2) − Σ C(a_i,2) − Σ C(b_j,2)) / C(n,2).
+    * An index near 1e6 says the communities have converged; a low
+    * value says more rounds are buying real movement — the
+    * stopping-criterion audit an iterative clustering job logs.
+    *
+    * Scale shape: the label rounds are q99's join+agg+window chain
+    * over the persisted edge list; the contingency is one aggregation
+    * on (label_a, label_b) — bounded by cluster-pair count, not
+    * nodes; the three C(·,2) sums are tiny rollups broadcast-crossed
+    * into the single audit row. Integer bound: the C(n,2)·1e6 micro
+    * numerator stays in int64 to ~4.2e6 nodes; beyond that widen the
+    * final expression to DECIMAL(38,0) (the q172 move) — the counts
+    * themselves are safe to ~4.3e9 nodes. */
+  def q222RandStability(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = clickEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    var at2: DataFrame = null
+    for (i <- 1 to 3) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+      if (i == 2) at2 = labels.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val joined = at2.toDF("node", "la")
+      .join(labels.toDF("node", "lb"), Seq("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `div`, not `/`: Column./ is DOUBLE division — these sums must
+    // stay BIGINT for the gate and for 2^53-plus pair counts
+    val nij = joined.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
+      .agg(expr("sum(c * (c - 1) div 2)").as("s_both"))
+    val ai = joined.groupBy(col("la")).agg(count(lit(1)).as("c"))
+      .agg(expr("sum(c * (c - 1) div 2)").as("s_a"), count(lit(1)).as("k_a"))
+    val bj = joined.groupBy(col("lb")).agg(count(lit(1)).as("c"))
+      .agg(expr("sum(c * (c - 1) div 2)").as("s_b"), count(lit(1)).as("k_b"))
+    joined.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(nij))
+      .crossJoin(broadcast(ai))
+      .crossJoin(broadcast(bj))
+      .select(col("n_nodes"), col("k_a").as("clusters_r2"),
+              col("k_b").as("clusters_r3"),
+              expr("""CASE WHEN n_nodes < 2 THEN 1000000L ELSE
+                (n_nodes * (n_nodes - 1) div 2 + 2 * s_both - s_a - s_b)
+                  * 1000000L div (n_nodes * (n_nodes - 1) div 2) END""")
+                .as("rand_micro"))
+  }
+
+  /** DuckDB oracle for q222 — the q99 rounds unrolled to three, the
+    * identical contingency pair-count identity. */
+  def q222OracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst, l.label, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           GROUP BY 1, 2),
+         l$i AS (SELECT dst AS node, label FROM (
+           SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH clicks AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+         edges AS (SELECT 'u' || user_id AS src, 'i' || k AS dst FROM clicks
+                   UNION ALL
+                   SELECT 'i' || k, 'u' || user_id FROM clicks),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         $rounds,
+         j AS (SELECT a.node, a.label AS la, b.label AS lb
+           FROM l2 a JOIN l3 b ON a.node = b.node),
+         sboth AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS s_both FROM (
+           SELECT count(*)::BIGINT AS c FROM j GROUP BY la, lb)),
+         sa AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS s_a,
+             count(*)::BIGINT AS k_a FROM (
+           SELECT count(*)::BIGINT AS c FROM j GROUP BY la)),
+         sb AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS s_b,
+             count(*)::BIGINT AS k_b FROM (
+           SELECT count(*)::BIGINT AS c FROM j GROUP BY lb)),
+         nn AS (SELECT count(*)::BIGINT AS n_nodes FROM j)
+       SELECT n_nodes, k_a AS clusters_r2, k_b AS clusters_r3,
+         CASE WHEN n_nodes < 2 THEN 1000000::BIGINT
+              ELSE CAST((n_nodes * (n_nodes - 1) // 2 + 2 * s_both
+                         - s_a - s_b) * 1000000
+                        // (n_nodes * (n_nodes - 1) // 2) AS BIGINT) END
+           AS rand_micro
+       FROM nn, sboth, sa, sb"""
+  }
 }

@@ -675,4 +675,20 @@ class DedupSpec extends SparkSpec {
       s"got ${got.mkString(", ")}")
     spark.catalog.clearCache()
   }
+  test("q223 recall matches a driver-side truth/candidate intersection") {
+    val truth = Dedup.q185SimhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (_, candsDf) = Dedup.minhashDocsAndCands(spark, sf0001, 4, 4)
+    val cands = candsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = truth intersect cands
+    val got = Dedup.q223LshRecall(spark, sf0001).collect().head
+    assert(got.getLong(0) == truth.size.toLong, "truth size")
+    assert(got.getLong(1) == cands.size.toLong, "candidate volume")
+    assert(got.getLong(2) == hits.size.toLong, "hits")
+    val want = if (truth.isEmpty) 1000000L
+               else hits.size.toLong * 1000000L / truth.size
+    assert(got.getLong(3) == want, s"recall ${got.getLong(3)} != $want")
+    spark.catalog.clearCache()
+  }
 }

@@ -181,4 +181,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L),
                             (3L, 0L, 0L), (4L, 0L, 0L)), s"got ${got.mkString(", ")}")
   }
+  test("q222 Rand index matches a driver-side pair-count recomputation") {
+    val la = GraphOps.q99LabelProp(spark, sf0001, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val lb = GraphOps.q99LabelProp(spark, sf0001, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(la.keySet == lb.keySet)
+    val nodes = la.keySet.toSeq.sorted
+    var agree = 0L; var total = 0L
+    for (i <- nodes.indices; j <- (i + 1) until nodes.length) {
+      val sameA = la(nodes(i)) == la(nodes(j))
+      val sameB = lb(nodes(i)) == lb(nodes(j))
+      if (sameA == sameB) agree += 1
+      total += 1
+    }
+    val want = agree * 1000000L / total
+    val got = GraphOps.q222RandStability(spark, sf0001).collect().head
+    assert(got.getLong(0) == nodes.length.toLong)
+    assert(got.getLong(3) == want,
+      s"rand ${got.getLong(3)} != recomputed $want")
+    spark.catalog.clearCache()
+  }
 }

@@ -75,7 +75,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q216_containment",       // r10 longs-only counting + bound prune
     "q217_ndcg_eval",         // r10 bounded top-k + log2 discount sums
     "q219_markov_eval",       // r10 hash split + argmax model broadcast
-    "q220_keyframes")         // r10 per-video lag over aHash prints
+    "q220_keyframes",         // r10 per-video lag over aHash prints
+    "q221_kanon_audit",       // r10 QI-class double rollup
+    "q222_rand_stability",    // r10 dual-round labels + pair identity
+    "q223_lsh_recall")        // r10 truth/candidate semi-join audit
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -560,6 +560,24 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q222 contingency sums are tiny broadcast-crossed rollups over the cached join") {
+    val p = plan("q222_rand_stability")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3,
+      s"the three 1-row C(.,2) rollups must broadcast-cross:\n${p.take(1200)}")
+    assert(p.contains("InMemoryTableScan"),
+      "all four rollups must read the persisted (la, lb) join")
+    spark.catalog.clearCache()
+  }
+
+  test("q223 compares the persisted truth/candidate frames, no recompute") {
+    val p = plan("q223_lsh_recall")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"truth (x2) and candidates must read their caches:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "only 1-row broadcast crosses belong here")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

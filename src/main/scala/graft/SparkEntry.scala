@@ -249,6 +249,7 @@ object SparkEntry {
     "q221_kanon_audit"     -> ((s, d) => TextOps.q221KAnonAudit(s, d)),
     "q222_rand_stability"  -> ((s, d) => graft.ops.GraphOps.q222RandStability(s, d)),
     "q223_lsh_recall"      -> ((s, d) => Dedup.q223LshRecall(s, d)),
+    "q224_cms_width_sweep" -> ((s, d) => TextOps.q224CmsWidthSweep(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2440,5 +2441,6 @@ object SparkEntry {
     "q221_kanon_audit" -> TextOps.q221OracleSql(),
     "q222_rand_stability" -> graft.ops.GraphOps.q222OracleSql,
     "q223_lsh_recall" -> Dedup.q223OracleSql(),
+    "q224_cms_width_sweep" -> TextOps.q224OracleSql(),
   )
 }

@@ -1559,4 +1559,100 @@ object TextOps {
               // sum(n) AS BIGINT) AS risk_micro,
          min(n)::BIGINT AS effective_k
        FROM cls GROUP BY source ORDER BY source"""
+
+  /** q224 — CMS WIDTH SWEEP: the sketch-tuning curve for q179's
+    * Count-Min — for widths w ∈ {128, 512, 2048} (d = 4 rows each),
+    * one audit row per width: vocabulary size, how many tokens the
+    * sketch estimates EXACTLY, the worst overcount, and the mean
+    * overcount in exact micros. This is the measurement that picks a
+    * production sketch size (error halves as width doubles until the
+    * heavy-hitter floor); pairing it with q179 closes the loop the
+    * same way q223 does for MinHash banding — the engine ships the
+    * operator AND the instrument that tunes it. Entirely integer
+    * (CMS estimates are sums and mins of counts).
+    *
+    * Scale shape: the corpus-linear stage (token counts) runs ONCE
+    * and is persisted; each width replays only the map-side hash +
+    * d×w-bounded counter aggregation + broadcast probe over the
+    * collapsed vocabulary frame. The result is a 3-row union of
+    * 1-row aggregates. */
+  def q224CmsWidthSweep(s: SparkSession, dir: String,
+                        widths: Seq[Int] = Seq(128, 512, 2048),
+                        d: Int = 4): DataFrame = {
+    // sketch the 3-gram SHINGLE frequencies, not unigram tokens: this
+    // corpus has a ~31-word vocabulary (no CMS collisions at any
+    // tested width — a vacuous sweep), while its shingle vocabulary
+    // is tens of thousands, so the width/error trade-off is real
+    val counts = Tables.documents(s, dir)
+      .select(explode(shingles(tokens(col("text")), 3)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("h",
+        graft.functions.VectorFunctions.rollingHash31(col("token")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perW = widths.map { w =>
+      val rows = (0 until d).map { i =>
+        struct(lit(i).as("row_i"),
+               pmod(pmod(lit(CmsA(i)) * col("h") + lit(CmsB(i)), lit(CmsP)),
+                    lit(w.toLong)).as("bucket"))
+      }
+      val hashed = counts
+        .select(col("token"), col("c"), explode(array(rows: _*)).as("rb"))
+        .select(col("token"), col("c"),
+                col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      val sketch = hashed.groupBy(col("row_i"), col("bucket"))
+        .agg(sum(col("c")).cast("long").as("counter"))
+      hashed.join(broadcast(sketch), Seq("row_i", "bucket"))
+        .groupBy(col("token"))
+        .agg(min(col("counter")).as("est"), min(col("c")).as("exact"))
+        .agg(count(lit(1)).as("vocab"),
+             sum(when(col("est") === col("exact"), 1L).otherwise(0L))
+               .as("n_exact"),
+             max(col("est") - col("exact")).as("max_overcount"),
+             sum(col("est") - col("exact")).as("sum_over"))
+        .select(lit(w.toLong).as("w"), col("vocab"), col("n_exact"),
+                col("max_overcount"),
+                expr("sum_over * 1000000L div vocab").as("avg_overcount_micro"))
+    }
+    perW.reduce(_ unionByName _).orderBy(col("w"))
+  }
+
+  /** DuckDB oracle for q224 — q179's replayable sketch at each width,
+    * rolled up to the same audit row. */
+  def q224OracleSql(widths: Seq[Int] = Seq(128, 512, 2048),
+                    d: Int = 4): String = {
+    val aList = CmsA.take(d).mkString("[", ",", "]")
+    val bList = CmsB.take(d).mkString("[", ",", "]")
+    val iList = (0 until d).mkString("[", ",", "]")
+    val per = widths.map { w =>
+      s"""r$w AS (SELECT token, c, i,
+           ((($aList[i + 1]) * h + ($bList[i + 1])) % $CmsP) % $w AS bucket
+           FROM fp, unnest($iList) AS t(i)),
+         s$w AS (SELECT i, bucket, sum(c)::BIGINT AS counter
+           FROM r$w GROUP BY i, bucket),
+         e$w AS (SELECT r.token, min(s.counter)::BIGINT AS est,
+                        min(r.c)::BIGINT AS exact
+           FROM r$w r JOIN s$w s ON r.i = s.i AND r.bucket = s.bucket
+           GROUP BY r.token),
+         a$w AS (SELECT $w::BIGINT AS w, count(*)::BIGINT AS vocab,
+           sum(CASE WHEN est = exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           max(est - exact)::BIGINT AS max_overcount,
+           CAST(sum(est - exact) * 1000000 // count(*) AS BIGINT)
+             AS avg_overcount_micro
+           FROM e$w)"""
+    }.mkString(",\n       ")
+    val sel = widths.map(w => s"SELECT * FROM a$w").mkString("\n       UNION ALL ")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END)) AS token FROM t0),
+       counts AS (SELECT token, count(*)::BIGINT AS c FROM sh GROUP BY token),
+       fp AS (SELECT token, c,
+         list_reduce(list_prepend(0, list_transform(string_split(token, ''),
+           ch -> ascii(ch)::BIGINT)), (acc, ch) -> (acc * 31 + ch) % $CmsP) AS h
+         FROM counts),
+       $per
+       $sel
+       ORDER BY w"""
+  }
 }

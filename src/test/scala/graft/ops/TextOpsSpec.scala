@@ -496,4 +496,22 @@ class TextOpsSpec extends SparkSpec {
       ("s1", 2L, 1L, 2L, 8L, 250000L, 2L),
       ("s2", 1L, 1L, 1L, 1L, 1000000L, 1L)), s"got ${got.mkString(", ")}")
   }
+  test("q224 CMS sweep: error monotonically shrinks as width grows") {
+    val rows = TextOps.q224CmsWidthSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(128L, 512L, 2048L))
+    assert(rows.map(_._2).distinct.length == 1, "vocab must not vary with width")
+    val maxO = rows.map(_._4)
+    val avgO = rows.map(_._5)
+    assert(maxO(0) >= maxO(1) && maxO(1) >= maxO(2),
+      s"max overcount must shrink with width: ${maxO.toSeq}")
+    assert(avgO(0) > avgO(1) && avgO(1) > avgO(2),
+      s"avg overcount must strictly shrink on this corpus: ${avgO.toSeq}")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted,
+      "exactly-estimated token count must not decrease with width")
+    // CMS never undercounts: a negative overcount is impossible
+    assert(maxO.forall(_ >= 0) && avgO.forall(_ >= 0))
+    spark.catalog.clearCache()
+  }
 }

@@ -78,7 +78,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q220_keyframes",         // r10 per-video lag over aHash prints
     "q221_kanon_audit",       // r10 QI-class double rollup
     "q222_rand_stability",    // r10 dual-round labels + pair identity
-    "q223_lsh_recall")        // r10 truth/candidate semi-join audit
+    "q223_lsh_recall",        // r10 truth/candidate semi-join audit
+    "q224_cms_width_sweep")   // r10 per-width sketch error rollups
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -250,6 +250,7 @@ object SparkEntry {
     "q222_rand_stability"  -> ((s, d) => graft.ops.GraphOps.q222RandStability(s, d)),
     "q223_lsh_recall"      -> ((s, d) => Dedup.q223LshRecall(s, d)),
     "q224_cms_width_sweep" -> ((s, d) => TextOps.q224CmsWidthSweep(s, d)),
+    "q225_fuzzy_parts"     -> ((s, d) => Dedup.q225FuzzyParts(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2442,5 +2443,6 @@ object SparkEntry {
     "q222_rand_stability" -> graft.ops.GraphOps.q222OracleSql,
     "q223_lsh_recall" -> Dedup.q223OracleSql(),
     "q224_cms_width_sweep" -> TextOps.q224OracleSql(),
+    "q225_fuzzy_parts" -> Dedup.q225OracleSql(),
   )
 }

@@ -620,6 +620,100 @@ object ZOrder2 {
   def key(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** Jaro-Winkler string similarity [Winkler, ASA 1990] as a codegen'd
+  * binary expression — the record-linkage scorer for q225's fuzzy
+  * name matching. Textbook semantics, verified against DuckDB's
+  * `jaro_winkler_similarity` (the oracle function): match window
+  * max(|a|,|b|)/2 − 1, transpositions = half the out-of-order
+  * matches, prefix boost l·0.1·(1−j) applied only when j > 0.7 with
+  * l capped at 4, and the DuckDB conventions at the edges (either
+  * side empty → 0, including both-empty; equal strings → 1). The
+  * HOF/UDF alternatives either leave codegen (Scala UDF) or can't
+  * express the two-phase match/transposition scan at all; this
+  * compiles to one static call per row over the UTF8String bytes.
+  *
+  * Unicode note: comparison runs on UTF-16 code units of toString —
+  * identical to DuckDB's character comparison for the ASCII keys it
+  * gates (part names); supplementary-plane input would diverge from
+  * a codepoint-based engine and is out of scope for the gate. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+                    b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.sim($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Static so generated code can call it directly. */
+  def sim(ua: org.apache.spark.unsafe.types.UTF8String,
+          ub: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0 // DuckDB: empty (even both) -> 0
+    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of a vs matched chars of b, in order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val j = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (j > 0.7) {
+      var l = 0
+      val maxL = math.min(4, math.min(la, lb))
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else j
+  }
+}
+
 /** Bloom-probe COUNT over a gram array in ONE codegen'd pass — the
   * q168 decontamination hot path. Semantically identical to
   * `size(filter(grams, g => bloom_might_contain(bf, xxhash64(g))))`
@@ -1016,6 +1110,11 @@ object VectorFunctions {
     ColumnBridge.column(
       ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Codegen'd Jaro-Winkler similarity of two string columns. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaroWinkler(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Unicode NFC canonical normalization of a string column. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
@@ -1109,6 +1208,9 @@ object VectorFunctions {
     (new FunctionIdentifier("zorder2"),
      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
      (c: Seq[Expression]) => ZOrder2(c(0), c(1)): Expression),
+    (new FunctionIdentifier("jaro_winkler"),
+     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+     (c: Seq[Expression]) => JaroWinkler(c(0), c(1)): Expression),
     (new FunctionIdentifier("nfc_normalize"),
      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
      (c: Seq[Expression]) => NfcNormalize(c.head): Expression),

@@ -1966,4 +1966,88 @@ object Dedup {
            AS recall_micro
        FROM agg"""
   }
+
+  /** q225 — FUZZY RECORD LINKAGE over part names: multi-pass
+    * sorted-neighborhood blocking [Hernández & Stolfo, SIGMOD 1995]
+    * scored by the codegen'd [[graft.functions.JaroWinkler]]
+    * expression (verified against DuckDB's own
+    * `jaro_winkler_similarity` — the oracle uses the BUILT-IN, so the
+    * gate proves the custom expression reproduces an independent
+    * implementation, not itself). Two passes sort the distinct-name
+    * dictionary by the name and by its REVERSAL — prefix-damaged
+    * twins ("cold widget"/"old widget") are far apart forwards but
+    * adjacent reversed — and each name is compared only against its
+    * `w` successors per pass. Pairs with round(jw, 4) ≥ 0.9 emit
+    * with both names' part counts (the merge-decision context).
+    * Thresholding on the 4dp-ROUNDED value keeps the comparison on
+    * the same grid in both engines — raw-double thresholds can flip
+    * on a last-ulp disagreement, rounded ones cannot (q63 lesson,
+    * float edition).
+    *
+    * Scale shape: blocking runs on the collapsed name DICTIONARY
+    * (distinct names + counts — tiny vs the part table), ranked by
+    * [[Sampling.distributedPrefix]] (bucketed by leading character,
+    * never a single-task global window); candidates are 2·w per
+    * name, scored map-side by the codegen'd expression. The
+    * corpus-linear stage is exactly one groupBy(p_name). */
+  def q225FuzzyParts(s: SparkSession, dir: String,
+                     w: Int = 4, minJw: Double = 0.9): DataFrame = {
+    import graft.functions.VectorFunctions
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pass(key: org.apache.spark.sql.Column): DataFrame = {
+      val ranked = Sampling.distributedPrefix(
+          names.select(col("p_name"), lit("all").as("source"),
+                       lit(0L).as("n_tokens"), key.as("sk")),
+          substring(col("sk"), 1, 1), Seq(col("sk"), col("p_name")),
+          withSum = false)
+        .select(col("p_name"), col("rn"))
+      val a = ranked.select(col("p_name").as("name_a"),
+        explode(array((1 to w).map(i => col("rn") + lit(i.toLong)): _*))
+          .as("rn_b"))
+      val b = ranked.select(col("p_name").as("name_b"), col("rn").as("rn_b"))
+      a.join(b, Seq("rn_b")).select(col("name_a"), col("name_b"))
+    }
+    val cands = pass(col("p_name"))
+      .unionByName(pass(reverse(col("p_name"))))
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+              greatest(col("name_a"), col("name_b")).as("name_b"))
+      .distinct()
+    cands
+      .withColumn("jw",
+        round(VectorFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= minJw)
+      .join(names.select(col("p_name").as("name_a"), col("n_parts").as("n_a")),
+            Seq("name_a"))
+      .join(names.select(col("p_name").as("name_b"), col("n_parts").as("n_b")),
+            Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+  }
+
+  /** DuckDB oracle for q225 — identical two-pass neighborhood and
+    * counts, scored by DuckDB's BUILT-IN jaro_winkler_similarity. */
+  def q225OracleSql(w: Int = 4, minJw: Double = 0.9): String =
+    s"""WITH names AS (SELECT p_name, count(*)::BIGINT AS n_parts
+         FROM part GROUP BY p_name),
+       fwd AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn
+         FROM names),
+       rev AS (SELECT p_name, row_number()
+           OVER (ORDER BY reverse(p_name), p_name) AS rn FROM names),
+       pf AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+         FROM fwd a JOIN fwd b ON b.rn > a.rn AND b.rn <= a.rn + $w),
+       pr AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+         FROM rev a JOIN rev b ON b.rn > a.rn AND b.rn <= a.rn + $w),
+       cand AS (SELECT DISTINCT least(name_a, name_b) AS name_a,
+           greatest(name_a, name_b) AS name_b
+         FROM (SELECT * FROM pf UNION ALL SELECT * FROM pr)),
+       sc AS (SELECT name_a, name_b,
+           round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+         FROM cand)
+       SELECT name_a, name_b, na.n_parts AS n_a, nb.n_parts AS n_b, jw
+       FROM sc JOIN names na ON na.p_name = name_a
+               JOIN names nb ON nb.p_name = name_b
+       WHERE jw >= $minJw
+       ORDER BY jw DESC, name_a, name_b"""
 }

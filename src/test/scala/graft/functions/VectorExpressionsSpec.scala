@@ -464,4 +464,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(buf(1) == 6L + 35L)
     assert(buf(3) == 9L + 49L)
   }
+  test("jaro_winkler reproduces DuckDB's built-in on the reference pairs") {
+    import spark.implicits._
+    // expected values are DuckDB 1.0's jaro_winkler_similarity output
+    // (probed directly) — the oracle q225 gates against
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),          // DuckDB convention: empty -> 0, even both
+      ("a", "b", 0.0),
+      ("CRATE", "TRACE", 0.7333333333),
+      ("DWAYNE", "DUANE", 0.84),
+      ("apple", "applet", 0.9666666667),
+      ("ab", "ba", 0.0),
+      ("abcdefgh", "abzzzzzz", 0.5),       // j = 0.5 <= 0.7: no boost
+      ("ab", "abcdefghijklmnop", 0.7666666667),
+      ("prefix_same_tail_differs", "prefix_X", 0.8333333333)) // prefix cap 4
+    val got = cases.map { case (a, b, _) => (a, b) }
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.jaroWinkler($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-9, s"jw($a, $b) = $g, want $want")
+    }
+    // SQL registration path evaluates identically
+    VectorFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA')").collect().head.getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111) < 1e-9)
+  }
 }

@@ -578,6 +578,17 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q225 scores with the codegen'd jaro_winkler; no cartesian, dictionary cached") {
+    val p = plan("q225_fuzzy_parts")
+    assert(p.contains("jaro_winkler"),
+      s"scoring must use the codegen'd expression:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the sorted-neighborhood rank joins")
+    assert(p.contains("InMemoryTableScan"),
+      "the name dictionary must be cached for its three consumers")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

@@ -202,6 +202,8 @@ object SparkEntry {
     "q174_kcenter_coreset" -> ((s, d) => Similarity.q174KCenterCoreset(s, d)),
     "q175_stream_lifetime" -> graft.streaming.StreamQueries.q175StreamLifetime,
     "q218_stream_top_users" -> graft.streaming.StreamQueries.q218StreamTopUsers,
+    "q226_stream_session_window" ->
+      graft.streaming.StreamQueries.q226StreamSessionWindow,
     "q176_dup_spans"       -> ((s, d) => Dedup.q176DupSpans(s, d)),
     "q177_mix_allocation"  -> graft.ops.Sampling.q177MixAllocation,
     "q178_max_spans"       -> ((s, d) => Dedup.q178MaxSpans(s, d)),
@@ -261,7 +263,8 @@ object SparkEntry {
     Set("q51_stream_tumbling", "q52_stream_sessions", "q57_stream_join",
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
         "q101_stream_outer_join", "q156_stream_late_data",
-        "q175_stream_lifetime", "q218_stream_top_users")
+        "q175_stream_lifetime", "q218_stream_top_users",
+        "q226_stream_session_window")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2438,6 +2441,25 @@ object SparkEntry {
          SELECT event_type, rk::BIGINT AS rk, user_id, n
          FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
     "q219_markov_eval" -> graft.ops.EventOps.q219OracleSql,
+    // q226: q52's exact gap semantics — session_window MERGES an
+    // event landing exactly at last+gap (sessions combine when
+    // start_B <= end_A, inclusive; MemoryStream-verified in
+    // EventStreamsSpec), so the oracle splits only on strict >
+    "q226_stream_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end,
+           round(sum(value), 4) AS total_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q220_keyframes" -> Multimodal.q220OracleSql(),
     "q221_kanon_audit" -> TextOps.q221OracleSql(),
     "q222_rand_stability" -> graft.ops.GraphOps.q222OracleSql,

@@ -681,4 +681,42 @@ object StreamQueries {
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
               col("col.user_id").as("user_id"), col("col.n").as("n"))
       .orderBy(col("event_type"), col("rk"))
+
+  /** q226 — gap sessionization via Spark's NATIVE `session_window`
+    * aggregation, the Spark-first counterpart to q52's custom
+    * flatMapGroupsWithState operator: where the built-in expresses
+    * the semantics, prefer it (state merge, eviction and append-mode
+    * finalization all come from the engine). Gap semantics match
+    * q52's custom operator exactly — session_window MERGES an event
+    * landing exactly at last + gap (sessions combine when
+    * start_B ≤ end_A, inclusive; pinned by a MemoryStream spec, so
+    * a Spark-side semantics change would fail CI before the gate
+    * could silently diverge). Append mode with the two watermark-
+    * advancing sentinel drops finalizes every real session; the
+    * sentinel's own (user −1) session is filtered post-sink.
+    *
+    * Scale shape: one shuffle on user_id into the engine's merging
+    * session state store — bounded by OPEN sessions, evicted at the
+    * watermark; the cosmetic session numbering joins after the sink
+    * on finalized rows. */
+  def q226StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = runStream(s, dir, "q226", drops = 2) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"),
+             max(col("ts")).as("t_end"),
+             sum(col("value")).as("total_value"))
+        .select(col("user_id"), col("n_events"), col("t_start"),
+                col("t_end"), col("total_value"))
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_start"))
+    sessions.filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              date_format(col("t_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_start"),
+              date_format(col("t_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_end"),
+              round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

@@ -366,4 +366,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(b1("view") == Seq((8L, 1L), (9L, 1L)), s"b1 $b1")
     } finally q.stop()
   }
+  test("native session_window MERGES at an exact gap boundary (q226 oracle pin)") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val agg = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: events at 10:00 and EXACTLY 10:30 -> sessions merge when
+      // start_B <= end_A (inclusive), so this is ONE session of 2 —
+      // the same semantics as q52's custom operator; q226's oracle
+      // splits only on strict >. u2: 10:00 and 10:29 -> one session.
+      in.addData(ev(1, 1, "10:00"), ev(2, 1, "10:30"),
+                 ev(3, 2, "10:00"), ev(4, 2, "10:29"))
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "23:00")) // watermark past every session end
+      q.processAllAvailable()
+      val got = spark.table("sesswin").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(got(1L) == Seq(2L), s"u1 must merge at the exact gap: $got")
+      assert(got(2L) == Seq(2L), s"u2 must merge: $got")
+    } finally q.stop()
+  }
 }

@@ -253,6 +253,7 @@ object SparkEntry {
     "q223_lsh_recall"      -> ((s, d) => Dedup.q223LshRecall(s, d)),
     "q224_cms_width_sweep" -> ((s, d) => TextOps.q224CmsWidthSweep(s, d)),
     "q225_fuzzy_parts"     -> ((s, d) => Dedup.q225FuzzyParts(s, d)),
+    "q227_assortativity"   -> ((s, d) => graft.ops.GraphOps.q227Assortativity(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2466,5 +2467,6 @@ object SparkEntry {
     "q223_lsh_recall" -> Dedup.q223OracleSql(),
     "q224_cms_width_sweep" -> TextOps.q224OracleSql(),
     "q225_fuzzy_parts" -> Dedup.q225OracleSql(),
+    "q227_assortativity" -> graft.ops.GraphOps.q227OracleSql,
   )
 }

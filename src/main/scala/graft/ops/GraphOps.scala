@@ -600,4 +600,69 @@ object GraphOps {
            AS rand_micro
        FROM nn, sboth, sa, sb"""
   }
+
+  /** q227 — DEGREE ASSORTATIVITY [Newman, PRL 2002] of the click
+    * graph: the Pearson correlation of endpoint degrees over the
+    * DIRECTED edge list. Because the edge list carries both
+    * directions of every undirected edge, the x- and y-marginals are
+    * identical and the coefficient collapses to the EXACT RATIONAL
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no sqrt, so the audit
+    * row carries the exact integer numerator and denominator next to
+    * the 4dp ratio (the division of two exact int64s is a single
+    * correctly-rounded IEEE op, identical in both engines; emitting
+    * a floor-divided micro instead would diverge on NEGATIVE r —
+    * Spark `div` truncates toward zero, DuckDB `//` floors).
+    * Negative r says hubs attach to leaves (the typical
+    * user–item bipartite shape); positive says hubs cluster.
+    *
+    * Scale shape: one degree aggregation, two hash joins attaching
+    * endpoint degrees to edges, one global 4-sum aggregate —
+    * map-side combined, 1 row out. Integer bound: m·Σxy ≤ m²·deg²
+    * stays in int64 through m ≈ 1e7 edges at generator-shaped
+    * degrees (documented with the q200 family in SCALE.md); past
+    * that, widen the three products to DECIMAL(38,0) (the q172
+    * move). */
+  def q227Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = clickEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+           sum(col("dx")).as("sx"),
+           sum(col("dx") * col("dx")).as("sxx"),
+           sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"),
+              (col("m") * col("sxy") - col("sx") * col("sx")).as("num"),
+              (col("m") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("m"), col("num"), col("den"),
+              when(col("den") === 0, lit(0.0))
+                .otherwise(round(col("num").cast("double") /
+                                 col("den").cast("double"), 4))
+                .as("assortativity"))
+  }
+
+  /** DuckDB oracle for q227 — identical degree joins and the same
+    * rational identity, sums cast back to BIGINT (q63 lesson). */
+  def q227OracleSql: String =
+    """WITH c AS (SELECT DISTINCT user_id AS u,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+         FROM events WHERE event_type = 'click'),
+       e AS (SELECT 'u' || u AS src, 'i' || i AS dst FROM c
+             UNION ALL SELECT 'i' || i, 'u' || u FROM c),
+       deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+       j AS (SELECT dx.d AS dx, dy.d AS dy
+         FROM e JOIN deg dx ON dx.src = e.src
+                JOIN deg dy ON dy.src = e.dst),
+       agg AS (SELECT count(*)::BIGINT AS m,
+         sum(dx)::BIGINT AS sx, sum(dx * dx)::BIGINT AS sxx,
+         sum(dx * dy)::BIGINT AS sxy FROM j)
+       SELECT m, CAST(m * sxy - sx * sx AS BIGINT) AS num,
+         CAST(m * sxx - sx * sx AS BIGINT) AS den,
+         CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+              ELSE round((m * sxy - sx * sx)::DOUBLE
+                         / (m * sxx - sx * sx)::DOUBLE, 4) END
+           AS assortativity
+       FROM agg"""
 }

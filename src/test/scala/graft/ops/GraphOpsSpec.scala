@@ -202,4 +202,35 @@ class GraphOpsSpec extends SparkSpec {
       s"rand ${got.getLong(3)} != recomputed $want")
     spark.catalog.clearCache()
   }
+  test("q227 assortativity matches a driver-side recomputation and is disassortative") {
+    val edges = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(spark, sf0001)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .distinct().collect()
+        .flatMap(r => Seq((s"u${r.getLong(0)}", s"i${r.getLong(1)}"),
+                          (s"i${r.getLong(1)}", s"u${r.getLong(0)}")))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = edges.length.toLong
+    var sx = 0L; var sxx = 0L; var sxy = 0L
+    edges.foreach { case (a, b) =>
+      val dx = deg(a); val dy = deg(b)
+      sx += dx; sxx += dx * dx; sxy += dx * dy
+    }
+    val num = m * sxy - sx * sx
+    val den = m * sxx - sx * sx
+    val got = GraphOps.q227Assortativity(spark, sf0001).collect().head
+    assert(got.getLong(0) == m && got.getLong(1) == num && got.getLong(2) == den,
+      s"sums diverge: got (${got.getLong(0)}, ${got.getLong(1)}, ${got.getLong(2)})" +
+        s" want ($m, $num, $den)")
+    val want = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.getDouble(3) - want) < 5e-4)
+    // user-item bipartite graphs are hub-to-leaf: strongly negative
+    assert(got.getDouble(3) < 0, s"expected disassortative, got ${got.getDouble(3)}")
+    spark.catalog.clearCache()
+  }
 }

@@ -80,7 +80,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q222_rand_stability",    // r10 dual-round labels + pair identity
     "q223_lsh_recall",        // r10 truth/candidate semi-join audit
     "q224_cms_width_sweep",   // r10 per-width sketch error rollups
-    "q225_fuzzy_parts")       // r10 two-pass neighborhood + JW scoring
+    "q225_fuzzy_parts",       // r10 two-pass neighborhood + JW scoring
+    "q227_assortativity")     // r10 degree joins + global 4-sum
 
   test("results are identical under 3 and 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q227 assortativity: degree joins + one global aggregate, no window") {
+    val p = plan("q227_assortativity")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the 4-sum reduction must be a plain aggregate:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final pair for the global sums")
+    spark.catalog.clearCache()
+  }
+
   test("q196 report is one scoring pass into one aggregate pair") {
     val p = plan("q196_classification_report")
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),

@@ -657,14 +657,25 @@ object Dedup {
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"),
               explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("gram"))
-    // one gram-keyed aggregate builds the posting list AND the df cap;
-    // candidate pairs are then generated MAP-SIDE from each ≤ dfCap
-    // list (codegen'd HOF expansion, ≤ dfCap²/2 rows per gram) instead
-    // of a gram-keyed self-join — the corpus pays one shuffle of
-    // (gram, doc) and one of (a, b), never a joined pair stream
-    val postings = grams.groupBy(col("gram"))
+    // df-cap BEFORE any collect (r10 verdict #2): a count aggregate —
+    // longs only, map-side combine, safe on a stopword-class gram with
+    // df ≈ n_docs — picks the rare grams, a semi-join restricts the
+    // (gram, doc) stream to them, and only THEN are posting lists
+    // assembled, so every collect_list buffer is ≤ dfCap entries by
+    // construction (never a corpus-sized array on a hot key). The
+    // semi-join and the collect shuffle on the same key, so the second
+    // aggregate reuses the join's partitioning — one extra keyed
+    // count, no extra full-stream shuffle. Candidate pairs are then
+    // generated MAP-SIDE from each ≤ dfCap list (codegen'd HOF
+    // expansion, ≤ dfCap²/2 rows per gram) instead of a gram-keyed
+    // self-join.
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("gram"))
+    val postings = grams.join(rare, Seq("gram"), "left_semi")
+      .groupBy(col("gram"))
       .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= dfCap)
       .select(col("docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = postings
@@ -1783,16 +1794,24 @@ object Dedup {
                 .as("toks"))
       .filter(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = td
-      .select(explode(col("toks")).as("w"), col("doc_id"))
-      .groupBy(col("w")).agg(collect_list(col("doc_id")).as("docs"))
+    val wpairs = td.select(explode(col("toks")).as("w"), col("doc_id"))
+    // df-cap BEFORE any collect (r10 verdict #2): one count aggregate
+    // — longs only, map-side combine, safe on a stopword-class
+    // shingle with df ≈ n_docs — classifies every shingle as rare
+    // (2..dfCap) or common (> dfCap); posting lists are assembled
+    // ONLY for the rare survivors via a semi-join, so every
+    // collect_list buffer is ≤ dfCap entries by construction, and the
+    // common side never needs lists at all (it was only ever counted).
+    val wdf = wpairs.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rare-shared count per pair, LONGS ONLY across the shuffle: the
     // 1M+ raw pair expansions never carry the shingle arrays (the
     // array join-back below runs on the pruned survivors, dozens of
     // rows). rs = |A∩B ∩ rare| is a LOWER bound on the intersection.
-    val rs = posting
-      .filter(size(col("docs")) <= dfCap && size(col("docs")) >= 2)
+    val rs = wpairs
+      .join(wdf.filter(col("df").between(2L, dfCap.toLong)).select(col("w")),
+            Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(collect_list(col("doc_id")).as("docs"))
       .select(explode(expr(
         """flatten(transform(docs,
              x -> transform(filter(docs, y -> y > x),
@@ -1804,9 +1823,8 @@ object Dedup {
     // inter ≤ rs + min(common_a, common_b), a sound upper bound, so
     // the prune below can never drop a qualifying pair — the oracle
     // verifies the unpruned definition and still matches exactly.
-    val common = posting
-      .filter(size(col("docs")) > dfCap)
-      .select(explode(col("docs")).as("doc_id"))
+    val common = wpairs
+      .join(wdf.filter(col("df") > dfCap).select(col("w")), Seq("w"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
     val sizes = td
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"))

@@ -1256,27 +1256,39 @@ object EventOps {
     * ties) so the per-user candidate fan-out is bounded at
     * C(20,3) = 1,140 regardless of how heavy the user is.
     *
-    * Scale shape: one per-user window caps the stream (user-keyed
-    * partitioning — millions of users parallelize it); subsequence
-    * enumeration is a pure map-side HOF over the ≤20-element array
-    * (no self-joins — the positional triple join a DB would run is
-    * collapsed into nested `transform`s inside one task); support
-    * is a single count aggregation on the exploded pattern stream.
-    * At 100 TB only (pattern, user) pairs cross the shuffle, capped
-    * at 1,140 per user. */
+    * Scale shape: the stream cap runs as a BOUNDED first-K
+    * aggregator ([[graft.functions.FirstK]] — the min-k twin of the
+    * TopK component): the per-user aggregation buffer is ≤ cap
+    * structs at every moment, combines map-side (≤ cap rows per user
+    * per partition cross the shuffle), and rejects a past-the-head
+    * row with one comparison — so a whale user with 10⁸ events costs
+    * O(1) per row and 20 structs of state, never a stream-sized
+    * collect_list buffer (the r10 verdict's aggregation-state-skew
+    * class). Subsequence enumeration is a pure map-side HOF over the
+    * ≤20-element array (no self-joins — the positional triple join a
+    * DB would run is collapsed into nested `transform`s inside one
+    * task); support is a single count aggregation on the exploded
+    * pattern stream. At 100 TB only (pattern, user) pairs cross the
+    * shuffle, capped at 1,140 per user. */
   def q211SeqPatterns(s: SparkSession, dir: String,
                       cap: Int = 20, k: Int = 25): DataFrame = {
-    // single user-keyed aggregation: collect, sort in the array
-    // (ts, event_id ties are impossible — ids are unique), cap to
-    // the first `cap` events — one shuffle, no separate window sort
-    // pass over the full stream
-    val seqs = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .groupBy(col("user_id"))
-      .agg(expr(
-        s"""transform(slice(array_sort(collect_list(
-              struct(ts, event_id, event_type))), 1, $cap),
-            x -> x.event_type)""").as("sq"))
+    val ev = Tables.events(s, dir)
+    import ev.sparkSession.implicits._
+    import graft.functions.FirstK
+    // single user-keyed BOUNDED aggregation: first `cap` events by
+    // (ts, event_id) — event_id unique ⇒ ties impossible; buffer
+    // never exceeds `cap` structs however hot the user is
+    val seqs = ev
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+              col("event_type"), col("user_id"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._4)
+      .mapValues { case (t, id, tp, _) => FirstK.Ev(t, id, tp) }
+      .agg(FirstK.firstK(cap).toColumn.name("seq"))
+      // re-encode kryo Seq[String] → a real array<string> column for
+      // the SQL HOF enumeration below
+      .map { case (u, sq) => (u, sq) }
+      .toDF("user_id", "sq")
     seqs
       .select(col("user_id"),
         explode(when(size(col("sq")) >= 3, expr(

@@ -134,29 +134,43 @@ object Sampling {
       .orderBy(col("source"))
   }
 
-  /** q85 — inverted-index build: per token, the document frequency
-    * and the full posting list (doc_id ascending), surfaced as
-    * (first, last, md5-of-list) so the gate compares the exact list
-    * without hauling arrays through the comparison. The core
-    * retrieval-side structure a text corpus ships with.
+  /** q85 — inverted-index build: per token, the document frequency,
+    * posting-list bounds (first/last doc), and — for tokens with
+    * df ≤ dfCap — the full posting list surfaced as md5-of-list so
+    * the gate compares the exact list without hauling arrays through
+    * the comparison. The df cap is part of the CONTRACT (r10 verdict
+    * #2): a stopword-class token's posting list is corpus-sized, and
+    * no single aggregation buffer may hold it — above the cap the
+    * index row carries df + bounds only (`postings_md5` NULL), which
+    * is exactly the point where a production build switches that
+    * token to blocked/skipped postings.
     *
-    * Scale shape: the canonical groupBy-token shape — the explode
-    * reduces map-side to distinct (token, doc) pairs before the
-    * shuffle (dropDuplicates' partial agg), postings assemble once
-    * per token. At 100 TB posting lists for stopword-class tokens
-    * are the skew risk: the df column is exactly the signal a real
-    * build uses to split those into blocked postings. */
-  def q85InvertedIndex(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * Scale shape: the explode reduces map-side to distinct
+    * (token, doc) pairs before the shuffle (dropDuplicates' partial
+    * agg); df/bounds come from one scalar aggregate (longs only,
+    * map-side combine — safe on any skew); posting lists are then
+    * assembled ONLY for the df ≤ dfCap survivors via a semi-join, so
+    * every collect_list buffer is ≤ dfCap entries by construction. */
+  def q85InvertedIndex(s: SparkSession, dir: String,
+                       dfCap: Int = 256): DataFrame = {
+    val pairs = Tables.documents(s, dir)
       .select(explode(TextOps.tokens(col("text"))).as("token"), col("doc_id"))
       .dropDuplicates("token", "doc_id")
-      .groupBy(col("token"))
+    val stats = pairs.groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
            min(col("doc_id")).as("first_doc"),
-           max(col("doc_id")).as("last_doc"),
-           md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+           max(col("doc_id")).as("last_doc"))
+    val rareMd5 = pairs
+      .join(stats.filter(col("df") <= dfCap).select(col("token")),
+            Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
              .as("postings_md5"))
+    stats.join(rareMd5, Seq("token"), "left")
+      .select(col("token"), col("df"), col("first_doc"), col("last_doc"),
+              col("postings_md5"))
       .orderBy(col("token"))
+  }
 
   /** q93 — equi-depth decile binning per source (the feature-binning
     * pass before stratified splits or curriculum bucketing): ntile(10)

@@ -173,6 +173,13 @@ class SamplingSpec extends SparkSpec {
     assert(got("a") == ((1L, 1L, 1L, md5s("1"))))
     assert(got("b") == ((2L, 1L, 2L, md5s("1,2")))) // within-doc repeat collapses
     assert(got("c") == ((1L, 2L, 2L, md5s("2"))))
+    // df-cap contract: above the cap the row keeps df + bounds but
+    // carries NO posting md5 (the list is never collected)
+    val capped = Sampling.q85InvertedIndex(spark, tmp, dfCap = 1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.getString(4))))).toMap
+    assert(capped("b") == ((2L, 1L, 2L, None)))
+    assert(capped("a") == ((1L, 1L, 1L, Some(md5s("1")))))
   }
 
   test("q93 deciles are equi-depth and ordered by length") {

@@ -514,10 +514,10 @@ object GraphOps {
     * over the persisted edge list; the contingency is one aggregation
     * on (label_a, label_b) — bounded by cluster-pair count, not
     * nodes; the three C(·,2) sums are tiny rollups broadcast-crossed
-    * into the single audit row. Integer bound: the C(n,2)·1e6 micro
-    * numerator stays in int64 to ~4.2e6 nodes; beyond that widen the
-    * final expression to DECIMAL(38,0) (the q172 move) — the counts
-    * themselves are safe to ~4.3e9 nodes. */
+    * into the single audit row. Integer bound: the final rand_micro
+    * expression runs in DECIMAL(38,0) (the q172 move — r10 verdict
+    * #6), so the C(n,2)·1e6 numerator holds to ~4.3e9 nodes, the
+    * same ceiling as the BIGINT C(·,2) sums feeding it. */
   def q222RandStability(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = clickEdges(s, dir)
@@ -555,9 +555,17 @@ object GraphOps {
       .crossJoin(broadcast(bj))
       .select(col("n_nodes"), col("k_a").as("clusters_r2"),
               col("k_b").as("clusters_r3"),
+              // DECIMAL(38,0) (the q172/q210 move, r10 verdict #6):
+              // the C(n,2)·1e6 numerator leaves int64 at ~4.2e6
+              // nodes; widened, the audit holds to ~4.3e9 nodes (the
+              // C(n,2) counts themselves cap decimal38 at ~2.6e18
+              // pairs). Quotient ≤ 1e6, so the final LONG cast is
+              // always safe.
               expr("""CASE WHEN n_nodes < 2 THEN 1000000L ELSE
-                (n_nodes * (n_nodes - 1) div 2 + 2 * s_both - s_a - s_b)
-                  * 1000000L div (n_nodes * (n_nodes - 1) div 2) END""")
+                CAST((CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1) div 2
+                      + 2 * s_both - s_a - s_b)
+                  * 1000000 div (CAST(n_nodes AS DECIMAL(38,0))
+                                 * (n_nodes - 1) div 2) AS LONG) END""")
                 .as("rand_micro"))
   }
 

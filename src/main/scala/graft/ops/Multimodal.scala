@@ -74,7 +74,16 @@ object Multimodal {
     *
     * ===== STUB ===== Real frame extraction needs a container/codec
     * parser; the fixed-block slicing stands in for it. The operator
-    * SHAPE (one input row → N frame rows, schema, ordering) is real. */
+    * SHAPE (one input row → N frame rows, schema, ordering) is real.
+    *
+    * Cross-engine length semantics (ADVICE r10): this byte-sliced
+    * family (q64/q66/q97) is BYTE-addressed on the Spark side
+    * (octet_length + binary substr) and its oracles use DuckDB
+    * strlen (bytes) for offsets but char-based substr for the slice
+    * — identical only while the corpus is ASCII, which the fixtures
+    * guarantee and q36 pins. The char-addressed family (q208/q220)
+    * uses length()/substr() (characters) in BOTH engines and carries
+    * no such assumption. */
   def sampleFrames(df: DataFrame, payloadCol: String, idCol: String,
                    frameBytes: Int = 256, stride: Int = 4): DataFrame = {
     val payload = col(payloadCol).cast("binary")
@@ -276,9 +285,9 @@ object Multimodal {
       s"4x15 chunk banding is complete only for hamming <= 3, got $maxHamming")
     s"""WITH fr AS (SELECT doc_id, u AS f FROM (
          SELECT doc_id, unnest(list_transform(
-           generate_series(0, (strlen(text) // 64 - 1) // 2),
+           generate_series(0, (length(text) // 64 - 1) // 2),
            j -> substr(text, j * 128 + 1, 64))) AS u
-         FROM documents WHERE strlen(text) >= 64)),
+         FROM documents WHERE length(text) >= 64)),
        ar AS (SELECT doc_id, f, list_transform(generate_series(1, 60),
            i -> ascii(substr(f, i, 1))::BIGINT) AS arr FROM fr),
        sm AS (SELECT doc_id, arr, list_sum(arr) AS ssum FROM ar),
@@ -357,8 +366,8 @@ object Multimodal {
     s"""WITH fr AS (SELECT doc_id, j AS idx,
          substr(text, j * 128 + 1, 64) AS f
          FROM documents,
-           unnest(generate_series(0, (strlen(text) // 64 - 1) // 2)) t(j)
-         WHERE strlen(text) >= 64),
+           unnest(generate_series(0, (length(text) // 64 - 1) // 2)) t(j)
+         WHERE length(text) >= 64),
        ar AS (SELECT doc_id, idx, list_transform(generate_series(1, 60),
            i -> ascii(substr(f, i, 1))::BIGINT) AS arr FROM fr),
        sm AS (SELECT doc_id, idx, arr, list_sum(arr) AS ssum FROM ar),

@@ -1889,9 +1889,16 @@ object Similarity {
             Seq("q_label"))
       .withColumn("r_ideal",
         least(lit(k.toLong), col("n_label") - 1L).cast("long"))
+      // guard like ndcg below (ADVICE r10): at r_ideal = 0 (a query
+      // whose label is unique) sequence(1, 0) is the DESCENDING
+      // [1, 0] and the i=0 term divides by log2(1) = 0 → +Infinity;
+      // the oracle's CASE yields 0.0 there, so compute only when
+      // r_ideal ≥ 1
       .withColumn("idcg_raw", expr(
-        """aggregate(sequence(1, CAST(r_ideal AS INT)), CAST(0.0 AS DOUBLE),
-             (acc, i) -> acc + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"""))
+        """CASE WHEN r_ideal > 0 THEN
+             aggregate(sequence(1, CAST(r_ideal AS INT)), CAST(0.0 AS DOUBLE),
+               (acc, i) -> acc + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))
+           ELSE CAST(0.0 AS DOUBLE) END"""))
       .select(col("q_id"), col("n_rel_ret"), col("r_ideal"),
               round(col("dcg_raw"), 4).as("dcg"),
               round(col("idcg_raw"), 4).as("idcg"),

@@ -32,8 +32,13 @@ case class TopEntry(user_id: Long, n: Long)
 /** Per-type running top-k emission (mapGroupsWithState output). */
 case class TypeTopK(event_type: String, top: Seq[TopEntry])
 
-/** Per-type exact counter map carried in GroupState (q218). */
-case class TypeCounts(counts: Map[Long, Long])
+/** Per-type BOUNDED SpaceSaving counter state carried in GroupState
+  * (q218): at most m (user → count) entries plus the per-entry
+  * over-count bound `errors` the SpaceSaving eviction introduces
+  * (error = 0 while the active-user set fits in m, i.e. whenever no
+  * eviction has happened — then the counts are exact). */
+case class TypeCounts(counts: Map[Long, Long],
+                      errors: Map[Long, Long] = Map.empty)
 
 /** Structured Streaming twins of the batch event operators
   * (graft.ops.EventOps): the SAME logical shapes — tumbling window
@@ -178,28 +183,64 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
-  /** Running per-type TOP-K USERS via mapGroupsWithState (q218): the
-    * state is an exact per-user counter map per event type, and each
-    * batch emits that type's current top-k by (count DESC, user_id) —
-    * the EXACT streaming heavy-hitters twin of q179's Count-Min
-    * production sibling (same question, sketched state vs exact
-    * state). Counts are longs, ranking ties break by user id, so the
-    * emission is independent of group-iterator order and an oracle
-    * replays it bit-for-bit. State per type is one long per ACTIVE
-    * user — the documented bound; a deployment whose user set
-    * outgrows executor memory swaps this operator for the CMS+heap
-    * variant (q179's state shape) and keeps the same emission
-    * contract. */
-  def typeTopUsers(events: Dataset[EventRow], k: Int = 3): Dataset[TypeTopK] = {
+  /** Running per-type TOP-K USERS via mapGroupsWithState (q218) with
+    * BOUNDED SpaceSaving state [Metwally et al., ICDT 2005]: the
+    * state per event type is at most `m` (user → count) counters —
+    * never the full active-user set (r10 verdict #4: the grouping key
+    * is event_type, a handful of groups, so O(users) state here means
+    * one hot type's entire user universe deserializing into a single
+    * state value every batch; O(m) state is what survives 100 TB).
+    *
+    * Semantics: while a type's active users fit in m, counts are
+    * EXACT and the emission is identical to the full-map operator —
+    * the regime the oracle gate runs in (m = 4096 vs ≤ 1,500 active
+    * users at sf0.1), so the batch oracle still proves it
+    * bit-for-bit. Past m, SpaceSaving's guarantee applies: any user
+    * with true frequency > N/m is retained, estimates over-count by
+    * at most the tracked `error`, and the top-k of the counters is
+    * the classic heavy-hitters answer (the approximation, arrival-
+    * order dependence included, is the documented 100 TB contract —
+    * same question as q179's CMS+heap, different sketch).
+    *
+    * Determinism: counts are longs; ranking ties break by user id;
+    * eviction picks the minimum count with ties to the LARGEST user
+    * id (one fixed rule, mirrored in the spec's planted-eviction
+    * pin). Per-row cost is O(log m) via a (count asc, user desc)
+    * ordered set; per-batch emission sorts m entries. */
+  def typeTopUsers(events: Dataset[EventRow], k: Int = 3,
+                   m: Int = 4096): Dataset[TypeTopK] = {
     import events.sparkSession.implicits._
+    // victim order: smallest count first, ties -> LARGEST user id
+    val victimOrd = new Ordering[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
     events.groupByKey(_.event_type)
       .mapGroupsWithState[TypeCounts, TypeTopK](GroupStateTimeout.NoTimeout) {
         (t, rows, state) =>
-          val m = scala.collection.mutable.Map.empty[Long, Long]
-          state.getOption.foreach(s => m ++= s.counts)
-          rows.foreach { e => m(e.user_id) = m.getOrElse(e.user_id, 0L) + 1L }
-          state.update(TypeCounts(m.toMap))
-          val top = m.toSeq
+          val cnt = scala.collection.mutable.Map.empty[Long, Long]
+          val err = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach { s => cnt ++= s.counts; err ++= s.errors }
+          val byCount = scala.collection.mutable.TreeSet.empty[(Long, Long)](victimOrd)
+          cnt.foreach { case (u, c) => byCount.add((c, u)) }
+          rows.foreach { e =>
+            val u = e.user_id
+            cnt.get(u) match {
+              case Some(c) =>
+                byCount.remove((c, u)); byCount.add((c + 1, u))
+                cnt(u) = c + 1
+              case None if cnt.size < m =>
+                cnt(u) = 1L; byCount.add((1L, u))
+              case None =>
+                val (vc, vu) = byCount.head
+                byCount.remove((vc, vu)); cnt.remove(vu); err.remove(vu)
+                cnt(u) = vc + 1; err(u) = vc; byCount.add((vc + 1, u))
+            }
+          }
+          state.update(TypeCounts(cnt.toMap, err.toMap))
+          val top = cnt.toSeq
             .sortBy { case (u, c) => (-c, u) }
             .take(k)
             .map { case (u, c) => TopEntry(u, c) }

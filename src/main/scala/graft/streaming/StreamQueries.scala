@@ -662,25 +662,40 @@ object StreamQueries {
                 .as("last_seen"))
       .orderBy(col("user_id"))
 
-  /** q218 — streaming EXACT top-k heavy hitters per event type
+  /** q218 — streaming top-k heavy hitters per event type
     * ([[EventStreams.typeTopUsers]]): mapGroupsWithState carrying a
-    * composite counter-map state with in-state ranking — the custom-
-    * state shape between q175's scalar accumulator and q52's
-    * timeout-driven sessions. Update mode over the single-snapshot
-    * feed (the q175 argument: batch 0's emission is final); the
-    * array-of-struct emission is exploded into (type, rank, user, n)
-    * rows after the sink. Oracle: the batch per-type top-3. */
-  def q218StreamTopUsers(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q218", drops = 0,
+    * BOUNDED SpaceSaving counter state (≤ m entries per type — exact,
+    * and identical to the full-map operator, while the active users
+    * fit in m, which is the regime this gate runs in) with in-state
+    * ranking — the custom-state shape between q175's scalar
+    * accumulator and q52's timeout-driven sessions. Update mode over
+    * the single-snapshot feed (the q175 argument: batch 0's emission
+    * is final); the array-of-struct emission is exploded into
+    * (type, rank, user, n) rows after the sink. Oracle: the batch
+    * per-type top-3. */
+  def q218StreamTopUsers(s: SparkSession, dir: String): DataFrame = {
+    val sunk = runStream(s, dir, "q218", drops = 0,
               outputMode = OutputMode.Update) { src =>
       import src.sparkSession.implicits._
       EventStreams.typeTopUsers(
         src.filter(col("event_type") =!= sentinelType).as[EventRow]).toDF()
     }
+    // ADVICE r10: correctness of reading the whole Update-mode sink
+    // relies on the snapshot landing in ONE micro-batch (otherwise
+    // stale per-type emissions linger) — assert that invariant
+    // loudly instead of letting a trigger-size change diverge the
+    // gate silently
+    val multi = sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    require(multi == 0,
+      s"q218 expects one emission per event_type in the Update sink " +
+      s"(single-batch snapshot feed); $multi type(s) emitted more than once")
+    sunk
       .select(col("event_type"), posexplode(col("top")))
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
               col("col.user_id").as("user_id"), col("col.n").as("n"))
       .orderBy(col("event_type"), col("rk"))
+  }
 
   /** q226 — gap sessionization via Spark's NATIVE `session_window`
     * aggregation, the Spark-first counterpart to q52's custom

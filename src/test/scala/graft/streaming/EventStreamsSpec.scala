@@ -366,6 +366,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(b1("view") == Seq((8L, 1L), (9L, 1L)), s"b1 $b1")
     } finally q.stop()
   }
+  test("typeTopUsers: SpaceSaving state is bounded at m, eviction rule pinned") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    // m = 2: the third distinct user MUST evict (bounded state), and
+    // the victim is the min count with ties to the LARGEST user id
+    val q = EventStreams.typeTopUsers(in.toDS(), k = 2, m = 2)
+      .writeStream.format("memory").queryName("topss")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // user 1 ×3, user 2 ×2, then user 3 arrives into a full table:
+      // victim = (count 2, user 2) -> user 3 enters with count 2+1=3,
+      // over-count error 2. Emission: tracked users only (≤ m = 2),
+      // count ties (1:3, 3:3) break by id -> (1, 3) then (3, 3).
+      in.addData(ev(1, 1, "10:00"), ev(2, 1, "10:01"), ev(3, 1, "10:02"),
+                 ev(4, 2, "10:03"), ev(5, 2, "10:04"), ev(6, 3, "10:05"))
+      q.processAllAvailable()
+      val rows = spark.table("topss").collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getLong(0), e.getLong(1))).toSeq).toMap
+      assert(rows("click") == Seq((1L, 3L), (3L, 3L)), s"got $rows")
+      // state bound: even with 3 distinct users seen, only m = 2 are
+      // tracked — user 2 is gone from the emission
+      assert(rows("click").map(_._1).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
   test("native session_window MERGES at an exact gap boundary (q226 oracle pin)") {
     import org.apache.spark.sql.functions._
     implicit val sq = spark.sqlContext

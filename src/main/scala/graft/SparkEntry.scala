@@ -71,7 +71,7 @@ object SparkEntry {
     "q50_asof_join"        -> EventOps.q50AsofJoin,
     "q51_stream_tumbling"  -> graft.streaming.StreamQueries.q51StreamTumbling,
     "q52_stream_sessions"  -> graft.streaming.StreamQueries.q52StreamSessions,
-    "q53_approx_percentiles" -> Relational.q53ApproxPercentiles,
+    "q53_approx_percentiles" -> ((s, d) => Relational.q53ApproxPercentiles(s, d)),
     "q54_tfidf"            -> TextOps.q54TfIdf,
     "q55_pii_redact"       -> TextOps.q55PiiRedact,
     "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
@@ -112,9 +112,12 @@ object SparkEntry {
     "q91_sparse_cosine"    -> ((s, d) => Dedup.q91SparseCosinePairs(s, d)),
     "q92_outlier_lengths"  -> ((s, d) => TextOps.q92OutlierLengths(s, d)),
     "q93_decile_bins"      -> graft.ops.Sampling.q93DecileBins,
-    // rows-only by design (q41/q53 precedent): approx sketch fences
-    // have no cross-engine hash oracle; SamplingSpec pins the rank
-    // and occupancy error bounds vs the exact ntile twin
+    // rows-only by design: approx_percentile fences are GK-sketch
+    // interpolations with no cross-engine hash oracle (q41/q53 were
+    // retired from this set in r11 by swapping to replayable
+    // register-HLL/KMV sketches; the t-digest/GK fence here has no
+    // such replay); SamplingSpec pins the rank and occupancy error
+    // bounds vs the exact ntile twin
     "q93b_approx_deciles"  -> ((s, d) => graft.ops.Sampling.q93bApproxDecileBins(s, d)),
     "q94_stream_sliding"   -> graft.streaming.StreamQueries.q94StreamSliding,
     "q95_cross_source_dups" -> ((s, d) => Dedup.q95CrossSourceDups(s, d)),
@@ -632,11 +635,14 @@ object SparkEntry {
          FROM v GROUP BY source ORDER BY source""",
     "q85_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
-           FROM documents)
-         SELECT token, count(*)::BIGINT AS df,
+           FROM documents),
+         g AS (SELECT token, count(*)::BIGINT AS df,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
-         FROM dt GROUP BY token ORDER BY token""",
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS md5_all
+           FROM dt GROUP BY token)
+         SELECT token, df, first_doc, last_doc,
+           CASE WHEN df <= 256 THEN md5_all END AS postings_md5
+         FROM g ORDER BY token""",
     "q88_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          s0 AS (SELECT doc_id,
@@ -835,6 +841,8 @@ object SparkEntry {
          round(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))::DOUBLE
                / len(string_split(text, ' ')), 6) AS subword_ratio
          FROM documents ORDER BY doc_id""",
+    "q41_approx_distinct" -> Relational.q41OracleSql,
+    "q53_approx_percentiles" -> Relational.q53OracleSql(),
     "q42_percentiles" ->
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

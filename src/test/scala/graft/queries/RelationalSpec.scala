@@ -67,6 +67,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("built-in sketches stay verified next to the replayable q41/q53 twins") {
+    // r11: q41/q53 swapped to oracle-replayable register-HLL/KMV
+    // sketches; the engine-internal one-liners remain the production
+    // alternatives, so keep them on a verified path — both must land
+    // inside the same error envelope as the replayable versions
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sf0001)
+    val hll = o.groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(hll(k) - e).toDouble / e <= 0.05,
+        s"$k approx_count_distinct=${hll(k)} exact=$e") }
+    val gk = o.groupBy(col("o_orderpriority"))
+      .agg(element_at(percentile_approx(col("o_totalprice"),
+             array(lit(0.5), lit(0.9)), lit(10000)), 1).as("p50"),
+           element_at(percentile_approx(col("o_totalprice"),
+             array(lit(0.5), lit(0.9)), lit(10000)), 2).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ex = Relational.q42Percentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ex.foreach { case (k, (e50, e90)) =>
+      assert(math.abs(gk(k)._1 - e50) / e50 <= 0.02, s"$k gk p50")
+      assert(math.abs(gk(k)._2 - e90) / e90 <= 0.02, s"$k gk p90") }
+  }
+
   test("q41: HLL estimate within its 2% target error of exact") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q41ApproxDistinct(spark, sf0001).collect()

@@ -431,7 +431,19 @@ object StreamQueries {
           mark(s"drop$i")
         }
       }
-    } finally q.stop()
+    } finally {
+      // floor decomposition (trace mode): the engine's own per-batch
+      // duration breakdown, BEFORE stop() clears progress
+      if (doTrace) q.recentProgress.foreach { p =>
+        val dm = p.durationMs
+        val keys = Seq("triggerExecution", "queryPlanning", "getBatch",
+                       "addBatch", "walCommit", "commitOffsets")
+        val parts = keys.flatMap(k => Option(dm.get(k)).map(v => s"$k=$v"))
+        System.err.println(
+          s"[batch] $prefix b${p.batchId} rows=${p.numInputRows} ${parts.mkString(" ")}")
+      }
+      q.stop()
+    }
     mark("stop")
     // explicit schema: a zero-emission run leaves no files to infer from.
     // The readback is gate machinery (in production the sink files ARE

@@ -257,6 +257,7 @@ object SparkEntry {
     "q224_cms_width_sweep" -> ((s, d) => TextOps.q224CmsWidthSweep(s, d)),
     "q225_fuzzy_parts"     -> ((s, d) => Dedup.q225FuzzyParts(s, d)),
     "q227_assortativity"   -> ((s, d) => graft.ops.GraphOps.q227Assortativity(s, d)),
+    "q228_bloom_replay"    -> ((s, d) => Dedup.q228BloomReplay(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2476,5 +2477,6 @@ object SparkEntry {
     "q224_cms_width_sweep" -> TextOps.q224OracleSql(),
     "q225_fuzzy_parts" -> Dedup.q225OracleSql(),
     "q227_assortativity" -> graft.ops.GraphOps.q227OracleSql,
+    "q228_bloom_replay" -> Dedup.q228OracleSql(),
   )
 }

@@ -455,6 +455,149 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q228 — REPLAYABLE bloom-filter decontamination [Bloom, CACM
+    * 1970]: the q184/q214/q41 treatment applied to the bloom family
+    * — where q168's filter rides Spark's internal bloom (XXH64 +
+    * engine-private layout, rows-only by design), this twin builds
+    * the SAME fixed-size no-shuffle filter from cross-engine
+    * primitives — base-31 rolling gram hashes, kH = 4 affine
+    * (A·H+B) mod P probes into m = 2²⁰ bits stored as 16,384 int64
+    * words merged with bit_or — so the DuckDB oracle reconstructs
+    * the identical bit array and the identical per-doc maybe-counts,
+    * and the bloom operator itself hash-gates. The exact q70 count
+    * rides along, so the output also audits the false-positive
+    * margin per doc (n_maybe_shared ≥ n_shared always — no false
+    * negatives by construction, and the gate proves both columns).
+    *
+    * Scale shape (the q168 argument, kept): the benchmark side
+    * collapses to a 128 KB word array regardless of gram count —
+    * built by ONE bounded aggregate (≤ 16,384 groups), collected
+    * once, re-shipped as a plan-constant literal (the same bounded
+    * driver round-trip every broadcast runtime filter makes). The
+    * corpus side is a map-side per-gram bit test (integer ops only,
+    * no join against the gram set) into a per-doc count aggregate;
+    * the exact-audit branch reuses q70's broadcast probe. At 100 TB
+    * drop the audit branch and the corpus never joins anything. */
+  def q228BloomReplay(s: SparkSession, dir: String,
+                      n: Int = 5, threshold: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.rollingHash31
+    val mBits = 1L << 20
+    val kH = 4
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              Sampling.hashBucket16(col("text")).as("nib"),
+              TextOps.shingles(TextOps.tokens(col("text")), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchGrams = docs.filter(col("nib") === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    def positions(hv: org.apache.spark.sql.Column) =
+      (0 until kH).map(j =>
+        pmod(pmod(hv * lit(MhA(j)) + lit(MhB(j)), lit(MhP)), lit(mBits)))
+    // filter build: k probe positions per distinct bench gram, folded
+    // word-wise with bit_or — ≤ m/64 = 16,384 rows ever exist
+    val wordRows = benchGrams
+      .select(explode(array(positions(rollingHash31(col("gram"))): _*))
+                .as("pos"))
+      .select(expr("pos div 64").as("w"),
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                .as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val words = Array.ofDim[Long]((mBits / 64).toInt)
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wl = typedLit(words.toSeq)
+    // probe: explode candidate grams, integer bit tests against the
+    // plan-constant word array, count per doc — map-side until the
+    // single (doc_id) count aggregate
+    val cand = docs.filter(col("nib") =!= 0)
+    var cg = cand
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("hv", rollingHash31(col("gram")))
+      .withColumn("wl", wl)
+    positions(col("hv")).zipWithIndex.foreach { case (p, j) =>
+      cg = cg.withColumn(s"pos$j", p)
+    }
+    val hit = (0 until kH).map(j => expr(
+      s"(element_at(wl, CAST(pos$j div 64 AS INT) + 1) & " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(pos$j % 64 AS INT))) != 0"))
+      .reduce(_ && _)
+    val maybe = cg.select(col("doc_id"), hit.cast("long").as("hit"))
+      .groupBy(col("doc_id")).agg(sum(col("hit")).as("n_maybe"))
+    // exact audit branch (q70's broadcast probe, same grams frame)
+    val exact = cand
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+    cand.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(maybe, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              coalesce(col("shared"), lit(0L)).as("n_shared"),
+              coalesce(col("n_maybe"), lit(0L)).as("n_maybe_shared"),
+              (coalesce(col("n_maybe"), lit(0L)) -
+               coalesce(col("shared"), lit(0L))).as("fp_grams"),
+              (coalesce(col("n_maybe"), lit(0L)) >= threshold)
+                .cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for q228 — identical rolling gram hashes, affine
+    * probe positions, bit_or word build, bit tests, and exact-audit
+    * counts. */
+  def q228OracleSql(n: Int = 5, threshold: Int = 3): String = {
+    val kH = 4
+    val params = (0 until kH)
+      .map(j => s"(${MhA(j)}, ${MhB(j)})").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           ('0x' || substr(md5(text), 32, 1))::BIGINT AS nib
+           FROM documents),
+       g AS (SELECT doc_id, nib, CASE WHEN len(toks) >= $n THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}),
+             i -> array_to_string(toks[i:i+${n - 1}], ' ')))
+         ELSE [] END AS grams FROM t),
+       bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE nib = 0),
+       prm(a, b) AS (VALUES $params),
+       bh AS (SELECT gram,
+           list_reduce(list_prepend(0, list_transform(string_split(gram, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP)
+           AS hv FROM bg),
+       bpos AS (SELECT ((hv * a + b) % $MhP) % ${1L << 20} AS pos
+         FROM bh, prm),
+       words AS (SELECT pos // 64 AS w,
+           bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                  ELSE 1::BIGINT << (pos % 64)::INT END) AS bits
+         FROM bpos GROUP BY 1),
+       cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE nib <> 0),
+       ch AS (SELECT doc_id, gram,
+           list_reduce(list_prepend(0, list_transform(string_split(gram, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP)
+           AS hv FROM cg),
+       cpos AS (SELECT doc_id, gram,
+           ((hv * a + b) % $MhP) % ${1L << 20} AS pos FROM ch, prm),
+       hitg AS (SELECT doc_id, gram,
+           bool_and(w.bits IS NOT NULL AND
+                    (w.bits & CASE WHEN pos % 64 = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << (pos % 64)::INT END) <> 0)
+             AS hit
+         FROM cpos LEFT JOIN words w ON w.w = pos // 64
+         GROUP BY doc_id, gram),
+       nm AS (SELECT doc_id,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_maybe
+         FROM hitg GROUP BY doc_id),
+       ov AS (SELECT cg.doc_id, count(*)::BIGINT AS shared
+         FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+       SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+         coalesce(ov.shared, 0)::BIGINT AS n_shared,
+         coalesce(nm.n_maybe, 0)::BIGINT AS n_maybe_shared,
+         (coalesce(nm.n_maybe, 0) - coalesce(ov.shared, 0))::BIGINT
+           AS fp_grams,
+         (coalesce(nm.n_maybe, 0) >= $threshold)::BIGINT AS flagged
+       FROM g LEFT JOIN nm ON g.doc_id = nm.doc_id
+       LEFT JOIN ov ON g.doc_id = ov.doc_id
+       WHERE g.nib <> 0 ORDER BY g.doc_id"""
+  }
+
   /** q74 — duplicate n-gram coverage (the Gopher "fraction of the
     * document made of repeated n-grams" signal): for each doc, the
     * share of its n-gram POSITIONS whose gram occurs more than once

@@ -545,6 +545,26 @@ class DedupSpec extends SparkSpec {
       s"$falseFlags of ${clean.size} clean docs falsely flagged")
   }
 
+  test("q228 replayable bloom: no false negatives, fp accounting consistent") {
+    val rows = Dedup.q228BloomReplay(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nShared, nMaybe, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // bloom guarantee: every exact-shared gram tests positive
+      assert(nMaybe >= nShared, s"doc ${r.getLong(0)}: bloom lost grams")
+      assert(fp == nMaybe - nShared)
+    }
+    // the exact audit column must agree with q70's exact counts
+    val exact = Dedup.q70Decontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(exact(r.getLong(0)) == r.getLong(2)))
+    // 2^20-bit sizing: corpus-level FPR stays negligible
+    val totFp = rows.map(_.getLong(4)).sum
+    val totGrams = rows.map(_.getLong(1)).sum
+    assert(totFp <= math.max(1L, totGrams / 100),
+      s"$totFp false-positive grams across $totGrams")
+  }
+
   test("q176 duplicated spans match an exact driver replay") {
     val n = 8
     val docs = graft.Tables.documents(spark, sf0001).collect()

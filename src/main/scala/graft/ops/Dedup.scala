@@ -812,11 +812,18 @@ object Dedup {
     // generated MAP-SIDE from each ≤ dfCap list (codegen'd HOF
     // expansion, ≤ dfCap²/2 rows per gram) instead of a gram-keyed
     // self-join.
-    val rare = grams.groupBy(col("gram"))
+    // one explicit hash exchange on gram, REUSED by the df-count
+    // aggregate, the semi-join (both sides end up gram-partitioned —
+    // no broadcast dependency on the rare-set size) and the capped
+    // collect: Spark's ReusedExchange collapses the three consumers
+    // onto a single shuffle of the gram stream, so the skew-safe
+    // shape costs the same one exchange the unsafe collect did
+    val gramsP = grams.repartition(col("gram"))
+    val rare = gramsP.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("gram"))
-    val postings = grams.join(rare, Seq("gram"), "left_semi")
+    val postings = gramsP.join(rare, Seq("gram"), "left_semi")
       .groupBy(col("gram"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .select(col("docs"))
@@ -1937,7 +1944,11 @@ object Dedup {
                 .as("toks"))
       .filter(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one explicit hash exchange on w, reused by the df classifier,
+    // both semi-joins and the rare collect (the q91 ReusedExchange
+    // move — no broadcast dependency on the rare-set size)
     val wpairs = td.select(explode(col("toks")).as("w"), col("doc_id"))
+      .repartition(col("w"))
     // df-cap BEFORE any collect (r10 verdict #2): one count aggregate
     // — longs only, map-side combine, safe on a stopword-class
     // shingle with df ≈ n_docs — classifies every shingle as rare

@@ -258,6 +258,7 @@ object SparkEntry {
     "q225_fuzzy_parts"     -> ((s, d) => Dedup.q225FuzzyParts(s, d)),
     "q227_assortativity"   -> ((s, d) => graft.ops.GraphOps.q227Assortativity(s, d)),
     "q228_bloom_replay"    -> ((s, d) => Dedup.q228BloomReplay(s, d)),
+    "q229_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q229DsirWeights(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2478,5 +2479,6 @@ object SparkEntry {
     "q225_fuzzy_parts" -> Dedup.q225OracleSql(),
     "q227_assortativity" -> graft.ops.GraphOps.q227OracleSql,
     "q228_bloom_replay" -> Dedup.q228OracleSql(),
+    "q229_dsir_weights" -> graft.ops.Sampling.q229OracleSql(),
   )
 }

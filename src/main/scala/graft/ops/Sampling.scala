@@ -930,4 +930,104 @@ object Sampling {
          n_kept, kept_chars
        FROM cells JOIN kept USING (source, lang)
        ORDER BY source, lang"""
+
+  /** q229 — DSIR-style importance weights for data selection [Xie et
+    * al., NeurIPS 2023]: score each raw-pool document by how much its
+    * hashed n-gram distribution looks like a TARGET domain sample,
+    * weight = Σ_g llr[h(g)] over the doc's feature stream (unigrams +
+    * bigram positions, repeats counted — term frequency is the
+    * signal) where llr[b] is the log-likelihood ratio of bucket b
+    * under the target vs raw hashed-unigram models (Laplace +1), and
+    * report the top-k selection. The target sample is the nib = 0
+    * content-hash slice (the q70 device), the raw pool the rest.
+    *
+    * Cross-engine determinism: the per-BUCKET log ratios are
+    * quantized to integer micros FIRST — llr_micro[b] =
+    * floor(1e6·(ln(cnt_t+1) − ln(cnt_r+1))), base_micro =
+    * floor(1e6·ln((R+m)/(T+m))) — so every per-doc weight is an
+    * INTEGER sum (order-free, layout-free); only m + 1 ln calls are
+    * ever rounded, the q214 pattern, never a float accumulation.
+    *
+    * Scale shape: one exploded pass builds the (bucket, side) counts
+    * — output bounded at m = 4096 rows regardless of corpus size —
+    * broadcast back as the LLR table; the raw pool then pays one
+    * map-side probe join and one doc-keyed integer sum; top-k is a
+    * TakeOrdered. This is the production DSIR shape: the model IS a
+    * fixed-size table, the corpus is touched twice map-side. */
+  def q229DsirWeights(s: SparkSession, dir: String,
+                      m: Int = 4096, k: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.rollingHash31
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              hashBucket16(col("text")).as("nib"),
+              concat(TextOps.tokens(col("text")),
+                     TextOps.shinglePositions(TextOps.tokens(col("text")), 2))
+                .as("grams"))
+    val g = feats
+      .select(col("doc_id"), col("nib"),
+              explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("nib"),
+              pmod(rollingHash31(col("gram")), lit(m.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = g.groupBy(col("b"))
+      .agg(sum(when(col("nib") === 0, 1L).otherwise(0L)).as("ct"),
+           sum(when(col("nib") =!= 0, 1L).otherwise(0L)).as("cr"))
+    val totals = counts
+      .agg(sum(col("ct")).as("t_tot"), sum(col("cr")).as("r_tot"))
+    val llr = counts
+      .select(col("b"),
+              floor(lit(1e6) * (log(col("ct") + lit(1.0)) -
+                                log(col("cr") + lit(1.0))))
+                .cast("long").as("llr_micro"))
+    val scored = g.filter(col("nib") =!= 0)
+      .join(broadcast(llr), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+           // an unseen bucket has llr floor(1e6*(ln 1 - ln 1)) = 0,
+           // identical to the joined value for an all-zero bucket
+           sum(coalesce(col("llr_micro"), lit(0L))).as("s_llr"))
+    scored
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+              (col("s_llr") + col("n_feats") *
+                 floor(lit(1e6) *
+                       log((col("r_tot") + lit(m.toDouble)) /
+                           (col("t_tot") + lit(m.toDouble)))).cast("long"))
+                .as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for q229 — identical feature stream, bucket hash,
+    * micro-quantized LLR table, and integer weight sum. */
+  def q229OracleSql(m: Int = 4096, k: Int = 50): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         ('0x' || substr(md5(text), 32, 1))::BIGINT AS nib FROM documents),
+       f AS (SELECT doc_id, nib,
+         list_concat(toks, CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS grams
+         FROM t),
+       g AS (SELECT doc_id, nib,
+         list_reduce(list_prepend(0, list_transform(string_split(u.gram, ''),
+           ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % ${graft.ops.Dedup.MhP})
+           % $m AS b
+         FROM f, unnest(grams) AS u(gram)),
+       counts AS (SELECT b,
+         sum(CASE WHEN nib = 0 THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN nib <> 0 THEN 1 ELSE 0 END)::BIGINT AS cr
+         FROM g GROUP BY b),
+       tot AS (SELECT sum(ct)::BIGINT AS t_tot, sum(cr)::BIGINT AS r_tot
+         FROM counts),
+       llr AS (SELECT b,
+         floor(1e6 * (ln(ct + 1.0) - ln(cr + 1.0)))::BIGINT AS llr_micro
+         FROM counts),
+       sc AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+         sum(coalesce(llr_micro, 0))::BIGINT AS s_llr
+         FROM g LEFT JOIN llr USING (b) WHERE nib <> 0 GROUP BY doc_id)
+       SELECT doc_id, n_feats,
+         (s_llr + n_feats * floor(1e6 * ln((r_tot + $m.0) / (t_tot + $m.0)))::BIGINT)
+           AS weight_micro
+       FROM sc, tot
+       ORDER BY weight_micro DESC, doc_id LIMIT $k"""
 }

@@ -182,6 +182,36 @@ class SamplingSpec extends SparkSpec {
     assert(capped("a") == ((1L, 1L, 1L, Some(md5s("1")))))
   }
 
+  test("q229 DSIR weights rank target-like docs first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    // md5-nibble-0 slice is content-defined, so plant texts whose nib
+    // lands where we need it: probe until we have target docs made of
+    // "aa" and raw docs of "bb"/"aa" mixes
+    def nib(t: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes).map("%02x".format(_)).mkString.substring(31), 16)
+    def find(base: String, want: Boolean): String =
+      LazyList.from(0).map(i => s"$base x$i").find(t => (nib(t) == 0) == want).get
+    val target = (1 to 3).map(i => find("aa aa aa aa" + " aa" * i, true))
+    val rawAa = find("aa aa aa aa aa aa aa aa", false) // target-like raw doc
+    val rawBb = (1 to 3).map(i => find("bb bb bb bb" + " bb" * i, false))
+    val texts = target ++ Seq(rawAa) ++ rawBb
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Sampling.q229DsirWeights(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // the aa-heavy raw doc must outrank every bb doc, with a
+    // strictly positive importance weight
+    assert(rows.head._1 == 3L, s"got ${rows.toSeq}")
+    assert(rows.head._2 > 0L)
+    assert(rows.tail.forall(_._2 < rows.head._2))
+  }
+
   test("q93 deciles are equi-depth and ordered by length") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -968,7 +968,11 @@ object Sampling {
               explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("nib"),
               pmod(rollingHash31(col("gram")), lit(m.toLong)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted: g is read twice, but it is the corpus-sized
+    // exploded feature stream — caching it would cost more storage
+    // than the cheap explode+hash recompute at 100 TB (the opposite
+    // trade from the multi-branch shingle caches, which amortize an
+    // expensive projection)
     val counts = g.groupBy(col("b"))
       .agg(sum(when(col("nib") === 0, 1L).otherwise(0L)).as("ct"),
            sum(when(col("nib") =!= 0, 1L).otherwise(0L)).as("cr"))

@@ -820,4 +820,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sqdist_l64"),
       s"probe must use the codegen'd kernel:\n${p.take(800)}")
   }
+
+  test("q229 attaches the LLR model by broadcast and sorts only the top-k") {
+    val p = plan("q229_dsir_weights")
+    // the 4096-row LLR table must ride a broadcast onto the corpus
+    // stream — a sort-merge attach would shuffle the feature stream a
+    // second time for a model-sized build side
+    assert(p.contains("BroadcastHashJoin"),
+      s"LLR attach must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join allowed:\n${p.take(800)}")
+    // final selection is a bounded top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n${p.take(800)}")
+  }
+
+  test("q228 bloom probe carries the filter as a plan constant, no gram join") {
+    // the probe branch tests bits against a literal word array — the
+    // only joins in the whole plan are doc-keyed result assembly and
+    // the exact-audit broadcast, never a shuffle join on gram strings
+    val p = plan("q228_bloom_replay")
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 3, s"corpus-side gram join leaked into the plan ($smj SMJs)")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian products")
+  }
 }

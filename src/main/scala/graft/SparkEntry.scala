@@ -259,6 +259,7 @@ object SparkEntry {
     "q227_assortativity"   -> ((s, d) => graft.ops.GraphOps.q227Assortativity(s, d)),
     "q228_bloom_replay"    -> ((s, d) => Dedup.q228BloomReplay(s, d)),
     "q229_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q229DsirWeights(s, d)),
+    "q230_modularity"      -> ((s, d) => graft.ops.GraphOps.q230Modularity(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2480,5 +2481,6 @@ object SparkEntry {
     "q227_assortativity" -> graft.ops.GraphOps.q227OracleSql,
     "q228_bloom_replay" -> Dedup.q228OracleSql(),
     "q229_dsir_weights" -> graft.ops.Sampling.q229OracleSql(),
+    "q230_modularity" -> graft.ops.GraphOps.q230OracleSql,
   )
 }

@@ -609,6 +609,104 @@ object GraphOps {
        FROM nn, sboth, sa, sb"""
   }
 
+  /** q230 — NEWMAN MODULARITY [Newman & Girvan, PRE 2004] of the
+    * label-propagation communities: did the clustering find real
+    * structure? Q = Σ_c [e_c/M − (d_c/M)²] over the symmetrized
+    * directed edge list (M = 2·|undirected edges|, e_c = directed
+    * within-community edge count, d_c = Σ out-degrees in c) — the
+    * quality audit that pairs with q222's stability audit (Rand
+    * says "the labeling stopped moving", modularity says "the
+    * labeling means something"). Communities are the same 3-round
+    * majority-label propagation as q99/q222, so all three audits
+    * describe ONE clustering.
+    *
+    * Numerics (the q227 pattern): the exact integer numerator
+    * M·Σe_c − Σd_c² and denominator M² are emitted next to the
+    * round-6 double ratio, so the gate proves the rational identity
+    * exactly and the readable score approximately. int64 headroom:
+    * M² caps at ~3e9 directed edges — the q222 DECIMAL(38,0) move
+    * applies beyond that.
+    *
+    * Scale shape: label rounds are q99's join+agg+window chain over
+    * the persisted edge list (iterative-plan guardrail applies);
+    * the modularity pass is ONE edge-keyed double label attach and
+    * two tiny aggregates (per-community rollup is bounded by
+    * community count) broadcast-crossed into the single audit row. */
+  def q230Modularity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = clickEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    val lab = labels.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wc = edges
+      .join(lab.select(col("node").as("src"), col("label").as("ca")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("cb")), Seq("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = wc.agg(
+      count(lit(1)).as("m2"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_within"))
+    val comm = wc.groupBy(col("ca")).agg(count(lit(1)).as("d_c"))
+      .agg(sum(col("d_c") * col("d_c")).as("s_d2"),
+           count(lit(1)).as("n_comm"))
+    tot.crossJoin(broadcast(comm))
+      .select(col("m2"), col("n_comm"),
+              (col("m2") * col("e_within") - col("s_d2")).as("num"),
+              (col("m2") * col("m2")).as("den"))
+      .select(col("m2"), col("n_comm"), col("num"), col("den"),
+              round(col("num").cast("double") / col("den").cast("double"), 6)
+                .as("modularity"))
+  }
+
+  /** DuckDB oracle for q230 — the q222 label rounds, the identical
+    * within-edge and degree-sum rollups, the same rational identity. */
+  def q230OracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst, l.label, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           GROUP BY 1, 2),
+         l$i AS (SELECT dst AS node, label FROM (
+           SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH clicks AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'click'),
+         edges AS (SELECT 'u' || user_id AS src, 'i' || k AS dst FROM clicks
+                   UNION ALL
+                   SELECT 'i' || k, 'u' || user_id FROM clicks),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         $rounds,
+         wc AS (SELECT la.label AS ca, lb.label AS cb
+           FROM edges e JOIN l3 la ON la.node = e.src
+                        JOIN l3 lb ON lb.node = e.dst),
+         agg AS (SELECT count(*)::BIGINT AS m2,
+           sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS e_within
+           FROM wc),
+         dc AS (SELECT ca, count(*)::BIGINT AS d_c FROM wc GROUP BY ca),
+         s2 AS (SELECT sum(d_c * d_c)::BIGINT AS s_d2,
+           count(*)::BIGINT AS n_comm FROM dc)
+       SELECT m2, n_comm,
+         CAST(m2 * e_within - s_d2 AS BIGINT) AS num,
+         CAST(m2 * m2 AS BIGINT) AS den,
+         round((m2 * e_within - s_d2)::DOUBLE / (m2 * m2)::DOUBLE, 6)
+           AS modularity
+       FROM agg, s2"""
+  }
+
   /** q227 — DEGREE ASSORTATIVITY [Newman, PRL 2002] of the click
     * graph: the Pearson correlation of endpoint degrees over the
     * DIRECTED edge list. Because the edge list carries both

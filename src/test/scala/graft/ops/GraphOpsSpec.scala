@@ -233,4 +233,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.getDouble(3) < 0, s"expected disassortative, got ${got.getDouble(3)}")
     spark.catalog.clearCache()
   }
+
+  test("q230 modularity: exact rational on two planted bicliques") {
+    val tmp = java.nio.file.Files.createTempDirectory("mod").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // two disjoint K3,3 bicliques: users 1-3 x items 1-3, users
+    // 11-13 x items 11-13. 3-round label prop OSCILLATES on a
+    // biclique (u-side takes the min item label, i-side the min user
+    // label), so the final partition is the four SIDES: e_within = 0,
+    // four communities of directed degree 9 each.
+    //   m2 = 36, s_d2 = 4*81 = 324
+    //   num = 36*0 - 324 = -324, den = 1296, Q = -0.25 exactly
+    val rows = for {
+      (uBase, iBase) <- Seq((1L, 1L), (11L, 11L))
+      u <- 0L to 2L; i <- 0L to 2L
+    } yield ((uBase + u) * 100 + iBase + i, uBase + u, t0, "click", 1.0,
+             s"""{"k": ${iBase + i}}""")
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q230Modularity(spark, tmp).collect().head
+    assert(got.getLong(0) == 36L, s"m2 ${got.getLong(0)}")
+    assert(got.getLong(1) == 4L, s"n_comm ${got.getLong(1)}")
+    assert(got.getLong(2) == -324L && got.getLong(3) == 1296L,
+      s"rational (${got.getLong(2)}, ${got.getLong(3)})")
+    assert(got.getDouble(4) == -0.25)
+    spark.catalog.clearCache()
+  }
 }

@@ -260,6 +260,7 @@ object SparkEntry {
     "q228_bloom_replay"    -> ((s, d) => Dedup.q228BloomReplay(s, d)),
     "q229_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q229DsirWeights(s, d)),
     "q230_modularity"      -> ((s, d) => graft.ops.GraphOps.q230Modularity(s, d)),
+    "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231StreamWindowHll,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -271,7 +272,7 @@ object SparkEntry {
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
         "q101_stream_outer_join", "q156_stream_late_data",
         "q175_stream_lifetime", "q218_stream_top_users",
-        "q226_stream_session_window")
+        "q226_stream_session_window", "q231_stream_window_hll")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2482,5 +2483,6 @@ object SparkEntry {
     "q228_bloom_replay" -> Dedup.q228OracleSql(),
     "q229_dsir_weights" -> graft.ops.Sampling.q229OracleSql(),
     "q230_modularity" -> graft.ops.GraphOps.q230OracleSql,
+    "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231OracleSql,
   )
 }

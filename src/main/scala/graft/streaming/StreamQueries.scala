@@ -746,4 +746,92 @@ object StreamQueries {
               round(col("total_value"), 4).as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** q231 — streaming PER-WINDOW register HyperLogLog: distinct
+    * users per tumbling hour estimated by the q214 register sketch,
+    * as TWO CHAINED STATEFUL AGGREGATIONS in one append-mode stream
+    * (Spark's multiple-stateful-operator support): agg 1 keeps
+    * max(ρ) per (window, register) — the mergeable sketch state, m
+    * longs per window regardless of user count — and agg 2 rolls
+    * finalized registers into the estimate as each window's
+    * watermark passes. This is the streaming shape of the
+    * cardinality dashboards 100 TB event pipelines run: per-window
+    * state is O(m·windows), never O(users), and the register layer
+    * is exactly the state a production job would checkpoint.
+    *
+    * Emission timing: both layers finalize in the SAME micro-batch
+    * once the watermark passes a window's end (downstream sees
+    * upstream's append output inside the batch), so the standard
+    * snapshot + seeded-sentinel + one-late-sentinel feed (q226's
+    * drops = 2) closes every real window; the sentinels' own far-
+    * future windows never finalize and so never emit, so no
+    * post-sink row filter is needed. Oracle: the identical per-hour
+    * register construction in batch SQL (the q214 replay,
+    * windowed). */
+  def q231StreamWindowHll(s: SparkSession, dir: String): DataFrame = {
+    val two44 = 17592186044416L // 2^44
+    val two45 = 35184372088832L // 2^45
+    val m = 256
+    val alpha = 0.7182725932495458 // 0.7213/(1 + 1.079/256)
+    val est = runStream(s, dir, "q231", drops = 2) { df =>
+      val h52 = conv(substring(md5(col("user_id").cast("string")), 1, 13),
+                     16, 10).cast("long")
+      df.withWatermark("ts", "1 hour")
+        .select(col("ts"), col("user_id"))
+        .withColumn("h", h52)
+        .withColumn("bucket", expr(s"h div ${two44}L"))
+        .withColumn("rest", expr(s"h % ${two44}L"))
+        .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+        .agg(max(when(col("rest") === 0, lit(45))
+                   .otherwise(lit(45) - length(bin(col("rest")))))
+               .cast("long").as("rho"))
+        .groupBy(window(window_time(col("window")), "1 hour").as("win"))
+        .agg(count(lit(1)).as("occupied"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(45 - rho AS INT))"))
+               .as("s_occ"))
+        .select(col("win.start").as("w_start"), col("occupied"),
+                (col("s_occ") + (lit(m.toLong) - col("occupied")) * lit(two45))
+                  .as("s_sum"))
+    }
+    est
+      .withColumn("hll_raw",
+        round(lit(alpha) * lit(m.toDouble * m.toDouble) * lit(two45.toDouble) /
+              col("s_sum").cast("double"), 4))
+      .withColumn("hll_est",
+        when(col("hll_raw") <= lit(2.5 * m) && col("occupied") < m,
+          round(lit(m.toDouble) *
+                log(lit(m.toDouble) /
+                    (lit(m.toLong) - col("occupied")).cast("double")), 4))
+          .otherwise(col("hll_raw")))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+              col("occupied"), col("s_sum"), col("hll_raw"), col("hll_est"))
+      .orderBy(col("w_start"))
+  }
+
+  /** DuckDB oracle for q231 — the q214 register replay per hour. */
+  def q231OracleSql: String =
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS w_start,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+         FROM events),
+       b AS (SELECT w_start, h // 17592186044416 AS bucket,
+         h % 17592186044416 AS rest FROM h),
+       regs AS (SELECT w_start, bucket,
+         max(CASE WHEN rest = 0 THEN 45
+             ELSE 45 - length(bin(rest)) END)::BIGINT AS rho
+         FROM b GROUP BY w_start, bucket),
+       agg AS (SELECT w_start, count(*)::BIGINT AS occupied,
+         sum(1::BIGINT << (45 - rho)::INT)::BIGINT AS s_occ
+         FROM regs GROUP BY w_start),
+       s AS (SELECT w_start, occupied,
+         s_occ + (256 - occupied) * 35184372088832 AS s_sum FROM agg),
+       est AS (SELECT w_start, occupied, s_sum,
+         round(0.7182725932495458::DOUBLE * 65536.0::DOUBLE *
+               35184372088832.0::DOUBLE / s_sum::DOUBLE, 4) AS hll_raw
+         FROM s)
+       SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
+         occupied, s_sum, hll_raw,
+         CASE WHEN hll_raw <= 640.0 AND occupied < 256
+              THEN round(256.0 * ln(256.0 / (256 - occupied)), 4)
+              ELSE hll_raw END AS hll_est
+       FROM est ORDER BY w_start"""
 }

@@ -392,6 +392,26 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows("click").map(_._1).toSet == Set(1L, 3L))
     } finally q.stop()
   }
+  test("q231 streaming window-HLL estimates track exact per-window distincts") {
+    import org.apache.spark.sql.functions._
+    // the oracle gate proves the register MECHANICS bit-for-bit;
+    // this pins the sketch is a USEFUL estimator: at sf0.001 every
+    // window's user count is far inside the linear-counting regime,
+    // so the estimate must sit within 5% of the exact distinct
+    val est = graft.streaming.StreamQueries
+      .q231StreamWindowHll(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val exact = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+                 .as("w"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "every closed window must emit once")
+    exact.foreach { case (w, n) =>
+      assert(math.abs(est(w) - n) / n <= 0.05,
+        s"window $w: est ${est(w)} exact $n") }
+  }
+
   test("native session_window MERGES at an exact gap boundary (q226 oracle pin)") {
     import org.apache.spark.sql.functions._
     implicit val sq = spark.sqlContext

@@ -514,10 +514,17 @@ object GraphOps {
     * over the persisted edge list; the contingency is one aggregation
     * on (label_a, label_b) — bounded by cluster-pair count, not
     * nodes; the three C(·,2) sums are tiny rollups broadcast-crossed
-    * into the single audit row. Integer bound: the final rand_micro
-    * expression runs in DECIMAL(38,0) (the q172 move — r10 verdict
-    * #6), so the C(n,2)·1e6 numerator holds to ~4.3e9 nodes, the
-    * same ceiling as the BIGINT C(·,2) sums feeding it. */
+    * into the single audit row. Integer bound: every C(·,2) term AND
+    * the ×1e6 numerator run in decimal — Spark's `div` always
+    * returns BIGINT (ADVICE r11: the earlier "DECIMAL(38,0) div"
+    * recipe silently dropped back to int64 before the multiply and
+    * overflowed at ~4.2e6 nodes), so the pair counts are kept as
+    * exact DECIMAL(38,6) values (`/ 2` of an even decimal product —
+    * never `div`) all the way into the final decimal `div`, whose
+    * LONG quotient is ≤ 1e6 by construction. Headroom: the scale-6
+    * decimal holds C(n,2)·1e6 to ~1e32, i.e. ~1e13 nodes — measured
+    * by [[graft.GraphOpsSpec]]'s large-n pin at n = 2e10, past both
+    * the old wrap point and int64 itself. */
   def q222RandStability(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = clickEdges(s, dir)
@@ -541,33 +548,39 @@ object GraphOps {
     val joined = at2.toDF("node", "la")
       .join(labels.toDF("node", "lb"), Seq("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `div`, not `/`: Column./ is DOUBLE division — these sums must
-    // stay BIGINT for the gate and for 2^53-plus pair counts
+    // decimal C(c,2), not `div`: Spark's div ALWAYS returns BIGINT
+    // (even on decimal operands), so `/ 2` of the decimal product —
+    // exact, c·(c−1) is even — is the only way these sums keep
+    // decimal38 headroom instead of silently narrowing to int64
+    val cPairs = expr("sum(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2)")
     val nij = joined.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
-      .agg(expr("sum(c * (c - 1) div 2)").as("s_both"))
+      .agg(cPairs.as("s_both"))
     val ai = joined.groupBy(col("la")).agg(count(lit(1)).as("c"))
-      .agg(expr("sum(c * (c - 1) div 2)").as("s_a"), count(lit(1)).as("k_a"))
+      .agg(cPairs.as("s_a"), count(lit(1)).as("k_a"))
     val bj = joined.groupBy(col("lb")).agg(count(lit(1)).as("c"))
-      .agg(expr("sum(c * (c - 1) div 2)").as("s_b"), count(lit(1)).as("k_b"))
+      .agg(cPairs.as("s_b"), count(lit(1)).as("k_b"))
     joined.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(nij))
       .crossJoin(broadcast(ai))
       .crossJoin(broadcast(bj))
       .select(col("n_nodes"), col("k_a").as("clusters_r2"),
               col("k_b").as("clusters_r3"),
-              // DECIMAL(38,0) (the q172/q210 move, r10 verdict #6):
-              // the C(n,2)·1e6 numerator leaves int64 at ~4.2e6
-              // nodes; widened, the audit holds to ~4.3e9 nodes (the
-              // C(n,2) counts themselves cap decimal38 at ~2.6e18
-              // pairs). Quotient ≤ 1e6, so the final LONG cast is
-              // always safe.
-              expr("""CASE WHEN n_nodes < 2 THEN 1000000L ELSE
-                CAST((CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1) div 2
-                      + 2 * s_both - s_a - s_b)
-                  * 1000000 div (CAST(n_nodes AS DECIMAL(38,0))
-                                 * (n_nodes - 1) div 2) AS LONG) END""")
-                .as("rand_micro"))
+              expr(RandMicroSql).as("rand_micro"))
   }
+
+  /** The q222 Rand-micro expression over columns (n_nodes BIGINT,
+    * s_both/s_a/s_b DECIMAL pair counts): decimal end to end until
+    * the final integral `div`, whose quotient ≤ 1e6 always fits the
+    * LONG it returns. Factored out so the large-n overflow pin in
+    * GraphOpsSpec evaluates EXACTLY the shipped expression. The
+    * numerator (= agreeing pairs) is non-negative, so Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree. */
+  private[graft] val RandMicroSql: String =
+    """CASE WHEN n_nodes < 2 THEN 1000000L ELSE
+      CAST((CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1) / 2
+            + 2 * s_both - s_a - s_b)
+        * 1000000 div (CAST(n_nodes AS DECIMAL(38,0))
+                       * (n_nodes - 1) / 2) AS LONG) END"""
 
   /** DuckDB oracle for q222 — the q99 rounds unrolled to three, the
     * identical contingency pair-count identity. */
@@ -620,12 +633,21 @@ object GraphOps {
     * majority-label propagation as q99/q222, so all three audits
     * describe ONE clustering.
     *
-    * Numerics (the q227 pattern): the exact integer numerator
-    * M·Σe_c − Σd_c² and denominator M² are emitted next to the
-    * round-6 double ratio, so the gate proves the rational identity
-    * exactly and the readable score approximately. int64 headroom:
-    * M² caps at ~3e9 directed edges — the q222 DECIMAL(38,0) move
-    * applies beyond that.
+    * Numerics: the rational identity Q = (M·Σe_c − Σd_c²) / M² is
+    * evaluated ENTIRELY in DECIMAL(38,0) — Σd_c² is summed from
+    * decimal squares and the numerator/denominator never pass
+    * through int64 (ADVICE r11: `div`-based widening is a mirage,
+    * Spark's div always returns BIGINT; the former BIGINT num/den
+    * emission capped the audit at M ≈ 3e9 directed edges). What the
+    * gate carries is the exact integer micro-ratio
+    * `modularity_micro` = floor(Q·1e6) — computed with an explicit
+    * sign-split floor (Spark `div` truncates toward zero, DuckDB
+    * `//` floors; the CASE keeps both engines on non-negative
+    * operands where they agree) — next to the round-6 double ratio
+    * and the exact M, Σe_c inputs. Headroom: decimal38 holds
+    * |num|·1e6 to M ≈ 1e16 directed edges; every emitted column is
+    * int64-safe to M = 9.2e18. Pinned at M = 1e10 (past the old
+    * int64 M² wrap) by GraphOpsSpec's large-M pin.
     *
     * Scale shape: label rounds are q99's join+agg+window chain over
     * the persisted edge list (iterative-plan guardrail applies);
@@ -659,16 +681,26 @@ object GraphOps {
       count(lit(1)).as("m2"),
       sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_within"))
     val comm = wc.groupBy(col("ca")).agg(count(lit(1)).as("d_c"))
-      .agg(sum(col("d_c") * col("d_c")).as("s_d2"),
+      .agg(sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("s_d2"),
            count(lit(1)).as("n_comm"))
     tot.crossJoin(broadcast(comm))
-      .select(col("m2"), col("n_comm"),
-              (col("m2") * col("e_within") - col("s_d2")).as("num"),
-              (col("m2") * col("m2")).as("den"))
-      .select(col("m2"), col("n_comm"), col("num"), col("den"),
+      .withColumn("num", expr("CAST(m2 AS DECIMAL(38,0)) * e_within - s_d2"))
+      .withColumn("den", expr("CAST(m2 AS DECIMAL(38,0)) * m2"))
+      .select(col("m2"), col("n_comm"), col("e_within"),
+              expr(ModularityMicroSql).as("modularity_micro"),
               round(col("num").cast("double") / col("den").cast("double"), 6)
                 .as("modularity"))
   }
+
+  /** floor(num·1e6 / den) over DECIMAL(38,0) columns num (either
+    * sign) and den (> 0): the sign-split keeps the integral division
+    * on non-negative operands, where Spark's truncating `div` equals
+    * DuckDB's flooring `//`, so the identical CASE replays in the
+    * oracle. Factored out for GraphOpsSpec's large-M pin. */
+  private[graft] val ModularityMicroSql: String =
+    """CASE WHEN den = 0 THEN 0L
+        WHEN num >= 0 THEN CAST(num * 1000000 div den AS LONG)
+        ELSE -CAST(((- num) * 1000000 + den - 1) div den AS LONG) END"""
 
   /** DuckDB oracle for q230 — the q222 label rounds, the identical
     * within-edge and degree-sum rollups, the same rational identity. */
@@ -697,14 +729,19 @@ object GraphOps {
            sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS e_within
            FROM wc),
          dc AS (SELECT ca, count(*)::BIGINT AS d_c FROM wc GROUP BY ca),
-         s2 AS (SELECT sum(d_c * d_c)::BIGINT AS s_d2,
-           count(*)::BIGINT AS n_comm FROM dc)
-       SELECT m2, n_comm,
-         CAST(m2 * e_within - s_d2 AS BIGINT) AS num,
-         CAST(m2 * m2 AS BIGINT) AS den,
-         round((m2 * e_within - s_d2)::DOUBLE / (m2 * m2)::DOUBLE, 6)
-           AS modularity
-       FROM agg, s2"""
+         s2 AS (SELECT sum(CAST(d_c AS HUGEINT) * d_c) AS s_d2,
+           count(*)::BIGINT AS n_comm FROM dc),
+         nd AS (SELECT m2, n_comm, e_within,
+           CAST(m2 AS HUGEINT) * e_within - s_d2 AS num,
+           CAST(m2 AS HUGEINT) * m2 AS den
+           FROM agg, s2)
+       SELECT m2, n_comm, e_within,
+         CAST(CASE WHEN den = 0 THEN 0
+              WHEN num >= 0 THEN num * 1000000 // den
+              ELSE -(((- num) * 1000000 + den - 1) // den) END AS BIGINT)
+           AS modularity_micro,
+         round(num::DOUBLE / den::DOUBLE, 6) AS modularity
+       FROM nd"""
   }
 
   /** q227 — DEGREE ASSORTATIVITY [Newman, PRL 2002] of the click

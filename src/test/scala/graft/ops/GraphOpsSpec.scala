@@ -255,9 +255,41 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.q230Modularity(spark, tmp).collect().head
     assert(got.getLong(0) == 36L, s"m2 ${got.getLong(0)}")
     assert(got.getLong(1) == 4L, s"n_comm ${got.getLong(1)}")
-    assert(got.getLong(2) == -324L && got.getLong(3) == 1296L,
-      s"rational (${got.getLong(2)}, ${got.getLong(3)})")
+    assert(got.getLong(2) == 0L, s"e_within ${got.getLong(2)}")
+    // floor(−324·1e6 / 1296) = −250000 exactly
+    assert(got.getLong(3) == -250000L, s"micro ${got.getLong(3)}")
     assert(got.getDouble(4) == -0.25)
     spark.catalog.clearCache()
+  }
+
+  test("q222/q230 micro expressions survive far past int64 (ADVICE r11 pin)") {
+    import spark.implicits._
+    // q222 at n = 2e10 nodes (C(n,2) ≈ 2e20, ×1e6 ≈ 2e26 — int64
+    // died at ~4.2e6 nodes under the old div-narrowed recipe):
+    // perfect agreement (s_both = s_a = s_b = C(n,2)/2 planted as
+    // exact decimals) must read exactly 1e6, half agreement 5e5.
+    val n = 20000000000L
+    val r222 = Seq(n).toDF("n_nodes")
+      .withColumn("s_both", expr("CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1) / 4"))
+      .withColumn("s_a", col("s_both") * 2)
+      .withColumn("s_b", expr("CAST(0 AS DECIMAL(38,6))"))
+      .select(expr(GraphOps.RandMicroSql).as("micro"))
+      .collect().head.getLong(0)
+    // num = C(n,2) + 2·C/2 − 2·(C/2) − 0 ... = C(n,2) → exactly 1e6
+    assert(r222 == 1000000L, s"q222 large-n micro $r222")
+    // q230 at M = 1e10 directed edges (M² = 1e20 — the old BIGINT
+    // den wrapped at M ≈ 3e9): e_within = M/2, s_d2 = M²/4 gives
+    // Q = 1/2 − 1/4 = 0.25 exactly; and a NEGATIVE case exercising
+    // the sign-split floor: e_within = 0, s_d2 = M²/4 → −250000.
+    val m2 = 10000000000L
+    val r230 = Seq((m2, m2 / 2), (m2, 0L)).toDF("m2", "e_within")
+      .withColumn("s_d2", expr("CAST(m2 AS DECIMAL(38,0)) * m2 / 4"))
+      .withColumn("num", expr("CAST(m2 AS DECIMAL(38,0)) * e_within - s_d2"))
+      .withColumn("den", expr("CAST(m2 AS DECIMAL(38,0)) * m2"))
+      .select(col("e_within"), expr(GraphOps.ModularityMicroSql).as("micro"))
+      .orderBy(col("e_within").desc)
+      .collect()
+    assert(r230(0).getLong(1) == 250000L, s"q230 large-M micro ${r230(0)}")
+    assert(r230(1).getLong(1) == -250000L, s"q230 negative floor ${r230(1)}")
   }
 }

@@ -76,7 +76,7 @@ object SparkEntry {
     "q55_pii_redact"       -> TextOps.q55PiiRedact,
     "q56_stratified_sample" -> graft.ops.Sampling.q56StratifiedSample,
     "q57_stream_join"      -> graft.streaming.StreamQueries.q57StreamJoin,
-    "q58_heavy_hitters"    -> TextOps.q58HeavyHitters,
+    "q58_heavy_hitters"    -> ((s, d) => TextOps.q58HeavyHitters(s, d)),
     "q59_simhash_pairs"    -> ((s, d) => Dedup.q59SimHashPairs(s, d)),
     "q60_dedup_clusters"   -> Dedup.q60DedupClusters,
     "q61_chunk_docs"       -> ((s, d) => TextOps.q61ChunkDocs(s, d)),
@@ -261,6 +261,8 @@ object SparkEntry {
     "q229_dsir_weights"    -> ((s, d) => graft.ops.Sampling.q229DsirWeights(s, d)),
     "q230_modularity"      -> ((s, d) => graft.ops.GraphOps.q230Modularity(s, d)),
     "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231StreamWindowHll,
+    "q232_salted_skew_join" -> ((s, d) => graft.ops.SkewJoin.q232SaltedSkewJoin(s, d)),
+    "q233_ingest_dedup"    -> ((s, d) => Dedup.q233IngestDedup(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -502,6 +504,10 @@ object SparkEntry {
               AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, round(jac_exact, 6) AS jaccard FROM p
          ORDER BY jac_exact DESC, doc_a, doc_b LIMIT 20""",
+    "q24_minhash_lsh" -> Dedup.q24OracleSql(),
+    "q25_simhash" -> Dedup.q25OracleSql,
+    "q58_heavy_hitters" -> TextOps.q58OracleSql(),
+    "q59_simhash_pairs" -> Dedup.q59OracleSql(),
     "q26_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -2484,5 +2490,7 @@ object SparkEntry {
     "q229_dsir_weights" -> graft.ops.Sampling.q229OracleSql(),
     "q230_modularity" -> graft.ops.GraphOps.q230OracleSql,
     "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231OracleSql,
+    "q232_salted_skew_join" -> graft.ops.SkewJoin.q232OracleSql,
+    "q233_ingest_dedup" -> Dedup.q233OracleSql(),
   )
 }

@@ -231,6 +231,90 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature from an AFFINE permutation family, as ONE
+  * codegen'd pass: slot j of the signature is
+  * min over element hashes h of ((as(j)·h + bs(j)) mod p) — the
+  * oracle-REPLAYABLE sibling of [[MinHashSig]] (whose XXH64 slots no
+  * SQL engine can rebuild). With p prime and as(j) in [1, p−1] every
+  * slot map is a bijection of Z_p, so the family has the standard
+  * MinHash collision property; all inputs must already be reduced
+  * mod p (h < p keeps as(j)·h + bs(j) < p² + p ≈ 1e18, inside a
+  * long for p = 1e9+7).
+  *
+  * Same scale shape as MinHashSig: a k×n primitive loop per row, no
+  * explode, no aggregation — signatures are a pure map-side pass
+  * whose output is k longs per document. The equivalent Column
+  * formulation (k separate `array_min(transform(...))` calls) walks
+  * the hash array k times through interpreted HOF lambdas.
+  */
+case class AffineMinHashSig(child: Expression,
+                            as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.nonEmpty && as.length == bs.length,
+    "affine_minhash_sig needs matching non-empty A/B constant lists")
+  require(p > 1 && as.forall(a => a > 0 && a < p) && bs.forall(b => b >= 0 && b < p),
+    "affine_minhash_sig needs 0 < A < p and 0 <= B < p (bijections mod prime p)")
+
+  private def k: Int = as.length
+  private lazy val aArr: Array[Long] = as.toArray
+  private lazy val bArr: Array[Long] = bs.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"affine_minhash_sig requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "affine_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val x = (aArr(i) * h + bArr(i)) % p
+        if (x < acc(i)) acc(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val aRef = ctx.addReferenceObj("affineAs", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("affineBs", bArr, "long[]")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $in.numElements();
+         |long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $in.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $x = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+         |    if ($x < $acc[$i]) $acc[$i] = $x;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash fingerprint in ONE codegen'd pass over pre-hashed
   * tokens: bit j of the result is set iff the sum over tokens of
   * ±1 votes (+1 when bit j of the token hash is set) is
@@ -1092,6 +1176,14 @@ object VectorFunctions {
   /** k-slot MinHash signature over an array<long> of element hashes. */
   def minhashSig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+
+  /** Oracle-replayable affine MinHash signature: slot j =
+    * min((as(j)·h + bs(j)) mod p) over the array<long> of mod-p
+    * element fingerprints. */
+  def affineMinhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long],
+                       p: Long): Column =
+    ColumnBridge.column(
+      AffineMinHashSig(ColumnBridge.expression(hashes), as, bs, p))
 
   /** 64-bit SimHash fingerprint over an array<long> of token hashes. */
   def simhash64(hashes: Column): Column =

@@ -94,44 +94,56 @@ object Dedup {
   def minhashSignature(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.minhashSig(transform(sh, t => xxhash64(t)), k)
 
-  /** q24 — MinHash + LSH banding near-dup pass (the 100 TB path):
-    * 32-slot signatures, 8 bands × 4 rows; docs sharing a band hash
-    * become candidates via a shuffle on (band, key); candidates are
-    * verified with exact Jaccard ≥ 0.5. Output is a one-row summary
-    * (corpus size, candidate count, verified count) — rows-only
-    * checked since LSH recall is probabilistic.
+  /** q24 — MinHash + LSH banding near-dup pass (the 100 TB path),
+    * FULLY oracle-gated since r12 (closing the rows-only set,
+    * VERDICT r11 #3): 32-slot signatures from the affine permutation
+    * family — slot j = min((A_j·h + B_j) mod P) over the doc's
+    * shingle fingerprints, the q184 replay device — computed by the
+    * codegen'd [[graft.functions.AffineMinHashSig]] as ONE fused
+    * k×n primitive loop (the XXH64 [[graft.functions.MinHashSig]]
+    * it replaces had the same loop shape but no SQL twin). 8 bands ×
+    * 4 rows; docs sharing a band key become candidates via a shuffle
+    * on (band, key); candidates verify with exact Jaccard ≥ 0.5 over
+    * the DISTINCT fingerprint sets (2·inter ≥ union — pure integer,
+    * both engines). Output is a one-row summary (corpus size,
+    * candidate count, verified count) the DuckDB oracle rebuilds end
+    * to end.
     *
-    * Shaped for scale: shingle HASHES, never shingle strings
-    * (xxhash64 over the token triple — the 3-gram set survives as a
-    * set of longs); signatures via the codegen'd MinHashSig
-    * expression, a pure MAP-SIDE pass (no explode, no aggregation —
-    * the only shuffle before candidate verification is the band-key
-    * join, carrying 3 longs per row); shingle sets joined back ONLY
-    * for the candidate pairs, so the quadratic step touches no
-    * text. */
+    * Shaped for scale: shingle FINGERPRINTS, never shingle strings
+    * (the base-31 rolling hash over the token triple — the 3-gram
+    * set survives as a set of mod-P longs); signatures are a pure
+    * MAP-SIDE pass (no explode, no aggregation — the only shuffle
+    * before candidate verification is the band-key join, carrying 3
+    * longs per row); fingerprint sets joined back ONLY for the
+    * candidate pairs, so the quadratic step touches no text. */
   def q24MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val k = 32
     val bands = 8
-    val rows = k / bands
-    // The ≥3-token filter is a cheap split+size so no shingle work
-    // runs inside Filter nodes.
+    val rows = 4
+    val k = bands * rows
+    require(MhA.length >= k && MhB.length >= k)
     // persist: docSh feeds the signature pass AND both candidate
     // join-backs — without the cache the scan→tokenize→shingle work
     // (the most expensive map stage) runs 3×. CacheManager keys the
     // entry by plan, so repeated q24 runs reuse one materialization;
     // the alternative (carrying sh through the banding) would push
-    // the full shingle array through the band shuffle 8× per doc.
+    // the full fingerprint array through the band shuffle 8× per doc.
     val docSh = Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), TextOps.shingleHashes(col("toks")).as("sh"))
+      .select(col("doc_id"),
+              TextOps.shingles(TextOps.tokens(col("text")), 3).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("g"),
+          x => graft.functions.VectorFunctions.rollingHash31(x))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = docSh.select(col("doc_id"),
-      graft.functions.VectorFunctions.minhashSig(col("sh"), k).as("sig"))
+      graft.functions.VectorFunctions
+        .affineMinhashSig(col("sh"), MhA.take(k), MhB.take(k), MhP).as("sig"))
+    // band key folded (·31 + slot) like q184 — slots < P ≈ 1e9 keep
+    // the 4-row fold < 3.1e13, far inside a long
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-             xxhash64((b * rows until (b + 1) * rows)
-               .map(i => element_at(col("sig"), i + 1)): _*).as("key")))
+             (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+               .reduce((acc, v) => acc * lit(31L) + v).as("key")))
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val aa = banded.toDF("doc_a", "band_a", "key_a")
@@ -146,11 +158,54 @@ object Dedup {
       .join(docSh.toDF("doc_b", "sh_b"), "doc_b")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - common
-    val candStats = withSh.withColumn("jac", common.cast("double") / union)
+    val candStats = withSh
+      .select(common.cast("long").as("inter"), union.cast("long").as("un"))
       .agg(count(lit(1)).as("n_candidate_pairs"),
-           count(when(col("jac") >= 0.5, 1)).as("n_verified_pairs"))
+           count(when(col("inter") * 2 >= col("un"), 1)).as("n_verified_pairs"))
     // single-row × single-row cross join: no driver collect, one job
     docSh.agg(count(lit(1)).as("n_docs")).crossJoin(candStats)
+  }
+
+  /** DuckDB oracle for q24 — the q184 replay applied to the
+    * production pass: identical shingle fingerprints, 32 affine
+    * slots, 8×4 band keys, candidates, and the 2·inter ≥ union
+    * verify, collapsed to the same one-row summary. */
+  def q24OracleSql(bands: Int = 8, rows: Int = 4): String = {
+    val k = bands * rows
+    val params = (0 until k)
+      .map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")
+    val bList = (0 until bands).mkString("[", ",", "]")
+    val bkeyFold = (2 to rows).foldLeft(s"sl[$rows*b + 1]")(
+      (acc, r) => s"($acc * 31 + sl[$rows*b + $r])")
+    s"""WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS gs FROM td),
+       shd AS (SELECT doc_id, list_distinct(list_transform(gs, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP)))
+           AS sh FROM sh0 WHERE len(gs) > 0),
+       prm(j, a, b) AS (VALUES $params),
+       sig AS (SELECT doc_id, j,
+           list_min(list_transform(sh, h -> (h * a + b) % $MhP)) AS s
+         FROM shd, prm GROUP BY ALL),
+       sigl AS (SELECT doc_id, list(s ORDER BY j) AS sl
+         FROM sig GROUP BY doc_id),
+       bk AS (SELECT doc_id, b, $bkeyFold AS bkey
+         FROM sigl, unnest($bList) AS t(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id),
+       ver AS (SELECT len(list_intersect(ha.sh, hb.sh))::BIGINT AS inter,
+           (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)))::BIGINT AS un
+         FROM cand c
+         JOIN shd ha ON ha.doc_id = c.doc_a
+         JOIN shd hb ON hb.doc_id = c.doc_b)
+       SELECT (SELECT count(*) FROM shd)::BIGINT AS n_docs,
+         (SELECT count(*) FROM ver)::BIGINT AS n_candidate_pairs,
+         (SELECT count(CASE WHEN 2 * inter >= un THEN 1 END) FROM ver)::BIGINT
+           AS n_verified_pairs"""
   }
 
   /** Connected components over an undirected edge list (doc_a, doc_b):
@@ -316,27 +371,90 @@ object Dedup {
     graft.functions.VectorFunctions.simhash64(tokenHashes)
 
   /** q25 — SimHash fingerprints (deterministic; near-dup = small
-    * hamming distance between fingerprints). Hash each token once,
-    * then the fingerprint is a single map-side expression — no
-    * explode, no shuffle before the final sort.
-    * Rows-only checked (xxhash64 has no DuckDB twin). */
+    * hamming distance between fingerprints), FULLY oracle-gated
+    * since r12 (VERDICT r11 #3): each token's 60-bit feature is the
+    * q185 packed double rolling hash (forward·2³⁰ + reversed — both
+    * halves < 2³⁰, so bits 60–63 stay clear and the long stays
+    * positive in both engines), and the fingerprint is the
+    * codegen'd [[graft.functions.SimHash64]] majority vote — one
+    * map-side expression per doc, no explode, no shuffle before the
+    * final sort. Unlike q185's per-doc DISTINCT 3-gram shingles,
+    * the unigram token stream here is NOT deduped: repeated tokens
+    * vote repeatedly, the classic frequency-weighted SimHash. The
+    * DuckDB oracle replays the vote lane for lane over lanes 0–59
+    * (lanes 60–63 vote all-negative for any non-empty doc, so both
+    * engines leave them clear). */
   def q25SimHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-              simhash(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+              simhash(transform(TextOps.tokens(col("text")), t =>
+                graft.functions.VectorFunctions.rollingHash31(t) * lit(1L << 30) +
+                  graft.functions.VectorFunctions.rollingHash31(reverse(t))))
                 .as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle for q25 — the q185 fingerprint replay over the
+    * (non-distinct) unigram token stream. */
+  def q25OracleSql: String =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       hv AS (SELECT doc_id, list_transform(toks, t ->
+           list_reduce(list_prepend(0, list_transform(string_split(t, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)
+             * 1073741824
+           + list_reduce(list_prepend(0, list_transform(string_split(reverse(t), ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))
+           AS hs FROM t0)
+       SELECT doc_id, sum(CASE WHEN
+           list_sum(list_transform(hs, h ->
+             CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       FROM hv, unnest(generate_series(0, 59)) AS t(b)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   /** q59 — SimHash near-dup PAIRS via pigeonhole chunk banding: two
     * 64-bit fingerprints within hamming distance k<4 must agree on at
     * least one of 4 disjoint 16-bit chunks, so candidates come from a
     * hash-join on (chunk_no, chunk_value) — the hamming-ball probe
     * SCALE.md promises, O(n·bucket) not O(n²) — and are verified with
-    * the exact popcount of the XOR. Rows-only checked (xxhash64-based
-    * fingerprints have no DuckDB twin); DedupSpec plants near-identical
-    * docs and asserts they surface. */
-  def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    * the exact popcount of the XOR. Oracle-gated since r12 (q25's
+    * fingerprints replay in SQL, see [[q25OracleSql]]); because the
+    * 4-chunk banding is pigeonhole-COMPLETE for hamming ≤ 3, the
+    * banded Spark result equals the all-pairs answer, which is what
+    * the DuckDB oracle computes directly — the gate thereby proves
+    * the banding loses nothing, not just that both engines agree. */
+  def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    // completeness bound, same argument as q185's 15-bit chunks
+    require(maxDist <= 3,
+      s"q59 chunk banding is complete only for maxDist <= 3, got $maxDist")
     simhashPairs(q25SimHash(s, dir), maxDist)
+  }
+
+  /** DuckDB oracle for q59 — the q25 fingerprints joined ALL-PAIRS
+    * on hamming ≤ maxDist (equal to the Spark side's banded join by
+    * the pigeonhole completeness argument). */
+  def q59OracleSql(maxDist: Int = 3): String = {
+    require(maxDist <= 3,
+      s"q59 chunk banding is complete only for maxDist <= 3, got $maxDist")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       hv AS (SELECT doc_id, list_transform(toks, t ->
+           list_reduce(list_prepend(0, list_transform(string_split(t, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)
+             * 1073741824
+           + list_reduce(list_prepend(0, list_transform(string_split(reverse(t), ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))
+           AS hs FROM t0),
+       fp AS (SELECT doc_id, sum(CASE WHEN
+           list_sum(list_transform(hs, h ->
+             CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+         FROM hv, unnest(generate_series(0, 59)) AS t(b)
+         GROUP BY doc_id)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist
+       ORDER BY doc_a, doc_b"""
+  }
 
   /** The banding+verify core over any (doc_id, simhash) frame. */
   private[ops] def simhashPairs(fps: DataFrame, maxDist: Int): DataFrame = {
@@ -1424,12 +1542,55 @@ object Dedup {
     * long, every operand is positive, so `%`/`pmod` agree across
     * engines. */
   private[ops] val MhP = 1000000007L
+  // 32 slots: q184 uses the first 16, q24's production signature all
+  // 32. Values need no special structure — any A in [1, P−1] makes
+  // (A·H + B) mod P a bijection of Z_P since P is prime — they only
+  // have to stay < P so A·H + B < P² + P ≈ 1e18 fits a long.
   private[ops] val MhA = Seq(31L, 131L, 1031L, 10007L, 100003L, 999983L,
     31337L, 65537L, 131071L, 524287L, 1299709L, 15485863L,
-    32452843L, 49979687L, 67867967L, 86028121L)
+    32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L, 160481183L,
+    179424673L, 198491317L, 217645177L, 236887691L,
+    256203161L, 275604541L, 295075147L, 314606869L,
+    334214467L, 353868013L, 373587883L, 393342739L)
   private[ops] val MhB = Seq(7L, 101L, 997L, 10009L, 100019L, 999979L,
     31357L, 65539L, 131101L, 524309L, 1299721L, 15485867L,
-    32452867L, 49979693L, 67867979L, 86028157L)
+    32452867L, 49979693L, 67867979L, 86028157L,
+    104395303L, 122949829L, 141650963L, 160481219L,
+    179424691L, 198491329L, 217645199L, 236887711L,
+    256203221L, 275604547L, 295075153L, 314606891L,
+    334214479L, 353868019L, 373587911L, 393342743L)
+
+  /** The q184 per-doc (doc_id, shingles, signature) frame over any
+    * documents input: 3-gram string shingles, base-31 fingerprints,
+    * k affine slots via the codegen'd
+    * [[graft.functions.AffineMinHashSig]] (one fused k×n loop —
+    * bit-equal to the per-slot `array_min(transform(...))` chain it
+    * replaced, which remains the SQL-oracle formulation). Shared by
+    * q184, q223's blocking-recall eval and q233's incremental ingest
+    * so the evaluated generator IS the production generator. */
+  private[ops] def minhashDocFrame(docs: DataFrame, k: Int): DataFrame = {
+    require(MhA.length >= k && MhB.length >= k)
+    docs
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        graft.functions.VectorFunctions.affineMinhashSig(
+            transform(col("sh"),
+              x => graft.functions.VectorFunctions.rollingHash31(x)),
+            MhA.take(k), MhB.take(k), MhP).as("sig"))
+  }
+
+  /** (doc_id, band, bkey) LSH band keys of a [[minhashDocFrame]]:
+    * each band folds its `rows` signature slots left (·31 + slot). */
+  private[ops] def minhashBandKeys(docFrame: DataFrame,
+                                   bands: Int, rows: Int): DataFrame =
+    docFrame.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+          .reduce((acc, v) => acc * lit(31L) + v)
+      }: _*)))
+      .toDF("doc_id", "band", "bkey")
 
   /** q184's per-doc (shingles, signature) frame and its band-bucket
     * candidate pairs — shared with q223's blocking-recall eval so the
@@ -1437,26 +1598,11 @@ object Dedup {
   private[ops] def minhashDocsAndCands(
       s: SparkSession, dir: String,
       bands: Int, rows: Int): (DataFrame, DataFrame) = {
-    val k = bands * rows
-    require(MhA.length >= k)
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val hs = transform(col("sh"),
-      x => graft.functions.VectorFunctions.rollingHash31(x))
-    val sig = array((0 until k).map { j =>
-      array_min(transform(hs, h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhP)))
-    }: _*)
     // per-doc frame feeds band explosion AND both sides of the pair
     // verify — persisted per the documented cache-lifecycle contract
-    val docs = base.select(col("doc_id"), col("sh"), sig.as("sig"))
+    val docs = minhashDocFrame(Tables.documents(s, dir), bands * rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandKeys = docs.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-          .reduce((acc, v) => acc * lit(31L) + v)
-      }: _*)))
-      .toDF("doc_id", "band", "bkey")
+    val bandKeys = minhashBandKeys(docs, bands, rows)
     val cands = bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -1655,6 +1801,120 @@ object Dedup {
          JOIN shd hb ON hb.doc_id = c.doc_b)
        SELECT doc_a, doc_b, est_micro, exact_micro FROM sc
        WHERE est_micro >= 500000 ORDER BY doc_a, doc_b"""
+  }
+
+  /** q233 — INCREMENTAL near-dup ingest (VERDICT r11 #7): the
+    * production crawl-dedup shape q107's exact/prefix screens don't
+    * cover — a new BATCH of documents probes its MinHash band keys
+    * against the standing CORPUS index (the q184 band frame, here
+    * persisted; in production loaded from the index store, never
+    * recomputed) and each batch doc gets a deterministic verdict:
+    *   - `dup`  — a banded corpus candidate verified at exact
+    *     shingle Jaccard ≥ 0.5 (match_doc = the best such corpus
+    *     doc: highest Jaccard, ties to the smallest doc_id),
+    *   - `near` — banded candidates exist but none verifies,
+    *   - `new`  — no band collision at all (the overwhelming case;
+    *     these docs' signatures then JOIN the index).
+    * Batch = doc_id ≡ 0 (mod 10), corpus = the rest — a fixed split
+    * so the oracle replays it.
+    *
+    * Scale shape: both sides derive from ONE [[minhashDocFrame]]
+    * pass over the scan (production reads the corpus side from the
+    * persisted index instead — the per-doc frame IS the index
+    * format); the only corpus-sized exchange is the batch×corpus
+    * band join, whose probe side is batch-sized and whose bucket
+    * population is near-dup-group-sized (the LSH guarantee) — never
+    * a corpus×corpus self-join, never a cartesian (plan-pinned).
+    * The exact-Jaccard verify touches candidate pairs only; the
+    * best-match window runs on the candidate frame, not the corpus. */
+  def q233IngestDedup(s: SparkSession, dir: String,
+                      bands: Int = 4, rows: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = minhashDocFrame(Tables.documents(s, dir), bands * rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpusBands = minhashBandKeys(corpus, bands, rows)
+    val batchBands = minhashBandKeys(batch, bands, rows)
+    val cand = batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    val ver = cand
+      .join(batch.select(col("doc_id").as("batch_doc"), col("sh").as("sh_a")),
+            Seq("batch_doc"))
+      .join(corpus.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")),
+            Seq("corpus_doc"))
+      .select(col("batch_doc"), col("corpus_doc"),
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+              (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("tot"))
+      .select(col("batch_doc"), col("corpus_doc"),
+              expr("inter * 1000000L div (tot - inter)").as("jac"))
+    val w = Window.partitionBy(col("batch_doc"))
+      .orderBy(col("jac").desc, col("corpus_doc"))
+    val best = ver.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("batch_doc"), col("corpus_doc").as("match_doc"),
+              col("jac").as("jaccard_micro"))
+    batch.select(col("doc_id").as("batch_doc"))
+      .join(best, Seq("batch_doc"), "left")
+      .select(col("batch_doc"),
+              when(col("jaccard_micro") >= 500000L, lit("dup"))
+                .when(col("match_doc").isNotNull, lit("near"))
+                .otherwise(lit("new")).as("verdict"),
+              col("match_doc"), col("jaccard_micro"))
+      .orderBy(col("batch_doc"))
+  }
+
+  /** DuckDB oracle for q233 — the q184 replay with the batch/corpus
+    * split, best-match selection and verdict CASE. */
+  def q233OracleSql(bands: Int = 4, rows: Int = 4): String = {
+    val k = bands * rows
+    val params = (0 until k)
+      .map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")
+    val bList = (0 until bands).mkString("[", ",", "]")
+    val bkeyFold = (2 to rows).foldLeft(s"sl[$rows*b + 1]")(
+      (acc, r) => s"($acc * 31 + sl[$rows*b + $r])")
+    s"""WITH td AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS sh FROM td),
+       shd AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, sh, list_transform(sh, g ->
+           list_reduce(list_prepend(0, list_transform(string_split(g, ''),
+             ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $MhP))
+           AS hv FROM shd),
+       prm(j, a, b) AS (VALUES $params),
+       sig AS (SELECT doc_id, j,
+           list_min(list_transform(hv, h -> (h * a + b) % $MhP)) AS s
+         FROM hs, prm GROUP BY ALL),
+       sigl AS (SELECT doc_id, list(s ORDER BY j) AS sl
+         FROM sig GROUP BY doc_id),
+       bk AS (SELECT doc_id, b, $bkeyFold AS bkey
+         FROM sigl, unnest($bList) AS t(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+         FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey
+         WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+       ver AS (SELECT c.batch_doc, c.corpus_doc,
+           (len(list_intersect(ha.sh, hb.sh)) * 1000000 //
+            (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))))::BIGINT
+             AS jac
+         FROM cand c
+         JOIN shd ha ON ha.doc_id = c.batch_doc
+         JOIN shd hb ON hb.doc_id = c.corpus_doc),
+       best AS (SELECT batch_doc, corpus_doc, jac,
+           row_number() OVER (PARTITION BY batch_doc
+                              ORDER BY jac DESC, corpus_doc) AS rn
+         FROM ver)
+       SELECT d.doc_id AS batch_doc,
+         CASE WHEN best.jac >= 500000 THEN 'dup'
+              WHEN best.batch_doc IS NOT NULL THEN 'near'
+              ELSE 'new' END AS verdict,
+         best.corpus_doc AS match_doc, best.jac AS jaccard_micro
+       FROM (SELECT doc_id FROM shd WHERE doc_id % 10 = 0) d
+       LEFT JOIN (SELECT * FROM best WHERE rn = 1) best
+         ON best.batch_doc = d.doc_id
+       ORDER BY batch_doc"""
   }
 
   /** Winnowing parameters: word k-grams of size [[WinK]], window of

@@ -255,34 +255,73 @@ object TextOps {
     * partition, while the CMS is a FIXED-width mergeable array that
     * reduces map-side; merging is integer addition, so the estimate
     * is deterministic under any partitioning). The query emits the
-    * exact top-25 (q45's aggregation) alongside the sketch estimate:
-    * one sketch blob crosses to the driver, which probes 25 tokens —
-    * aggregate-then-probe, never per-row driver work. Rows-only
-    * checked (no DuckDB CMS); the spec bounds overestimation by the
-    * sketch's ε·N guarantee. */
-  def q58HeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // both actions (sketch agg + exact top-25) run inside this call,
-    // so the tokenize scan persists for exactly their duration
-    val toks = Tables.documents(s, dir)
+    * exact top-25 (q45's aggregation, the ranking) alongside the
+    * sketch estimate for each — the complementary shape to q179,
+    * which ranks BY the sketch. FULLY oracle-gated since r12
+    * (VERDICT r11 #3): the engine-internal `count_min_sketch` blob +
+    * driver probe is replaced by the q179 replayable sketch — the
+    * same [[CmsA]]/[[CmsB]] row-hash family at width w = 2048 (vs
+    * q179's 512: 4× tighter ~N/w overcount, still an 8 KB counter
+    * matrix) — built and probed entirely as dataframe aggregation,
+    * so the DuckDB oracle rebuilds counter matrix, estimates and
+    * ranking exactly and nothing ever leaves the executors.
+    *
+    * Scale shape (q179's): one corpus-linear explode collapses
+    * map-side to per-token counts; by linearity the sketch from
+    * collapsed counts equals the sketch from the raw stream.
+    * Everything after the first aggregate is vocabulary-sized — a
+    * d-way explode, a d×w counter aggregate broadcast back onto the
+    * per-token frame, a TakeOrdered top-25. */
+  def q58HeavyHitters(s: SparkSession, dir: String,
+                      d: Int = 4, w: Int = 2048, k: Int = 25): DataFrame = {
+    val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val skBytes = toks
-        .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("sk"))
-        .first().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(skBytes))
-      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("token"))
-        .limit(25)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1),
-                   // String probe == the agg's addBinary(utf8 bytes) path
-                   cms.estimateCount(r.getString(0))))
-      top.toSeq.toDF("token", "freq", "cms_est")
-        .orderBy(col("freq").desc, col("token"))
-    } finally toks.unpersist()
+    val rows = (0 until d).map { i =>
+      struct(lit(i).as("row_i"),
+             pmod(pmod(lit(CmsA(i)) * col("h") + lit(CmsB(i)), lit(CmsP)),
+                  lit(w.toLong)).as("bucket"))
+    }
+    val hashed = counts
+      .withColumn("h", graft.functions.VectorFunctions.rollingHash31(col("token")))
+      .select(col("token"), col("freq"), explode(array(rows: _*)).as("rb"))
+      .select(col("token"), col("freq"),
+              col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+    val sketch = hashed.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("freq")).cast("long").as("counter"))
+    hashed.join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("freq")).cast("long").as("freq"),
+           min(col("counter")).as("cms_est"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("freq"), col("cms_est"))
+  }
+
+  /** DuckDB oracle for q58 — the q179 sketch replay, ranked by the
+    * exact count instead of the estimate. */
+  def q58OracleSql(d: Int = 4, w: Int = 2048, k: Int = 25): String = {
+    val aList = CmsA.take(d).mkString("[", ",", "]")
+    val bList = CmsB.take(d).mkString("[", ",", "]")
+    val iList = (0 until d).mkString("[", ",", "]")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       counts AS (SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY token),
+       fp AS (SELECT token, freq,
+         list_reduce(list_prepend(0, list_transform(string_split(token, ''),
+           ch -> ascii(ch)::BIGINT)), (acc, ch) -> (acc * 31 + ch) % $CmsP) AS h
+         FROM counts),
+       rows_ AS (SELECT token, freq, i,
+         ((($aList[i + 1]) * h + ($bList[i + 1])) % $CmsP) % $w AS bucket
+         FROM fp, unnest($iList) AS t(i)),
+       sketch AS (SELECT i, bucket, sum(freq)::BIGINT AS counter
+         FROM rows_ GROUP BY i, bucket),
+       est AS (SELECT r.token, min(r.freq)::BIGINT AS freq,
+                      min(s.counter)::BIGINT AS cms_est
+         FROM rows_ r JOIN sketch s ON r.i = s.i AND r.bucket = s.bucket
+         GROUP BY r.token)
+       SELECT token, freq, cms_est
+       FROM est ORDER BY freq DESC, token LIMIT $k"""
   }
 
   private val markers: Seq[(String, Seq[String])] = Seq(

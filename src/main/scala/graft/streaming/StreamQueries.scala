@@ -768,31 +768,41 @@ object StreamQueries {
     * post-sink row filter is needed. Oracle: the identical per-hour
     * register construction in batch SQL (the q214 replay,
     * windowed). */
+  private val Hll44 = 17592186044416L  // 2^44
+  private val Hll45 = 35184372088832L  // 2^45
+  private val HllM = 256
+
+  /** q231's TWO CHAINED STATEFUL AGGREGATIONS, factored out so the
+    * state-metrics guardrail (EventStreamsSpec) drives the SAME
+    * operator chain over a planted heavy MemoryStream and measures
+    * `StateOperatorProgress.numRowsTotal` against the O(m·windows)
+    * bound — the state claim as a measurement, not an inference. */
+  private[graft] def q231Transform(df: DataFrame): DataFrame = {
+    val h52 = conv(substring(md5(col("user_id").cast("string")), 1, 13),
+                   16, 10).cast("long")
+    df.withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"))
+      .withColumn("h", h52)
+      .withColumn("bucket", expr(s"h div ${Hll44}L"))
+      .withColumn("rest", expr(s"h % ${Hll44}L"))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max(when(col("rest") === 0, lit(45))
+                 .otherwise(lit(45) - length(bin(col("rest")))))
+             .cast("long").as("rho"))
+      .groupBy(window(window_time(col("window")), "1 hour").as("win"))
+      .agg(count(lit(1)).as("occupied"),
+           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(45 - rho AS INT))"))
+             .as("s_occ"))
+      .select(col("win.start").as("w_start"), col("occupied"),
+              (col("s_occ") + (lit(HllM.toLong) - col("occupied")) * lit(Hll45))
+                .as("s_sum"))
+  }
+
   def q231StreamWindowHll(s: SparkSession, dir: String): DataFrame = {
-    val two44 = 17592186044416L // 2^44
-    val two45 = 35184372088832L // 2^45
-    val m = 256
+    val two45 = Hll45
+    val m = HllM
     val alpha = 0.7182725932495458 // 0.7213/(1 + 1.079/256)
-    val est = runStream(s, dir, "q231", drops = 2) { df =>
-      val h52 = conv(substring(md5(col("user_id").cast("string")), 1, 13),
-                     16, 10).cast("long")
-      df.withWatermark("ts", "1 hour")
-        .select(col("ts"), col("user_id"))
-        .withColumn("h", h52)
-        .withColumn("bucket", expr(s"h div ${two44}L"))
-        .withColumn("rest", expr(s"h % ${two44}L"))
-        .groupBy(window(col("ts"), "1 hour"), col("bucket"))
-        .agg(max(when(col("rest") === 0, lit(45))
-                   .otherwise(lit(45) - length(bin(col("rest")))))
-               .cast("long").as("rho"))
-        .groupBy(window(window_time(col("window")), "1 hour").as("win"))
-        .agg(count(lit(1)).as("occupied"),
-             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(45 - rho AS INT))"))
-               .as("s_occ"))
-        .select(col("win.start").as("w_start"), col("occupied"),
-                (col("s_occ") + (lit(m.toLong) - col("occupied")) * lit(two45))
-                  .as("s_sum"))
-    }
+    val est = runStream(s, dir, "q231", drops = 2)(q231Transform)
     est
       .withColumn("hll_raw",
         round(lit(alpha) * lit(m.toDouble * m.toDouble) * lit(two45.toDouble) /

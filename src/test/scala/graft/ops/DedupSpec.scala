@@ -711,4 +711,39 @@ class DedupSpec extends SparkSpec {
     assert(got.getLong(3) == want, s"recall ${got.getLong(3)} != $want")
     spark.catalog.clearCache()
   }
+
+  test("q233 incremental ingest: planted dup / near / new verdicts") {
+    val tmp = java.nio.file.Files.createTempDirectory("ingestfix").toString
+    // Corpus (doc_id % 10 != 0): doc 1 the near-source, doc 2 the
+    // dup-source, doc 3 unrelated. Batch (doc_id % 10 == 0):
+    //  - doc 10 copies doc 2 verbatim -> 'dup' at Jaccard 1.0;
+    //  - doc 20 shares doc 1's 11-token prefix (9 of 21 union
+    //    shingles -> exact 428571 micro < 500000) with filler chosen
+    //    OFFLINE against the fixed affine family so band 0's four
+    //    slot-minima all land on shared shingles -> a banded
+    //    candidate that fails the verify -> 'near';
+    //  - doc 30 shares nothing -> no band collision -> 'new'.
+    import spark.implicits._
+    val c1 = (0 to 16).map(i => s"s1c$i").mkString(" ")
+    val d2 = (0 to 5).map(i => s"dup$i src$i").mkString(" ")
+    val u3 = (0 to 7).map(i => s"corpusonly$i").mkString(" ")
+    val b20 = (0 to 10).map(i => s"s1c$i").mkString(" ") + " " +
+      (0 to 5).map(k => s"s1z1x$k").mkString(" ")
+    val b30 = (0 to 8).map(i => s"brandnew$i").mkString(" ")
+    Seq((1L, c1), (2L, d2), (3L, u3), (10L, d2), (20L, b20), (30L, b30))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q233IngestDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) -1L else r.getLong(2),
+                 if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+        (10L, "dup", 2L, 1000000L),
+        (20L, "near", 1L, 428571L),
+        (30L, "new", -1L, -1L)),
+      s"got ${got.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }

@@ -86,6 +86,9 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("q58 CMS estimates bound the exact counts from above within eps*N") {
+    // r12: q58 rides the replayable d=4 × w=2048 sketch (oracle-gated);
+    // the CMS guarantee is unchanged — never underestimates, overcount
+    // within a small multiple of N/w
     val rows = TextOps.q58HeavyHitters(spark, sf0001).collect()
     assert(rows.length == 25)
     val nTokens = graft.Tables.documents(spark, sf0001)
@@ -93,12 +96,13 @@ class SamplingSpec extends SparkSpec {
     rows.foreach { r =>
       val (freq, est) = (r.getLong(1), r.getLong(2))
       assert(est >= freq, s"CMS must never underestimate: ${r.getString(0)}")
-      assert(est - freq <= (0.001 * nTokens).ceil.toLong * 2,
-        s"${r.getString(0)}: est=$est freq=$freq beyond 2*eps*N")
+      assert(est - freq <= 2L * (nTokens / 2048L + 1L),
+        s"${r.getString(0)}: est=$est freq=$freq beyond 2*N/w")
     }
     // agreement with q45's exact top-25 token set
     val q45 = TextOps.q45TokenFreq(spark, sf0001).collect().map(_.getString(0)).toSet
     assert(rows.map(_.getString(0)).toSet == q45)
+    spark.catalog.clearCache()
   }
 
   test("q61 chunking covers every token exactly once with a ragged tail") {

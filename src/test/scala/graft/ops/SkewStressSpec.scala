@@ -49,31 +49,40 @@ class SkewStressSpec extends SparkSpec {
 
   // ---- planted-skew fixture -------------------------------------
   // events: user 1 is a whale — 5 head events of type "aa", then
-  // 100,000 tail events alternating "bb"/"cc"; users 2 and 3 each
-  // have the 3-event stream xx, yy, zz.
+  // 10⁶ tail events alternating "bb"/"cc" (one per second from
+  // 01:00:00 on — the r10-specified whale size, generated
+  // distributed via spark.range rather than a driver Seq); users 2
+  // and 3 each have the 3-event stream xx, yy, zz.
   // documents: 300 docs all sharing the stopword head "c0 c1 c2 c3"
   // (every 3-gram in it has df = 300); docs 1 and 2 additionally
   // share the rare run "p0 p1 p2 p3"; each doc carries unique
   // filler tokens.
+  private val WhaleEvents = 1000000L
   private lazy val tmp: String = {
     val dir = java.nio.file.Files.createTempDirectory("skewfix").toString
     import spark.implicits._
     val whaleHead = (1 to 5).map(i =>
       (i.toLong, f"2024-01-01 00:00:${i}%02d", 1L, "aa"))
-    val whaleTail = (1 to 100000).map(i =>
-      (100L + i, "2024-01-01 01:%02d:%02d".format((i / 60) % 60, i % 60),
-       1L, if (i % 2 == 0) "bb" else "cc"))
     val others = Seq(
-      (500001L, "2024-01-02 00:00:01", 2L, "xx"),
-      (500002L, "2024-01-02 00:00:02", 2L, "yy"),
-      (500003L, "2024-01-02 00:00:03", 2L, "zz"),
-      (500004L, "2024-01-02 00:00:01", 3L, "xx"),
-      (500005L, "2024-01-02 00:00:02", 3L, "yy"),
-      (500006L, "2024-01-02 00:00:03", 3L, "zz"))
-    (whaleHead ++ whaleTail ++ others)
+      (9000001L, "2024-03-02 00:00:01", 2L, "xx"),
+      (9000002L, "2024-03-02 00:00:02", 2L, "yy"),
+      (9000003L, "2024-03-02 00:00:03", 2L, "zz"),
+      (9000004L, "2024-03-02 00:00:01", 3L, "xx"),
+      (9000005L, "2024-03-02 00:00:02", 3L, "yy"),
+      (9000006L, "2024-03-02 00:00:03", 3L, "zz"))
+    val small = (whaleHead ++ others)
       .toDF("event_id", "tss", "user_id", "event_type")
       .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
-              col("user_id"), col("event_type"),
+              col("user_id"), col("event_type"))
+    val whaleTail = spark.range(1, WhaleEvents + 1)
+      .select((col("id") + 100L).as("event_id"),
+              expr("timestamp'2024-01-01 01:00:00' + " +
+                   "make_interval(0, 0, 0, 0, 0, 0, id)").as("ts"),
+              lit(1L).as("user_id"),
+              when(col("id") % 2 === 0, lit("bb")).otherwise(lit("cc"))
+                .as("event_type"))
+    small.unionByName(whaleTail)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
               lit(1.0).as("value"), lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val docs = (1 to 300).map { i =>
@@ -117,6 +126,27 @@ class SkewStressSpec extends SparkSpec {
     assertCollectsBehindSemiJoin(df, "q216")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"got $pairs")
+  }
+
+  test("salted join on a planted whale key equals the plain join") {
+    // 200k fact rows collapse onto key 7 (plus a 1k uniform spread);
+    // the salted path must return exactly the plain join's answer —
+    // salting is result-invariant by construction, which is also what
+    // q232's DuckDB oracle (the UNSALTED SQL join) gates at 3 SFs
+    val fact = spark.range(0, 200000)
+      .select(lit(7L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(0, 1000)
+        .select((col("id") % 10).as("k"), (col("id") + 1000000L).as("v")))
+    val dim = spark.range(0, 10)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    def agg(df: DataFrame) = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = agg(SkewJoin.saltedJoin(fact, dim, "k", 8))
+    val plain = agg(fact.join(dim, "k"))
+    assert(salted == plain, s"salted $salted != plain $plain")
+    assert(salted.exists { case (k, n, _) => k == 7L && n == 200100L },
+      s"whale key missing its full row count: $salted")
   }
 
   test("q85 stopword token: df-capped postings, hot token carries no list") {

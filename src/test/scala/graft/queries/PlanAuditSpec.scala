@@ -844,4 +844,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj <= 3, s"corpus-side gram join leaked into the plan ($smj SMJs)")
     assert(!p.toLowerCase.contains("cartesian"), "no cartesian products")
   }
+
+  test("q232 salted join: salt expansion present, join keys carry the salt") {
+    val p = plan("q232_salted_skew_join")
+    // the dim side must be exploded once per salt value (the Generate
+    // node) and the join must key on (hot_key, __salt) — a revert to
+    // the plain join would pin every whale-key row to one reducer
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"dim-side salt expansion missing:\n${p.take(1200)}")
+    assert(p.contains("__salt"),
+      "join no longer keys on the salt — hot keys collapse to one reducer")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian products")
+  }
+
+  test("q233 incremental ingest: batch probes the corpus index, no cartesian") {
+    val p = plan("q233_ingest_dedup")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"batch x corpus probe must stay an equi hash join on (band, bkey):\n${p.take(1200)}")
+    // both sides read the ONE persisted per-doc frame (the index)
+    assert(p.contains("InMemoryTableScan"),
+      "per-doc frame must be persisted — the corpus index is read, not recomputed")
+  }
 }

@@ -20,10 +20,12 @@ class QueriesDocSpec extends AnyFunSuite {
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("QUERIES.md")),
     java.nio.charset.StandardCharsets.UTF_8)
 
+  // gate kind is `hash` or `rows (fence: <twin rationale>)` — the
+  // fence rationale is free text, so match any non-pipe tail
   private lazy val rows: Map[String, (String, String)] =
-    raw"\| `(q[0-9][a-z0-9_]*)` \| (hash|rows) \| ([^|]*)\|".r
+    raw"\| `(q[0-9][a-z0-9_]*)` \| (hash|rows[^|]*) \| ([^|]*)\|".r
       .findAllMatchIn(md)
-      .map(m => m.group(1) -> (m.group(2), m.group(3).trim))
+      .map(m => m.group(1) -> (m.group(2).trim, m.group(3).trim))
       .toMap
 
   test("QUERIES.md has exactly one row per registered query") {
@@ -38,9 +40,15 @@ class QueriesDocSpec extends AnyFunSuite {
   test("every row's gate kind matches oracleSql membership") {
     val oracled = graft.SparkEntry.oracleSql.keySet
     rows.foreach { case (name, (gate, _)) =>
-      val expected = if (oracled(name)) "hash" else "rows"
-      assert(gate == expected,
-        s"$name documented as '$gate' but oracle presence says '$expected'")
+      if (oracled(name))
+        assert(gate == "hash",
+          s"$name documented as '$gate' but it has an oracle")
+      else {
+        // a rows-only query must be a DECLARED fence naming its
+        // hash-gated twin (VERDICT r11 #3)
+        assert(gate.startsWith("rows (fence:") && gate.contains("twin"),
+          s"$name is rows-only but not documented as a fence with a twin: '$gate'")
+      }
     }
   }
 

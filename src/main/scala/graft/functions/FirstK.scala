@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** First-K-per-group as a bounded typed Aggregator — the stream-head
@@ -53,7 +54,10 @@ object FirstK {
       override def merge(b1: Vector[Ev], b2: Vector[Ev]): Vector[Ev] =
         bound(b1 ++ b2, k)
       override def finish(r: Vector[Ev]): Seq[String] = r.map(_.payload)
-      override def bufferEncoder: Encoder[Vector[Ev]] = Encoders.kryo[Vector[Ev]]
-      override def outputEncoder: Encoder[Seq[String]] = Encoders.kryo[Seq[String]]
+      // struct/array encoders, not kryo (VERDICT r11 #8) — see TopK
+      override def bufferEncoder: Encoder[Vector[Ev]] =
+        ExpressionEncoder[Vector[Ev]]()
+      override def outputEncoder: Encoder[Seq[String]] =
+        ExpressionEncoder[Seq[String]]()
     }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Top-K-per-group as a custom typed Aggregator — the scalable
@@ -51,7 +52,14 @@ object TopK {
       override def merge(b1: Vector[Scored], b2: Vector[Scored]): Vector[Scored] =
         bound(b1 ++ b2, k)
       override def finish(r: Vector[Scored]): Seq[Scored] = r
-      override def bufferEncoder: Encoder[Vector[Scored]] = Encoders.kryo[Vector[Scored]]
-      override def outputEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+      // struct/array encoders, not kryo (VERDICT r11 #8): the buffer
+      // serializes as an UnsafeArrayData of (double, long) structs
+      // Tungsten can size and copy without a Java round-trip — the
+      // kryo blob forced an opaque BinaryType buffer on every
+      // map-side combine and shuffle spill
+      override def bufferEncoder: Encoder[Vector[Scored]] =
+        ExpressionEncoder[Vector[Scored]]()
+      override def outputEncoder: Encoder[Seq[Scored]] =
+        ExpressionEncoder[Seq[Scored]]()
     }
 }

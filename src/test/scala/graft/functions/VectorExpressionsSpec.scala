@@ -219,6 +219,44 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("affine_minhash_sig: seeded sweep, codegen == interpreted == per-slot HOF") {
+    val rnd = new scala.util.Random(42)
+    val p = 1000000007L
+    val as = Seq(31L, 131L, 1031L, 10007L, 100003L, 999983L, 31337L, 65537L)
+    val bs = Seq(7L, 101L, 997L, 10009L, 100019L, 999979L, 31357L, 65539L)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(math.abs(rnd.nextLong()) % p))
+    }
+    val df = rows.toDF("id", "hs")
+    // the SQL-oracle formulation: one array_min(transform) per slot
+    val ref = array(as.indices.map { j =>
+      array_min(transform($"hs", h => (h * lit(as(j)) + lit(bs(j))) % lit(p)))
+    }: _*)
+    val got = df.select($"id",
+        VectorFunctions.affineMinhashSig($"hs", as, bs, p).as("fast"),
+        ref.as("ref")).collect()
+    got.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"codegen vs HOF diverge at row ${r.getLong(0)}"))
+    // interpreted path (nullSafeEval via a Literal child, no codegen)
+    rows.foreach { case (id, hs) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(hs.toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))
+      val interp = AffineMinHashSig(lit, as, bs, p).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      val fromDf = got.find(_.getLong(0) == id).get.getSeq[Long](1)
+      assert(interp == fromDf, s"interpreted vs codegen diverge at row $id")
+    }
+    // constants outside [0, p) or mismatched lists are rejected loudly
+    intercept[IllegalArgumentException] {
+      AffineMinHashSig(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(Array(1L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+        Seq(p), Seq(0L), p)
+    }
+  }
+
   test("zorder2: seeded-random sweep, codegen == interpreted == unrolled shifts") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(4242)

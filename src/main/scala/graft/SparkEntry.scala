@@ -263,6 +263,7 @@ object SparkEntry {
     "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231StreamWindowHll,
     "q232_salted_skew_join" -> ((s, d) => graft.ops.SkewJoin.q232SaltedSkewJoin(s, d)),
     "q233_ingest_dedup"    -> ((s, d) => Dedup.q233IngestDedup(s, d)),
+    "q234_markov_attribution" -> ((s, d) => EventOps.q234MarkovAttribution(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2492,5 +2493,6 @@ object SparkEntry {
     "q231_stream_window_hll" -> graft.streaming.StreamQueries.q231OracleSql,
     "q232_salted_skew_join" -> graft.ops.SkewJoin.q232OracleSql,
     "q233_ingest_dedup" -> Dedup.q233OracleSql(),
+    "q234_markov_attribution" -> EventOps.q234OracleSql(),
   )
 }

@@ -712,6 +712,206 @@ object EventOps {
          count(*)::BIGINT AS n_purchases
        FROM c GROUP BY view_id ORDER BY view_id"""
 
+  /** Fixed channel universe for q234 (every non-conversion event
+    * type, sorted) — a static list so the oracle SQL can unroll one
+    * removal chain per channel; an unobserved channel's removal is a
+    * no-op (effect 0) in both engines. */
+  private[ops] val MarkovChannels = Seq("click", "error", "signup", "view")
+  private[ops] val MarkovIters = 25
+
+  /** q234 — MARKOV REMOVAL-EFFECT attribution [Anderl et al., 2014]:
+    * the data-driven upgrade of q112's linear and q183's U-shaped
+    * heuristics. Each user's journey is the event-type sequence up
+    * to their FIRST purchase (the conversion; truncated there —
+    * standard first-conversion semantics; non-converting users end
+    * in the NULL state). Journeys define a first-order Markov chain
+    * START → channels → {CONV, NULL}; a channel's removal effect is
+    * how much of the chain's conversion probability disappears when
+    * every visit to that channel is redirected to NULL — credit for
+    * being ON the converting paths, not merely near a purchase.
+    *
+    * All arithmetic is integer micro: transition probabilities are
+    * `count·10⁶ div outdegree`, and the absorbing-chain solve runs
+    * [[MarkovIters]] fixed Jacobi iterations of
+    * `p(s) ← (Σ_t P(s,t)·p(t)) div 10⁶` with p(CONV) = 10⁶,
+    * p(NULL) = 0 (removal clamps the removed channel's p to 0 —
+    * exactly "visits there never convert"). Both engines run the
+    * IDENTICAL truncating iteration, so the gate is bit-exact; the
+    * iterate is monotone non-decreasing and bounded, and removal
+    * clamps can only lower it, so effects are non-negative by
+    * construction. Output: one row per channel with the base and
+    * removed conversion micro, the removal effect, and the
+    * normalized attribution share.
+    *
+    * Scale shape: journeys need ONE user-keyed shuffle (the lag
+    * window + per-user terminal rows share it); transition counts
+    * collapse map-side to a ≤ |channels|²-row matrix; the chain
+    * solve reads that matrix once on the driver (the bounded-scalar
+    * pattern of the year clamp / k-means codebooks — ≤ 36 rows,
+    * never data), and the 4-row result frame is built from
+    * driver-computed integers. At 100 TB the only corpus-sized cost
+    * is the one windowed pass over events. */
+  def q234MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val ev = Tables.events(s, dir)
+    // ONE user-keyed exchange carries everything: the first
+    // conversion is a window-min over the same partitioning the lag
+    // and the per-user terminal aggregate already need — no join of
+    // the corpus against a per-user aggregate
+    val wAll = Window.partitionBy(col("user_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tagged = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("fc",
+        min(when(col("event_type") === "purchase",
+                 struct(col("ts"), col("event_id")))).over(wAll))
+    // pre-conversion channel events (everything, for never-converters)
+    val pre = tagged
+      .filter(col("event_type") =!= "purchase" &&
+              (col("fc").isNull ||
+               struct(col("ts"), col("event_id")) < col("fc")))
+    val steps = pre
+      .select(coalesce(lag(col("event_type"), 1).over(w), lit("START"))
+                .as("from_s"),
+              col("event_type").as("to_s"))
+    // terminal row per user: last pre-conversion event -> CONV/NULL
+    val terminal = pre.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("le"),
+           max(col("fc")).as("fc"))
+      .select(col("le.event_type").as("from_s"),
+              when(col("fc").isNull, lit("NULL")).otherwise(lit("CONV"))
+                .as("to_s"))
+    // converted users whose FIRST event is the purchase: START -> CONV
+    val startConv = tagged
+      .groupBy(col("user_id"))
+      .agg(max(col("fc")).as("fc"),
+           count(when(col("event_type") =!= "purchase" &&
+                      (col("fc").isNull ||
+                       struct(col("ts"), col("event_id")) < col("fc")), 1))
+             .as("n_pre"))
+      .filter(col("fc").isNotNull && col("n_pre") === 0)
+      .select(lit("START").as("from_s"), lit("CONV").as("to_s"))
+    val trans = steps.unionByName(terminal).unionByName(startConv)
+      .groupBy(col("from_s"), col("to_s"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p_micro",
+        expr("c * 1000000L div sum(c) over (partition by from_s)"))
+      .select(col("from_s"), col("to_s"), col("p_micro"))
+    // ≤ (|channels|+1) x (|channels|+2) rows — the bounded scalar read
+    val tm = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = "START" +: MarkovChannels
+    def solve(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to MarkovIters) {
+        p = states.map { st =>
+          val acc = tm.iterator.collect { case ((f, t), m) if f == st =>
+            m * (t match {
+              case "CONV" => 1000000L
+              case "NULL" => 0L
+              case c if removed.contains(c) => 0L
+              case c => p.getOrElse(c, 0L)
+            })
+          }.sum
+          st -> acc / 1000000L
+        }.toMap
+      }
+      p("START")
+    }
+    val base = solve(None)
+    val rows = MarkovChannels.map { ch =>
+      val wo = solve(Some(ch))
+      val re = if (base > 0) (base - wo) * 1000000L / base else 0L
+      (ch, base, wo, re)
+    }
+    val totalRe = rows.map(_._4).sum
+    rows.map { case (ch, b, wo, re) =>
+      (ch, b, wo, re, if (totalRe > 0) re * 1000000L / totalRe else 0L)
+    }.toDF("channel", "base_conv_micro", "conv_wo_micro",
+           "removal_effect_micro", "share_micro")
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB oracle for q234 — identical journeys, transition matrix
+    * and truncating Jacobi iterations, unrolled one CTE chain per
+    * removal variant (the q27/q188 unroll technique). Every
+    * iteration CTE is AS MATERIALIZED: DuckDB inlines
+    * single-reference CTEs, and a 25-deep inlined join chain
+    * explodes planning exponentially — materialization keeps each
+    * step a 5-row hash join. */
+  def q234OracleSql(): String = {
+    val stateVals = ("START" +: MarkovChannels)
+      .map(s => s"('$s')").mkString(", ")
+    def chain(v: String, removed: Option[String]): String = {
+      val removedClause =
+        removed.map(c => s"WHEN t.to_s = '$c' THEN 0 ").getOrElse("")
+      val it0 = s"it_${v}_0 AS MATERIALIZED (SELECT s, 0::BIGINT AS p FROM states)"
+      val its = (1 to MarkovIters).map { k =>
+        s"""it_${v}_$k AS MATERIALIZED (SELECT st.s,
+           (COALESCE(sum(t.p_micro *
+             CASE WHEN t.to_s = 'CONV' THEN 1000000
+                  WHEN t.to_s = 'NULL' THEN 0
+                  ${removedClause}ELSE COALESCE(pv.p, 0) END), 0) // 1000000)::BIGINT AS p
+           FROM states st
+           LEFT JOIN trans t ON t.from_s = st.s
+           LEFT JOIN it_${v}_${k - 1} pv ON pv.s = t.to_s
+           GROUP BY st.s)"""
+      }
+      (it0 +: its).mkString(",\n       ")
+    }
+    val chains = (chain("base", None) +:
+      MarkovChannels.map(c => chain(c, Some(c)))).mkString(",\n       ")
+    val selRows = MarkovChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+          (SELECT p FROM it_${c}_$MarkovIters WHERE s = 'START') AS conv_wo_micro"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH fc AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM (
+           SELECT user_id, ts, event_id, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+       pre AS MATERIALIZED (SELECT e.user_id, e.ts, e.event_id, e.event_type
+         FROM events e LEFT JOIN fc ON fc.user_id = e.user_id
+         WHERE e.event_type <> 'purchase'
+           AND (fc.user_id IS NULL OR e.ts < fc.c_ts
+                OR (e.ts = fc.c_ts AND e.event_id < fc.c_id))),
+       steps AS (SELECT coalesce(lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 'START') AS from_s,
+           event_type AS to_s FROM pre),
+       lastpre AS (SELECT user_id, event_type AS from_s FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM pre) WHERE rn = 1),
+       term AS (SELECT lp.from_s,
+           CASE WHEN fc.user_id IS NULL THEN 'NULL' ELSE 'CONV' END AS to_s
+         FROM lastpre lp LEFT JOIN fc ON fc.user_id = lp.user_id),
+       sconv AS (SELECT 'START' AS from_s, 'CONV' AS to_s FROM fc
+         WHERE user_id NOT IN (SELECT user_id FROM pre)),
+       alltr AS (SELECT * FROM steps UNION ALL SELECT * FROM term
+         UNION ALL SELECT * FROM sconv),
+       cnt AS (SELECT from_s, to_s, count(*)::BIGINT AS c
+         FROM alltr GROUP BY 1, 2),
+       trans AS MATERIALIZED (SELECT from_s, to_s,
+           (c * 1000000 // sum(c) OVER (PARTITION BY from_s))::BIGINT AS p_micro
+         FROM cnt),
+       states(s) AS (VALUES $stateVals),
+       $chains,
+       sel AS ($selRows),
+       eff AS (SELECT channel,
+           (SELECT p FROM it_base_$MarkovIters WHERE s = 'START') AS base_conv_micro,
+           conv_wo_micro FROM sel),
+       re AS (SELECT channel, base_conv_micro, conv_wo_micro,
+           (CASE WHEN base_conv_micro > 0
+                THEN (base_conv_micro - conv_wo_micro) * 1000000 // base_conv_micro
+                ELSE 0 END)::BIGINT AS removal_effect_micro FROM eff)
+       SELECT channel, base_conv_micro, conv_wo_micro, removal_effect_micro,
+         (CASE WHEN sum(removal_effect_micro) OVER () > 0
+              THEN removal_effect_micro * 1000000 // sum(removal_effect_micro) OVER ()
+              ELSE 0 END)::BIGINT AS share_micro
+       FROM re ORDER BY channel"""
+  }
+
   /** q110 — session path mining: the most common event-type
     * sequences (first 5 events per session, joined with ">") across
     * all q30-style gap sessions — the navigation-pattern report a

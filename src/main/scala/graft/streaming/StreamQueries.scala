@@ -747,27 +747,6 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** q231 — streaming PER-WINDOW register HyperLogLog: distinct
-    * users per tumbling hour estimated by the q214 register sketch,
-    * as TWO CHAINED STATEFUL AGGREGATIONS in one append-mode stream
-    * (Spark's multiple-stateful-operator support): agg 1 keeps
-    * max(ρ) per (window, register) — the mergeable sketch state, m
-    * longs per window regardless of user count — and agg 2 rolls
-    * finalized registers into the estimate as each window's
-    * watermark passes. This is the streaming shape of the
-    * cardinality dashboards 100 TB event pipelines run: per-window
-    * state is O(m·windows), never O(users), and the register layer
-    * is exactly the state a production job would checkpoint.
-    *
-    * Emission timing: both layers finalize in the SAME micro-batch
-    * once the watermark passes a window's end (downstream sees
-    * upstream's append output inside the batch), so the standard
-    * snapshot + seeded-sentinel + one-late-sentinel feed (q226's
-    * drops = 2) closes every real window; the sentinels' own far-
-    * future windows never finalize and so never emit, so no
-    * post-sink row filter is needed. Oracle: the identical per-hour
-    * register construction in batch SQL (the q214 replay,
-    * windowed). */
   private val Hll44 = 17592186044416L  // 2^44
   private val Hll45 = 35184372088832L  // 2^45
   private val HllM = 256
@@ -798,6 +777,27 @@ object StreamQueries {
                 .as("s_sum"))
   }
 
+  /** q231 — streaming PER-WINDOW register HyperLogLog: distinct
+    * users per tumbling hour estimated by the q214 register sketch,
+    * as TWO CHAINED STATEFUL AGGREGATIONS in one append-mode stream
+    * (Spark's multiple-stateful-operator support): agg 1 keeps
+    * max(ρ) per (window, register) — the mergeable sketch state, m
+    * longs per window regardless of user count — and agg 2 rolls
+    * finalized registers into the estimate as each window's
+    * watermark passes. This is the streaming shape of the
+    * cardinality dashboards 100 TB event pipelines run: per-window
+    * state is O(m·windows), never O(users), and the register layer
+    * is exactly the state a production job would checkpoint.
+    *
+    * Emission timing: both layers finalize in the SAME micro-batch
+    * once the watermark passes a window's end (downstream sees
+    * upstream's append output inside the batch), so the standard
+    * snapshot + seeded-sentinel + one-late-sentinel feed (q226's
+    * drops = 2) closes every real window; the sentinels' own far-
+    * future windows never finalize and so never emit, so no
+    * post-sink row filter is needed. Oracle: the identical per-hour
+    * register construction in batch SQL (the q214 replay,
+    * windowed). */
   def q231StreamWindowHll(s: SparkSession, dir: String): DataFrame = {
     val two45 = Hll45
     val m = HllM

@@ -692,4 +692,36 @@ class EventOpsSpec extends SparkSpec {
     assert(byType("a")._3 < 200, "test split unexpectedly contains all users")
     spark.catalog.clearCache()
   }
+
+  test("q234 Markov removal effects: hand-computed 5-journey chain") {
+    val tmp = java.nio.file.Files.createTempDirectory("markov").toString
+    // journeys: u1 START>click>view>CONV, u2 START>click>CONV,
+    // u3 START>view>error>NULL, u4 START>CONV (purchase first),
+    // u5 START>click>NULL. Transition micro (count*1e6 div out):
+    //   START: click 600000, view 200000, CONV 200000
+    //   click: view/CONV/NULL 333333 each; view: CONV/error 500000
+    //   error: NULL 1000000
+    // Jacobi fixpoint (truncating): p(view)=500000, p(click)=499999,
+    // base p(START)=599999. Removals: click->300000 (re 499999),
+    // view->399999 (re 333333), error/signup -> no change (re 0).
+    // Shares over re-total 833332: click 599999, view 400000.
+    Seq(
+      (1L, 1L, ts("10:00"), "click"), (2L, 1L, ts("10:01"), "view"),
+      (3L, 1L, ts("10:02"), "purchase"),
+      (4L, 2L, ts("10:00"), "click"), (5L, 2L, ts("10:01"), "purchase"),
+      (6L, 3L, ts("10:00"), "view"), (7L, 3L, ts("10:01"), "error"),
+      (8L, 4L, ts("10:00"), "purchase"),
+      (9L, 5L, ts("10:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q234MarkovAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("click") == ((599999L, 300000L, 499999L, 599999L)), s"got $got")
+    assert(got("view") == ((599999L, 399999L, 333333L, 400000L)), s"got $got")
+    assert(got("error") == ((599999L, 599999L, 0L, 0L)), s"got $got")
+    assert(got("signup") == ((599999L, 599999L, 0L, 0L)), s"got $got")
+  }
 }

@@ -264,6 +264,7 @@ object SparkEntry {
     "q232_salted_skew_join" -> ((s, d) => graft.ops.SkewJoin.q232SaltedSkewJoin(s, d)),
     "q233_ingest_dedup"    -> ((s, d) => Dedup.q233IngestDedup(s, d)),
     "q234_markov_attribution" -> ((s, d) => EventOps.q234MarkovAttribution(s, d)),
+    "q235_shapley_attribution" -> ((s, d) => EventOps.q235ShapleyAttribution(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2494,5 +2495,6 @@ object SparkEntry {
     "q232_salted_skew_join" -> graft.ops.SkewJoin.q232OracleSql,
     "q233_ingest_dedup" -> Dedup.q233OracleSql(),
     "q234_markov_attribution" -> EventOps.q234OracleSql(),
+    "q235_shapley_attribution" -> EventOps.q235OracleSql(),
   )
 }

@@ -912,6 +912,132 @@ object EventOps {
        FROM re ORDER BY channel"""
   }
 
+  /** q235 — SHAPLEY-VALUE attribution [Shapley 1953; Zhao et al.,
+    * arXiv:1804.05327]: the order-free companion to q234's Markov
+    * removal effects. Each CONVERTED user's journey is reduced to
+    * the SET of channels touched before the first purchase; the
+    * characteristic function v(S) counts the conversions reachable
+    * using only channels in S (journeys whose touch set ⊆ S —
+    * monotone by construction), and channel c's Shapley value is
+    * the classic weighted marginal sum
+    * Σ_{S ⊆ U∖{c}} |S|!·(n−1−|S|)!/n! · (v(S∪{c}) − v(S)).
+    *
+    * With the fixed 4-channel universe every weight is a multiple
+    * of 1/24, so values are carried as EXACT integers in 1/24 units
+    * (shap_x24) — no float touches the model, both engines agree
+    * bit-for-bit, and efficiency (Σ_c φ_c = v(U) − v(∅)) is an
+    * exact integer identity the spec asserts. Shares are integer
+    * micro of the shap total; marginals are non-negative because v
+    * is monotone.
+    *
+    * Scale shape: ONE user-keyed exchange (the q234 window) reduces
+    * the corpus to per-user (mask, converted) rows; conversions
+    * collapse to a ≤ 2⁴-row (mask, n_conv) table read once on the
+    * driver (the bounded-scalar pattern), where the 32-term Shapley
+    * sum is exact integer arithmetic; the 4-row result frame is
+    * driver-built. At 100 TB the only corpus-sized cost is the one
+    * windowed pass. */
+  def q235ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val wAll = Window.partitionBy(col("user_id"))
+    val chanCode = MarkovChannels.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (c, i)) =>
+        when(col("event_type") === c, lit(1L << i)).otherwise(acc)
+      }
+    val tagged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("fc",
+        min(when(col("event_type") === "purchase",
+                 struct(col("ts"), col("event_id")))).over(wAll))
+    // converted users only (v counts conversions); mask = OR of the
+    // distinct pre-conversion channel codes, 0 for purchase-first
+    val masks = tagged.filter(col("fc").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum_distinct(
+             when(col("event_type") =!= "purchase" &&
+                  struct(col("ts"), col("event_id")) < col("fc"), chanCode)),
+           lit(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_conv"))
+    // ≤ 2^4 rows — the bounded scalar read
+    val nConv = masks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = MarkovChannels.length
+    val full = (1 << n) - 1
+    def v(setMask: Int): Long =
+      nConv.iterator.collect {
+        case (m, c) if (m & ~setMask.toLong) == 0L => c
+      }.sum
+    // 24·w(|S|) for n = 4: |S|!·(n−1−|S|)!·(24/n!) — exact integers
+    val coef = (0 until n).map(k =>
+      (1 to k).product.toLong * (1 to (n - 1 - k)).product.toLong)
+    val shap = MarkovChannels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val x24 = (0 to full).iterator
+        .filter(sM => (sM & bit) == 0)
+        .map(sM => coef(Integer.bitCount(sM)) * (v(sM | bit) - v(sM)))
+        .sum
+      (c, x24)
+    }
+    val total = shap.map(_._2).sum
+    shap.map { case (c, x24) =>
+      (c, x24, if (total > 0) x24 * 1000000L / total else 0L,
+       v(full), v(0))
+    }.toDF("channel", "shap_x24", "share_micro", "v_full", "v_empty")
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB oracle for q235 — identical masks, v(S) table over all
+    * 16 subsets, and the statically unrolled 32-term Shapley sum in
+    * exact 1/24 units. */
+  def q235OracleSql(): String = {
+    val n = MarkovChannels.length
+    val full = (1 << n) - 1
+    val codeCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1L << i}" }.mkString(" ")
+    val setVals = (0 to full).map(m => s"($m)").mkString(", ")
+    val coef = (0 until n).map(k =>
+      (1 to k).product.toLong * (1 to (n - 1 - k)).product.toLong)
+    val termVals = MarkovChannels.zipWithIndex.flatMap { case (c, i) =>
+      val bit = 1 << i
+      (0 to full).filter(sM => (sM & bit) == 0).map { sM =>
+        s"('$c', $sM, ${sM | bit}, ${coef(Integer.bitCount(sM))})"
+      }
+    }.mkString(", ")
+    s"""WITH fc AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM (
+           SELECT user_id, ts, event_id, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+       pm AS (SELECT e.user_id,
+           sum(DISTINCT CASE e.event_type $codeCase END) AS mask
+         FROM events e JOIN fc ON fc.user_id = e.user_id
+         WHERE e.event_type <> 'purchase'
+           AND (e.ts < fc.c_ts OR (e.ts = fc.c_ts AND e.event_id < fc.c_id))
+         GROUP BY e.user_id),
+       conv AS (SELECT fc.user_id, COALESCE(pm.mask, 0) AS mask
+         FROM fc LEFT JOIN pm ON pm.user_id = fc.user_id),
+       cnt AS (SELECT mask, count(*)::BIGINT AS n_conv FROM conv GROUP BY mask),
+       sets(S) AS (VALUES $setVals),
+       vtab AS (SELECT s.S,
+           COALESCE(sum(CASE WHEN (c.mask & s.S) = c.mask THEN c.n_conv END),
+                    0)::BIGINT AS v
+         FROM sets s LEFT JOIN cnt c ON true GROUP BY s.S),
+       terms(channel, s_wo, s_with, coef) AS (VALUES $termVals),
+       shap AS (SELECT t.channel,
+           sum(t.coef * (v1.v - v0.v))::BIGINT AS shap_x24
+         FROM terms t
+         JOIN vtab v1 ON v1.S = t.s_with
+         JOIN vtab v0 ON v0.S = t.s_wo
+         GROUP BY t.channel)
+       SELECT channel, shap_x24,
+         (CASE WHEN sum(shap_x24) OVER () > 0
+              THEN shap_x24 * 1000000 // sum(shap_x24) OVER ()
+              ELSE 0 END)::BIGINT AS share_micro,
+         (SELECT v FROM vtab WHERE S = $full) AS v_full,
+         (SELECT v FROM vtab WHERE S = 0) AS v_empty
+       FROM shap ORDER BY channel"""
+  }
+
   /** q110 — session path mining: the most common event-type
     * sequences (first 5 events per session, joined with ">") across
     * all q30-style gap sessions — the navigation-pattern report a

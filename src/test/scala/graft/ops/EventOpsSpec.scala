@@ -723,5 +723,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got("view") == ((599999L, 399999L, 333333L, 400000L)), s"got $got")
     assert(got("error") == ((599999L, 599999L, 0L, 0L)), s"got $got")
     assert(got("signup") == ((599999L, 599999L, 0L, 0L)), s"got $got")
+
+    // q235 on the same journeys — hand-computed Shapley values.
+    // Converted touch sets: u1 {click,view}, u2 {click}, u4 {}.
+    // v(∅)=1, v({c})=2, v({v})=1, v({c,v})=3 (error/signup inert).
+    // φ_click = (6·1+2·1+2·1+2·2+2·1+2·2+2·2+6·2)/24 = 36/24,
+    // φ_view = (2+2+2+6)/24 = 12/24, φ_error = φ_signup = 0;
+    // efficiency: 36+12 = 48 = 24·(v(U)−v(∅)) = 24·2. Shares:
+    // 36/48 = 750000 micro, 12/48 = 250000.
+    val sh = EventOps.q235ShapleyAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(sh("click") == ((36L, 750000L, 3L, 1L)), s"got $sh")
+    assert(sh("view") == ((12L, 250000L, 3L, 1L)), s"got $sh")
+    assert(sh("error") == ((0L, 0L, 3L, 1L)), s"got $sh")
+    assert(sh("signup") == ((0L, 0L, 3L, 1L)), s"got $sh")
+    assert(sh.values.map(_._1).sum == 24L * (3L - 1L), "efficiency identity")
   }
 }

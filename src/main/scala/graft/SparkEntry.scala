@@ -265,6 +265,7 @@ object SparkEntry {
     "q233_ingest_dedup"    -> ((s, d) => Dedup.q233IngestDedup(s, d)),
     "q234_markov_attribution" -> ((s, d) => EventOps.q234MarkovAttribution(s, d)),
     "q235_shapley_attribution" -> ((s, d) => EventOps.q235ShapleyAttribution(s, d)),
+    "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236StreamDedupTtl,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -276,7 +277,8 @@ object SparkEntry {
         "q67_stream_dedup", "q94_stream_sliding", "q98_stream_enrich",
         "q101_stream_outer_join", "q156_stream_late_data",
         "q175_stream_lifetime", "q218_stream_top_users",
-        "q226_stream_session_window", "q231_stream_window_hll")
+        "q226_stream_session_window", "q231_stream_window_hll",
+        "q236_stream_dedup_ttl")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2496,5 +2498,6 @@ object SparkEntry {
     "q233_ingest_dedup" -> Dedup.q233OracleSql(),
     "q234_markov_attribution" -> EventOps.q234OracleSql(),
     "q235_shapley_attribution" -> EventOps.q235OracleSql(),
+    "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236OracleSql,
   )
 }

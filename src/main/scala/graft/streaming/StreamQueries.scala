@@ -553,6 +553,60 @@ object StreamQueries {
       .filter(col("event_type") =!= sentinelType)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** q236 — streaming TTL'd exact dedup via Spark's NATIVE
+    * dropDuplicatesWithinWatermark ([[EventStreams.dedupStream]]): the
+    * state-BOUNDED form of q67. q67's seen-set grows with the key
+    * domain forever; here an entry lives only until the watermark
+    * passes its first occurrence + 48 h, so a months-running ingest
+    * carries a horizon of state, not its lifetime — the variant q67's
+    * scaladoc defers to, now gated. The feed is phased so every drop
+    * path runs deterministically:
+    *   - phase A (days 2–21): emits one row per (user, type, day) key
+    *     under the epoch watermark;
+    *   - phase B: days 22–30 are fresh keys (emit); day 1 arrives as
+    *     LATE FIRST OCCURRENCES — the watermark is max(A) − 48 h ≈
+    *     Jan 19, so the operator DROPS them (the output-visible
+    *     difference vs q67, which would emit them); an event_id % 7
+    *     redelivery sample of days 2–21 models at-least-once
+    *     redelivery — old redeliveries drop as late, recent ones
+    *     dedup against still-live state, both invisible in output.
+    * Keying by (user, type, DAY) with delay 48 h > the 24 h in-day
+    * spread makes every verdict independent of within-batch
+    * processing order: an entry's expiry moves by < 24 h with
+    * whichever occurrence is processed first, never enough to flip a
+    * late/live verdict, and the emitted row is projected to the key
+    * columns (the q67 argument). Oracle: the distinct keys of days
+    * 2–30. Eviction, re-admission and no-expiry-extension semantics —
+    * unreachable deterministically from a batch oracle — are pinned
+    * by EventStreamsSpec with a state-metrics bound. */
+  def q236StreamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    val t = tsToTimestamp(rawTsType(s, dir))
+    val dLate = lit("2024-01-02").cast("timestamp")
+    val dSplit = lit("2024-01-22").cast("timestamp")
+    val phaseA = t >= dLate && t < dSplit
+    val phaseB = t >= dSplit || t < dLate ||
+      (pmod(col("event_id"), lit(7L)) === 0 && t >= dLate && t < dSplit)
+    runStream(s, dir, "q236", drops = 0, phases = Seq(phaseA, phaseB),
+              flushViaNoData = true) { src =>
+      EventStreams.dedupStream(
+          src.withColumn("day", date_trunc("DAY", col("ts"))),
+          Seq("user_id", "event_type", "day"), watermark = "48 hours")
+        .select(col("user_id"), col("event_type"), col("day"))
+    }
+      .filter(col("event_type") =!= sentinelType)
+      .select(col("user_id"), col("event_type"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  /** DuckDB oracle for q236: distinct (user, type, day) keys of every
+    * day except the late-arriving day 1, which the TTL dedup drops. */
+  def q236OracleSql: String =
+    """SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+       FROM events WHERE ts >= TIMESTAMP '2024-01-02'
+       ORDER BY user_id, event_type, day"""
+
   /** q98 — stream-static enrichment join: the streaming events feed
     * joined against a STATIC per-user profile dimension (computed
     * batch-side before the stream starts — first event type by time,

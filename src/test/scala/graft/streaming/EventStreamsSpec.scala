@@ -476,6 +476,53 @@ class EventStreamsSpec extends SparkSpec {
         s"window $w: est ${est(w)} exact $n") }
   }
 
+  test("dedupStream TTL: re-admission after expiry, no extension, late drop, bounded state (q236 semantics pin)") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val out = EventStreams.dedupStream(in.toDF(), Seq("user_id"), "2 hours")
+      .select(col("event_id"))
+    val q = out.writeStream.format("memory").queryName("ttldedup")
+      .outputMode(OutputMode.Append).start()
+    def emitted(): Set[Long] =
+      spark.table("ttldedup").as[Long].collect().toSet
+    try {
+      // batch 0: u1 first at 10:00 emits, in-batch dup at 10:30 drops
+      in.addData(ev(1, 1, "10:00"), ev(2, 1, "10:30"), ev(3, 2, "10:10"))
+      q.processAllAvailable()
+      assert(emitted() == Set(1L, 3L))
+      // riser to 16:00 -> wm 14:00; u1 expiry 12:00 and u2 12:10 evict
+      in.addData(ev(9, 99, "16:00"))
+      q.processAllAvailable()
+      // u1 RE-ADMITTED after expiry (TTL semantics — q67's plain
+      // dropDuplicates would still drop it); u99 live -> dropped
+      in.addData(ev(10, 1, "15:00"), ev(12, 99, "15:30"))
+      q.processAllAvailable()
+      assert(emitted() == Set(1L, 3L, 9L, 10L))
+      // LATE first occurrence: u3 at 11:00 < wm 13:30 -> dropped (the
+      // verdict q236's day-1 phase gates against the DuckDB oracle)
+      in.addData(ev(13, 3, "11:00"))
+      q.processAllAvailable()
+      assert(emitted() == Set(1L, 3L, 9L, 10L))
+      // duplicates do NOT extend expiry: u1 re-admitted at 15:00
+      // (expiry 17:00); dup at 16:30 drops; riser to 19:30 -> wm 17:30
+      // evicts u1 (a 16:30 extension would hold it to 18:30); u1 at
+      // 18:00 then re-emits — proving the dup never touched the state
+      in.addData(ev(14, 1, "16:30"))
+      q.processAllAvailable()
+      in.addData(ev(15, 98, "19:30"))
+      q.processAllAvailable()
+      in.addData(ev(16, 1, "18:00"))
+      q.processAllAvailable()
+      assert(emitted() == Set(1L, 3L, 9L, 10L, 15L, 16L))
+      // state is horizon-bounded: only keys with expiry >= wm remain
+      // (u1@18:00->20:00, u98@19:30->21:30, u99 evicted at wm 17:30),
+      // never the full key history
+      val rowsTotal = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rowsTotal <= 3, s"TTL state must stay horizon-bounded: $rowsTotal")
+    } finally q.stop()
+  }
+
   test("native session_window MERGES at an exact gap boundary (q226 oracle pin)") {
     import org.apache.spark.sql.functions._
     implicit val sq = spark.sqlContext

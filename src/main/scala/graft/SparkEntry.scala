@@ -266,6 +266,8 @@ object SparkEntry {
     "q234_markov_attribution" -> ((s, d) => EventOps.q234MarkovAttribution(s, d)),
     "q235_shapley_attribution" -> ((s, d) => EventOps.q235ShapleyAttribution(s, d)),
     "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236StreamDedupTtl,
+    "q237_km_survival"     -> EventOps.q237KmSurvival,
+    "q238_cusum_shift"     -> EventOps.q238CusumShift,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2499,5 +2501,7 @@ object SparkEntry {
     "q234_markov_attribution" -> EventOps.q234OracleSql(),
     "q235_shapley_attribution" -> EventOps.q235OracleSql(),
     "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236OracleSql,
+    "q237_km_survival" -> EventOps.q237OracleSql,
+    "q238_cusum_shift" -> EventOps.q238OracleSql,
   )
 }

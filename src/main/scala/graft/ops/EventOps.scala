@@ -1728,4 +1728,203 @@ object EventOps {
        FROM t LEFT JOIN model ON model.from_type = t.from_type
        WHERE bucket >= 80
        GROUP BY t.from_type ORDER BY t.from_type"""
+
+  /** The Kaplan–Meier product-limit fold shared by q237 and its spec:
+    * `subjects` carries one row per subject — (observed 0/1, dur_h) —
+    * and the result is the life table at each event time t (ascending)
+    * with the survival estimate in truncating integer micros:
+    * S_i = floor(S_{i−1} · (n_i − d_i) / n_i), S_0 = 1e6. n_risk
+    * counts every subject (censored included) with duration ≥ t —
+    * the standard tie convention (same-time censorings count as still
+    * at risk). The descending cumulative count runs as one
+    * single-partition window over the life-table spine (≤ one row per
+    * distinct duration — observation-window-bounded, 168 h here, the
+    * q193 spine argument), and the sequential product folds on the
+    * driver over those same ≤ 169 collected rows — the q234
+    * bounded-scalar pattern, never a corpus-sized collect. The fold
+    * is exact in longs: S ≤ 1e6 and n ≤ 9e12 keep S·(n−d) < 2⁶³. */
+  private[ops] def kmCurve(s: SparkSession, subjects: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("dur_h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lifeRows = subjects
+      .groupBy(col("dur_h"))
+      .agg(count(lit(1)).as("n_all"), sum(col("observed")).as("n_ev"))
+      .withColumn("n_risk", sum(col("n_all")).over(w))
+      .filter(col("n_ev") > 0)
+      .select(col("dur_h"), col("n_risk"), col("n_ev"))
+      .orderBy(col("dur_h"))
+      .collect()
+    var sMicro = 1000000L
+    val out = lifeRows.map { r =>
+      val (t, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      sMicro = sMicro * (n - d) / n
+      (t, n, d, sMicro)
+    }.toSeq
+    import s.implicits._
+    out.toDF("duration_h", "n_risk", "n_events", "survival_micro")
+      .orderBy(col("duration_h"))
+  }
+
+  /** q237 — KAPLAN–MEIER survival [Kaplan & Meier, JASA 1958]:
+    * time-to-first-purchase from each user's first event, RIGHT-
+    * CENSORED at a fixed observation cutoff (2024-01-08) — the
+    * estimator product analytics reaches for when "median time to
+    * convert" must not be biased by users who simply haven't
+    * converted YET (q133's uncensored mean silently drops them).
+    * Subjects: users whose first event precedes the cutoff; event =
+    * first purchase ≤ cutoff; otherwise censored at the cutoff, with
+    * hour-granularity durations. Output: one row per event time —
+    * (duration_h, n_risk, n_events, survival_micro) with the
+    * truncating integer product-limit estimate (recurrence in
+    * [[kmCurve]]; the oracle replays it as a recursive CTE).
+    *
+    * Scale shape: one user-keyed aggregate (first event / first
+    * purchase — map-side partials do the work), then everything
+    * downstream lives on the ≤ 169-row life-table spine. */
+  def q237KmSurvival(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-08").cast("timestamp")
+    val subjects = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+           min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0") < cutoff)
+      .select(
+        when(col("tp").isNotNull && col("tp") <= cutoff, 1L).otherwise(0L)
+          .as("observed"),
+        expr("(unix_micros(least(coalesce(tp, " +
+             "timestamp'2024-01-08'), timestamp'2024-01-08')) - " +
+             "unix_micros(t0)) div 3600000000").as("dur_h"))
+    kmCurve(s, subjects)
+  }
+
+  /** DuckDB oracle for q237 — identical subjects and life table; the
+    * sequential product-limit recurrence replays as a recursive CTE
+    * over the row-numbered event times (all-integer, same floors). */
+  def q237OracleSql: String =
+    """WITH RECURSIVE u AS (SELECT user_id, min(ts) AS t0,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+       FROM events GROUP BY 1),
+     e AS (SELECT
+         (CASE WHEN tp IS NOT NULL AND tp <= TIMESTAMP '2024-01-08'
+               THEN 1 ELSE 0 END)::BIGINT AS observed,
+         (epoch_us(least(coalesce(tp, TIMESTAMP '2024-01-08'),
+                         TIMESTAMP '2024-01-08')) - epoch_us(t0))
+           // 3600000000 AS dur_h
+       FROM u WHERE t0 < TIMESTAMP '2024-01-08'),
+     c AS (SELECT dur_h, count(*)::BIGINT AS n_all,
+         sum(observed)::BIGINT AS n_ev FROM e GROUP BY 1),
+     lt AS (SELECT dur_h, n_ev,
+         sum(n_all) OVER (ORDER BY dur_h DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS n_risk
+       FROM c),
+     ev AS (SELECT dur_h, n_risk, n_ev,
+         row_number() OVER (ORDER BY dur_h) AS i
+       FROM lt WHERE n_ev > 0),
+     rec AS (
+       SELECT i, dur_h, n_risk, n_ev,
+         (1000000 * (n_risk - n_ev)) // n_risk AS s
+       FROM ev WHERE i = 1
+       UNION ALL
+       SELECT ev.i, ev.dur_h, ev.n_risk, ev.n_ev,
+         (rec.s * (ev.n_risk - ev.n_ev)) // ev.n_risk
+       FROM rec JOIN ev ON ev.i = rec.i + 1)
+     SELECT dur_h AS duration_h, n_risk, n_ev AS n_events,
+       s AS survival_micro
+     FROM rec ORDER BY duration_h"""
+
+  /** The one-sided CUSUM fold shared by q238 and its spec, over a
+    * 0-filled per-(event_type, day) count frame. The textbook
+    * recurrence S_d = max(0, S_{d−1} + (x_d − μ − k)) is inherently
+    * sequential, but it has a closed DISTRIBUTED form:
+    *   S_d = P_d − min(0, min_{j ≤ d} P_j),  P_d = Σ_{i ≤ d} r_i —
+    * a running sum plus a running min, two window passes over ONE
+    * (event_type)-keyed exchange, no driver fold, no iteration
+    * (contrast q234/q237, whose recurrences have no such identity
+    * and fold over bounded spines instead). All arithmetic is
+    * integer-exact by scaling each residual by 10·D: with per-type
+    * total T over D days, μ = T/D and k = μ/10 give
+    * r_d = 10·D·x_d − 11·T. Overflow headroom: |P| ≤ 11·T·10 —
+    * daily counts of 1e12 over a year stay < 2⁶³. */
+  private[ops] def cusumOverDaily(filled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    filled
+      .withColumn("t_tot", sum(col("n")).over(wT))
+      .withColumn("n_days", count(lit(1)).over(wT))
+      .withColumn("p",
+        sum(col("n") * col("n_days") * 10 - col("t_tot") * 11).over(wOrd))
+      .select(col("event_type"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n").as("n_events"),
+              (col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+                .as("cusum_scaled"),
+              col("t_tot"))
+      .select(col("event_type"), col("day"), col("n_events"),
+              col("cusum_scaled"),
+              (col("cusum_scaled") > col("t_tot") * 10).cast("long")
+                .as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q238 — CUSUM change-point detection [Page, Biometrika 1954] on
+    * per-type daily event counts: the sequential-analysis control
+    * chart that catches a SUSTAINED mean shift long before any
+    * single day crosses q118's z-score fence (a +1σ drift alarms a
+    * z-test never and a CUSUM in ~O(μ/σ) days). Days are a generated
+    * 0-filled spine (a silent dead day is signal, not absence);
+    * reference mean μ and slack k = μ/10 come from the per-type
+    * totals (two-phase, like q118); the alarm threshold is h = μ
+    * scaled. On this fixture's uniform traffic the alarm column is
+    * honestly all-zero — no sustained shift exists to find — so the
+    * DETECTION behavior is pinned in EventOpsSpec on a planted
+    * +50% shift, while this gate pins the cross-engine numerics of
+    * the full cusum curve. Implementation and the distributed-form
+    * argument: [[cusumOverDaily]]. */
+  def q238CusumShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+              explode(sequence(col("d0"), col("d1"),
+                               expr("interval 1 day"))).as("day"))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+              coalesce(col("n"), lit(0L)).as("n"))
+    cusumOverDaily(filled)
+  }
+
+  /** DuckDB oracle for q238 — identical spine, scaling, and the same
+    * running-sum/running-min closed form. */
+  def q238OracleSql: String =
+    """WITH ev AS (SELECT event_type, date_trunc('day', ts) AS day
+         FROM events),
+     daily AS (SELECT event_type, day, count(*)::BIGINT AS n
+       FROM ev GROUP BY 1, 2),
+     span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+     spine AS (SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       FROM (SELECT DISTINCT event_type FROM ev), span),
+     filled AS (SELECT s.event_type, s.day, coalesce(n, 0)::BIGINT AS n
+       FROM spine s LEFT JOIN daily USING (event_type, day)),
+     st AS (SELECT event_type, sum(n)::BIGINT AS t_tot,
+         count(*)::BIGINT AS n_days FROM filled GROUP BY 1),
+     p AS (SELECT f.event_type, f.day, f.n, st.t_tot,
+         sum(f.n * st.n_days * 10 - st.t_tot * 11)
+           OVER (PARTITION BY f.event_type ORDER BY f.day)::BIGINT AS p
+       FROM filled f JOIN st USING (event_type)),
+     c AS (SELECT event_type, day, n, t_tot,
+         (p - least(0, min(p) OVER (PARTITION BY event_type
+            ORDER BY day)))::BIGINT AS cusum
+       FROM p)
+     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       n AS n_events, cusum AS cusum_scaled,
+       (cusum > t_tot * 10)::BIGINT AS alarm
+     FROM c ORDER BY event_type, day"""
 }

@@ -740,4 +740,44 @@ class EventOpsSpec extends SparkSpec {
     assert(sh("signup") == ((0L, 0L, 3L, 1L)), s"got $sh")
     assert(sh.values.map(_._1).sum == 24L * (3L - 1L), "efficiency identity")
   }
+
+  test("q238 CUSUM: planted sustained shift alarms, quiet series stays zero") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // click: 100/day for 7 days, then a 3x shift (300/day) for 3 days.
+    // T = 1600, D = 10, r_d = 100·x_d − 17600: baseline −7600 (P
+    // monotone down -> cusum 0), shift +12400/day -> cusum 12400,
+    // 24800, 37200; h = 10·T = 16000 alarms on days 9 and 10.
+    // view: constant 50/day -> r = −500/day, cusum 0 throughout.
+    val filled = (
+      (1 to 7).map(d => ("click", day(d), 100L)) ++
+      (8 to 10).map(d => ("click", day(d), 300L)) ++
+      (1 to 10).map(d => ("view", day(d), 50L))
+    ).toDF("event_type", "day", "n")
+    val got = EventOps.cusumOverDaily(filled).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("click", "2024-01-07")) == ((0L, 0L)))
+    assert(got(("click", "2024-01-08")) == ((12400L, 0L)))
+    assert(got(("click", "2024-01-09")) == ((24800L, 1L)), s"got $got")
+    assert(got(("click", "2024-01-10")) == ((37200L, 1L)))
+    assert((1 to 10).forall(d => got(("view", f"2024-01-$d%02d")) == ((0L, 0L))),
+      "quiet series must never alarm")
+  }
+
+  test("q237 Kaplan-Meier: hand-computed life table with censoring and ties") {
+    // Subjects (observed, dur_h): event@1, censored@2, event@3 twice,
+    // censored@4. Life table:
+    //   t=1: n_risk=5, d=1 -> S = floor(1e6*4/5)        = 800000
+    //   t=3: n_risk=3, d=2 -> S = floor(800000*1/3)     = 266666
+    // The t=2 censoring thins n_risk between event times but emits no
+    // row; the t=4 censoring holds n_risk=3 (not 2) at t=3 — the
+    // same-time-at-risk tie convention the oracle replays.
+    val subjects = Seq((1L, 1L), (0L, 2L), (1L, 3L), (1L, 3L), (0L, 4L))
+      .toDF("observed", "dur_h")
+    val got = EventOps.kmCurve(spark, subjects).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L, 1L, 800000L), (3L, 3L, 2L, 266666L)),
+      s"got ${got.toSeq}")
+  }
 }

@@ -268,6 +268,11 @@ object SparkEntry {
     "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236StreamDedupTtl,
     "q237_km_survival"     -> EventOps.q237KmSurvival,
     "q238_cusum_shift"     -> EventOps.q238CusumShift,
+    "q239_stream_full_outer" ->
+      graft.streaming.StreamQueries.q239StreamJoinFullOuter,
+    "q240_holt_trend"      -> EventOps.q240HoltTrend,
+    "q241_textrank"        -> ((s, d) => TextOps.q241TextRank(s, d)),
+    "q242_jsonl_quarantine" -> graft.sources.Sources.q242JsonlQuarantine,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -280,7 +285,7 @@ object SparkEntry {
         "q101_stream_outer_join", "q156_stream_late_data",
         "q175_stream_lifetime", "q218_stream_top_users",
         "q226_stream_session_window", "q231_stream_window_hll",
-        "q236_stream_dedup_ttl")
+        "q236_stream_dedup_ttl", "q239_stream_full_outer")
 
   /** Shared DuckDB CTE chain for the q60 transitive dup clusters —
     * exact-dup edges (md5 window-min) ∪ blocked-Jaccard edges, closed
@@ -2503,5 +2508,10 @@ object SparkEntry {
     "q236_stream_dedup_ttl" -> graft.streaming.StreamQueries.q236OracleSql,
     "q237_km_survival" -> EventOps.q237OracleSql,
     "q238_cusum_shift" -> EventOps.q238OracleSql,
+    "q239_stream_full_outer" ->
+      graft.streaming.StreamQueries.q239OracleSql,
+    "q240_holt_trend" -> EventOps.q240OracleSql,
+    "q241_textrank" -> TextOps.q241OracleSql(),
+    "q242_jsonl_quarantine" -> graft.sources.Sources.q242OracleSql,
   )
 }

@@ -1869,6 +1869,27 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** 0-filled per-(event_type, day) counts over the generated
+    * day spine (shared by q238/q240): a silent dead day is signal for
+    * both a CUSUM and a forecaster, so absent (type, day) pairs
+    * become explicit zeros. The spine is calendar-bounded (types ×
+    * days), never corpus-sized; the heavy work is the one groupBy. */
+  private[ops] def dailyCounts0Filled(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+              explode(sequence(col("d0"), col("d1"),
+                               expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+              coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** q238 — CUSUM change-point detection [Page, Biometrika 1954] on
     * per-type daily event counts: the sequential-analysis control
     * chart that catches a SUSTAINED mean shift long before any
@@ -1883,22 +1904,8 @@ object EventOps {
     * +50% shift, while this gate pins the cross-engine numerics of
     * the full cusum curve. Implementation and the distributed-form
     * argument: [[cusumOverDaily]]. */
-  def q238CusumShift(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
-    val daily = ev.groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
-    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val spine = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(span))
-      .select(col("event_type"),
-              explode(sequence(col("d0"), col("d1"),
-                               expr("interval 1 day"))).as("day"))
-    val filled = spine.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-              coalesce(col("n"), lit(0L)).as("n"))
-    cusumOverDaily(filled)
-  }
+  def q238CusumShift(s: SparkSession, dir: String): DataFrame =
+    cusumOverDaily(dailyCounts0Filled(s, dir))
 
   /** DuckDB oracle for q238 — identical spine, scaling, and the same
     * running-sum/running-min closed form. */
@@ -1927,4 +1934,98 @@ object EventOps {
        n AS n_events, cusum AS cusum_scaled,
        (cusum > t_tot * 10)::BIGINT AS alarm
      FROM c ORDER BY event_type, day"""
+
+  /** The Holt double-exponential fold shared by q240 and its spec:
+    * `filled` is the 0-filled (event_type, day, n) frame, and per
+    * type the coupled level/trend recurrences run in FLOOR-division
+    * integer micros with α = 1/5, β = 1/10:
+    *   l_d = ⌊(2·x_d·1e6 + 8·(l_{d−1} + b_{d−1})) / 10⌋
+    *   b_d = ⌊((l_d − l_{d−1}) + 9·b_{d−1}) / 10⌋
+    * initialised l_1 = x_1·1e6, b_1 = (x_2 − x_1)·1e6. TRUNCATING
+    * division, pinned deliberately because the trend goes negative:
+    * DuckDB's `//` truncates toward zero on negatives (measured:
+    * −7 // 2 = −3), exactly like Scala's `/` — a floorDiv here
+    * diverges by one ulp on the first negative trend and cascades
+    * through the recurrence. Unlike
+    * q205's EWMA — whose geometric weights truncate into a dyadic
+    * lag chain with NO recursion — the coupled pair has no such
+    * closed form, so it folds on the driver over the collected
+    * spine: calendar-bounded rows (types × days), never corpus-sized
+    * (the q234/q237 bounded-scalar pattern). Headroom: 8·(l+b) < 2⁶³
+    * holds to ~5e11 events/day at micro precision. */
+  private[ops] def holtFold(s: SparkSession, filled: DataFrame): DataFrame = {
+    // the day label is formatted ENGINE-side (session timezone), not
+    // with a JVM-default-zone formatter on the driver
+    val rows = filled
+      .select(col("event_type"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+      .orderBy(col("event_type"), col("day")).collect()
+    val out = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).flatMap {
+      case (typ, rs) =>
+        val days = rs.sortBy(_.getString(1))
+        val x = days.map(_.getLong(2) * 1000000L)
+        var l = x(0)
+        var b = if (x.length > 1) x(1) - x(0) else 0L
+        days.zipWithIndex.map { case (r, i) =>
+          if (i >= 1) {
+            val lPrev = l
+            l = (2L * x(i) + 8L * (l + b)) / 10L
+            b = ((l - lPrev) + 9L * b) / 10L
+          }
+          (typ, r.getString(1), r.getLong(2), l, b, l + b)
+        }
+    }
+    import s.implicits._
+    out.toDF("event_type", "day", "n_events", "level_micro",
+             "trend_micro", "forecast_next_micro")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q240 — HOLT double exponential smoothing [Holt 1957; Winters,
+    * Mgmt Sci 1960] on per-type daily counts: the trend-aware
+    * upgrade of q205's flat EWMA — a steadily growing series leaves
+    * a level-only forecast permanently one trend-step behind, while
+    * Holt's coupled level+trend tracks it exactly (the spec pins
+    * that property on a planted linear ramp). Emits the fitted
+    * level/trend path and the one-step-ahead forecast per day, in
+    * floor-division integer micros replayed bit-for-bit by the
+    * oracle's recursive CTE. Recurrence, scaling and the
+    * bounded-spine argument: [[holtFold]]. */
+  def q240HoltTrend(s: SparkSession, dir: String): DataFrame =
+    holtFold(s, dailyCounts0Filled(s, dir))
+
+  /** DuckDB oracle for q240 — identical spine; the coupled
+    * recurrences replay as one recursive CTE keyed by (type, row
+    * index), with `//` (truncating) matching Scala's long division. */
+  def q240OracleSql: String =
+    """WITH RECURSIVE ev AS (SELECT event_type,
+         date_trunc('day', ts) AS day FROM events),
+     daily AS (SELECT event_type, day, count(*)::BIGINT AS n
+       FROM ev GROUP BY 1, 2),
+     span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+     spine AS (SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       FROM (SELECT DISTINCT event_type FROM ev), span),
+     filled AS (SELECT s.event_type, s.day, coalesce(n, 0)::BIGINT AS n,
+         row_number() OVER (PARTITION BY s.event_type ORDER BY s.day)
+           AS i
+       FROM spine s LEFT JOIN daily USING (event_type, day)),
+     rec AS (
+       SELECT f1.event_type, f1.i, f1.day, f1.n,
+         (f1.n * 1000000)::BIGINT AS l,
+         ((f2.n - f1.n) * 1000000)::BIGINT AS b
+       FROM filled f1 JOIN filled f2
+         ON f2.event_type = f1.event_type AND f2.i = 2
+       WHERE f1.i = 1
+       UNION ALL
+       SELECT f.event_type, f.i, f.day, f.n,
+         ((2 * f.n * 1000000 + 8 * (rec.l + rec.b)) // 10)::BIGINT,
+         (((((2 * f.n * 1000000 + 8 * (rec.l + rec.b)) // 10) - rec.l)
+           + 9 * rec.b) // 10)::BIGINT
+       FROM rec JOIN filled f
+         ON f.event_type = rec.event_type AND f.i = rec.i + 1)
+     SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n AS n_events,
+       l AS level_micro, b AS trend_micro,
+       (l + b)::BIGINT AS forecast_next_micro
+     FROM rec ORDER BY event_type, day"""
 }

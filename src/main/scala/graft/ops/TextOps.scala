@@ -1694,4 +1694,91 @@ object TextOps {
        $sel
        ORDER BY w"""
   }
+
+  /** q241 — TEXTRANK keyword extraction [Mihalcea & Tarau, EMNLP
+    * 2004]: weighted PageRank over the word co-occurrence graph —
+    * the graph-centrality complement to q204's RAKE (degree-scored
+    * phrase islands) and q54's TF-IDF (frequency-scored): a word
+    * ranks high when its NEIGHBORS rank high, which surfaces hub
+    * vocabulary that plain counts miss. Nodes are non-stopword
+    * tokens; edges are unordered window-2 co-occurrences weighted by
+    * count (self-loops dropped — the graph is simple); ranks run
+    * `iters` rounds of the q126 integer-micro recipe, r ← 150000 +
+    * 850·Σ(r·w div sw) div 1000 from r₀ = 1e6, identical in both
+    * engines (truncating div on non-negatives), then top-k by rank.
+    *
+    * Scale shape: pair generation is the q206 single map pass (HOF
+    * over each doc's token array, ≤ window pairs per token, no
+    * self-join); the graph collapses to vocabulary²-bounded weighted
+    * edges before any iteration, each round is one src-keyed join +
+    * dst-keyed aggregate over the PERSISTED edge frame (constant
+    * plan size per round, the q82/q126/q209 discipline), and the
+    * final top-k is a TakeOrderedAndProject. */
+  def q241TextRank(s: SparkSession, dir: String,
+                   iters: Int = 5, k: Int = 25): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(filter(tokens(col("text")),
+        t => length(t) > 0 && !t.isin(stopwords: _*)).as("toks"))
+      .select(explode(expr(
+        """flatten(transform(toks,
+           (x, i) -> transform(slice(toks, i + 2, 2),
+             (y, j) -> struct(least(x, y) AS wa, greatest(x, y) AS wb))))"""))
+        .as("p"))
+      .select(col("p.wa"), col("p.wb"))
+      .filter(col("wa") =!= col("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+      .unionByName(pairs
+        .select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
+    val ed = edges.join(sw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(r * w) div sw").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("node"),
+                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
+    }
+    ranks.select(col("node").as("word"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word")).limit(k)
+  }
+
+  /** DuckDB oracle for q241 — the q206 pair explode (stopwords and
+    * self-pairs dropped) with the q126 rounds unrolled. */
+  def q241OracleSql(iters: Int = 5, k: Int = 25): String = {
+    val stop = stopwords.map(w => s"'$w'").mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node,
+           CAST(150000 + (850 * sum((r * w) // sw)) // 1000 AS BIGINT) AS r
+           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
+           GROUP BY dst)"""
+    }.mkString(",\n       ")
+    s"""WITH td AS (SELECT doc_id,
+         list_filter(string_split(text, ' '),
+           t -> len(t) > 0 AND t NOT IN ($stop)) AS toks
+         FROM documents),
+       pr AS (SELECT doc_id, u.wa, u.wb FROM (
+         SELECT doc_id, unnest(flatten(list_transform(
+           generate_series(1, len(toks)),
+           i -> list_transform(generate_series(i + 1, least(i + 2, len(toks))),
+             j -> {'wa': least(toks[i], toks[j]),
+                   'wb': greatest(toks[i], toks[j])})))) AS u FROM td)),
+       pw AS (SELECT wa, wb, count(*)::BIGINT AS w FROM pr
+              WHERE wa <> wb GROUP BY 1, 2),
+       edges AS (SELECT wa AS src, wb AS dst, w FROM pw
+                 UNION ALL SELECT wb, wa, w FROM pw),
+       sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM edges
+              GROUP BY src),
+       ed AS (SELECT e.src, e.dst, e.w, s.sw FROM edges e
+              JOIN sw s USING (src)),
+       r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM sw),
+       $rounds
+       SELECT node AS word, r AS rank_micro FROM r$iters
+       ORDER BY rank_micro DESC, word LIMIT $k"""
+  }
 }

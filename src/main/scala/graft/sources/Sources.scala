@@ -95,4 +95,79 @@ object Sources {
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** The q242 JSONL feed, built ONCE per sf dir (sentinel-cache
+    * economics: Bench's min-of-2 must not re-pay the export): the
+    * events table serialized as JSON lines — ts as unix MICROS, not
+    * an ISO string, because Spark's default JSON timestamp format is
+    * millisecond-truncating and the gate needs exact round-trips —
+    * plus one small file of [[Q242CorruptLines]] planted malformed
+    * lines (broken JSON, not type mismatches, so PERMISSIVE's verdict
+    * is unambiguous). */
+  private[sources] val Q242CorruptLines = 3
+  private val jsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[sources] def q242Feed(s: SparkSession, dir: String): String =
+    jsonlCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      graft.Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          col("event_type"), col("value"))).as("value"))
+        .write.mode("overwrite").text(s"$base/feed")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/feed/corrupt.txt"),
+        java.util.Arrays.asList("{\"event_id\": 1, ",
+          "not json at all",
+          "{]"))
+      s"$base/feed"
+    })
+
+  /** q242 — JSONL INGEST WITH DEAD-LETTER QUARANTINE, oracle-gated:
+    * the events table round-trips through a JSON-lines feed (the
+    * log-shipping interchange format) carrying three planted
+    * malformed lines, through [[readJsonLinesWithQuarantine]] —
+    * PERMISSIVE parse, corrupt rows captured with their raw text
+    * instead of failing the scan (the reference aborts on bad data,
+    * V3; at 100 TB the engine quarantines and continues). The gate
+    * proves BOTH paths: per-type counts, micro-exact value sums and
+    * microsecond-exact max timestamps match the parquet-derived
+    * oracle (nothing lost or mangled in flight), and the quarantine
+    * row counts exactly the planted corrupt lines (nothing leaked
+    * into the good stream). One scan, aggregate-sized output; the
+    * JSONL export is a once-per-dir fixture, not query work. */
+  def q242JsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val (good, bad) = readJsonLinesWithQuarantine(s, q242Feed(s, dir), schema)
+    val perType = good
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(floor(col("value") * 1000000d + 0.5d)).cast("long")
+             .as("value_micro"),
+           date_format(max(timestamp_micros(col("ts_us"))),
+                       "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+    val quarantined = bad.agg(count(lit(1)).as("n_rows"))
+      .select(lit("__quarantined").as("event_type"), col("n_rows"),
+              lit(0L).as("value_micro"),
+              lit(null).cast("string").as("max_ts"))
+    perType.unionByName(quarantined).orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for q242 — the same aggregates straight off the
+    * parquet table, plus the planted quarantine count. */
+  def q242OracleSql: String =
+    s"""SELECT event_type, count(*)::BIGINT AS n_rows,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT
+         AS value_micro,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT '__quarantined', $Q242CorruptLines, 0, NULL
+       ORDER BY event_type"""
 }

@@ -533,6 +533,48 @@ object StreamQueries {
               date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
       .orderBy(col("view_id"), col("purchase_id"))
 
+  /** q239 — watermarked stream-stream FULL OUTER join, completing the
+    * join-mode matrix (q57 inner, q101 left outer): views with no
+    * purchase within the 30-minute gap emit with null purchase
+    * columns AND purchases with no preceding view emit with null view
+    * columns — the audit shape that surfaces BOTH unconverted
+    * impressions and untracked conversions from one operator. Both
+    * unmatched sides can only finalize once the watermark proves no
+    * future partner can arrive (the q101 argument, now applied
+    * symmetrically), so the state bound is the same
+    * watermark + gap horizon per side. Output order pins NULLS LAST
+    * explicitly in BOTH engines: unmatched-right rows carry a null
+    * view_id, and Spark (nulls first) and DuckDB (nulls last) default
+    * differently — within a non-null view_id group null and matched
+    * purchase rows never mix, so no other tie is engine-sensitive.
+    * Oracle: the identical batch FULL JOIN. */
+  def q239StreamJoinFullOuter(s: SparkSession, dir: String): DataFrame =
+    runStream(s, dir, "q239", drops = 2) { src =>
+      EventStreams.attributionJoin(
+        src.filter(col("event_type").isin("view", sentinelType)),
+        src.filter(col("event_type").isin("purchase", sentinelType)),
+        joinType = "fullOuter")
+    }
+      .filter(coalesce(col("v_user"), col("p_user")) >= 0)
+      .select(col("view_id"), col("purchase_id"),
+              coalesce(col("v_user"), col("p_user")).as("user_id"),
+              date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_ts"),
+              date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"))
+      .orderBy(col("view_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+
+  /** DuckDB oracle for q239 — the batch FULL JOIN with the same
+    * time-range condition and explicit NULLS LAST ordering. */
+  def q239OracleSql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       coalesce(a.user_id, b.user_id) AS user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts
+       FROM (SELECT * FROM events WHERE event_type = 'view') a
+       FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+       ON a.user_id = b.user_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+       ORDER BY view_id NULLS LAST, purchase_id NULLS LAST"""
+
   /** q67 — streaming exact dedup: first-occurrence distinct over
     * (user_id, event_type) via streaming `dropDuplicates` state — the
     * online form of q22's batch dedup, and the standard

@@ -765,6 +765,26 @@ class EventOpsSpec extends SparkSpec {
       "quiet series must never alarm")
   }
 
+  test("q240 Holt: tracks a linear ramp exactly, floors a break step by hand") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 10,12,14,16 is a perfect +2/day ramp: l locks to x, b to 2e6 and
+    // the one-step forecast is exact — the property q205's level-only
+    // EWMA cannot have (it lags a ramp by one trend-step forever).
+    // Day 5 breaks the ramp (17): l5 = (2*17e6 + 8*18e6)/10 = 17.8e6,
+    // b5 = ((17.8e6-16e6) + 9*2e6)/10 = 1.98e6, f5 = 19.78e6.
+    val filled = Seq(10L, 12L, 14L, 16L, 17L).zipWithIndex
+      .map { case (n, i) => ("click", day(i + 1), n) }
+      .toDF("event_type", "day", "n")
+    val got = EventOps.holtFold(spark, filled).collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("2024-01-01") == ((10000000L, 2000000L, 12000000L)))
+    assert(got("2024-01-02") == ((12000000L, 2000000L, 14000000L)))
+    assert(got("2024-01-04") == ((16000000L, 2000000L, 18000000L)))
+    assert(got("2024-01-05") == ((17800000L, 1980000L, 19780000L)), s"got $got")
+  }
+
   test("q237 Kaplan-Meier: hand-computed life table with censoring and ties") {
     // Subjects (observed, dur_h): event@1, censored@2, event@3 twice,
     // censored@4. Life table:

@@ -514,4 +514,25 @@ class TextOpsSpec extends SparkSpec {
     assert(maxO.forall(_ >= 0) && avgO.forall(_ >= 0))
     spark.catalog.clearCache()
   }
+
+  test("q241 TextRank: hand-computed star graph — hub dominates, leaves tie exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("textrank").toString
+    // Three 2-token docs build an exact 3-leaf star on x (window-2
+    // pairs never cross docs, so leaves share no edge). Hand-run 5
+    // integer rounds of r <- 150000 + 850*sum((r*w) div sw) div 1000:
+    //   hub:  2700000, 1254999, 2483250, 1439236, 2326646
+    //   leaf:  433333,  915000,  505583,  853587,  557783
+    // (the hub oscillates because the star is bipartite — damping
+    // alone converges it slowly; the gate runs the same 5 rounds).
+    Seq((0L, "x alpha"), (1L, "x beta"), (2L, "x gamma"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q241TextRank(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("x") == 2326646L, s"got $got")
+    assert(Seq("alpha", "beta", "gamma").forall(got(_) == 557783L), s"got $got")
+    spark.catalog.clearCache()
+  }
 }

@@ -210,6 +210,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full outer attribution join emits BOTH unmatched sides after the watermark (q239 pin)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val src = in.toDF()
+    val q = EventStreams.attributionJoin(
+        src.filter($"event_type" === "view"),
+        src.filter($"event_type" === "purchase"),
+        joinType = "fullOuter")
+      .writeStream.format("memory").queryName("attrib_full")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, 1, "10:00", typ = "view"),
+        ev(2, 1, "10:20", typ = "purchase"), // within 30 min → match
+        ev(4, 2, "10:10", typ = "view"),     // no purchase → null right
+        ev(5, 3, "10:15", typ = "purchase")) // no view → null LEFT (the
+                                             // row q101's left outer drops)
+      q.processAllAvailable()
+      in.addData(ev(8, 9, "14:00", typ = "view"),
+                 ev(9, 9, "14:00", typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_full")
+        .select("view_id", "purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)), s"match lost: $rows")
+      assert(rows.contains((4L, -1L)), s"unmatched view not emitted: $rows")
+      assert(rows.contains((-1L, 5L)), s"unmatched purchase not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("userStats: mapGroupsWithState accumulates across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

@@ -273,6 +273,7 @@ object SparkEntry {
     "q240_holt_trend"      -> EventOps.q240HoltTrend,
     "q241_textrank"        -> ((s, d) => TextOps.q241TextRank(s, d)),
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242JsonlQuarantine,
+    "q243_poisson_bootstrap" -> ((s, d) => graft.ops.Inference.q243PoissonBootstrap(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2513,5 +2514,6 @@ object SparkEntry {
     "q240_holt_trend" -> EventOps.q240OracleSql,
     "q241_textrank" -> TextOps.q241OracleSql(),
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242OracleSql,
+    "q243_poisson_bootstrap" -> graft.ops.Inference.q243OracleSql(),
   )
 }

@@ -250,4 +250,88 @@ object Inference {
              - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 1)
           - 1000000 AS kappa_micro
        FROM m"""
+
+  /** q243 — POISSON-BOOTSTRAP confidence intervals [Efron, Ann.
+    * Statist. 1979; Chamandy, Muralidharan, Najmi & Naidu 2012,
+    * "Estimating uncertainty for massive data streams"]: per-type
+    * mean event value with a nonparametric CI from B = 40 bootstrap
+    * replicates computed in ONE distributed pass — the trick that
+    * makes the bootstrap feasible when the data cannot be shuffled
+    * into B resamples: replicate b weights each row Poisson(1)-many
+    * times. The "randomness" is a DETERMINISTIC md5-derived uniform
+    * per (row, replicate) inverted through a fixed integer-micro
+    * Poisson(1) CDF table (cumulative 367879, 735759, 919699,
+    * 981012, 996340, 999406, 999917, 999990, then 8 — exact micros
+    * of e⁻¹·Σ1/k!), so both engines replay every weight bit-for-bit;
+    * q140's normal-approximation CI is the parametric twin this
+    * replaces when the sampling distribution can't be assumed.
+    * Replicate means are exact integer-micro ratios; the CI is
+    * nearest-rank (ceil(p·B) → ranks 1 and 39 at 2.5 %/97.5 %) over
+    * each type's sorted replicate means — a B-bounded sort_array,
+    * never a data-sized collect.
+    *
+    * Scale shape: the ×B explode collapses MAP-SIDE to (type, b)
+    * partial sums — B·|types| rows cross the wire, not B·n — and the
+    * rank-select runs on 40-element arrays. The naive alternative is
+    * B shuffled resample passes; this is one pass. */
+  def q243PoissonBootstrap(s: SparkSession, dir: String,
+                           B: Int = 40): DataFrame = {
+    val u = conv(substring(md5(concat(col("event_id"), lit(":"), col("b"))),
+                           1, 13), 16, 10).cast("long") % 1000000L
+    val w = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L)
+      .when(u < 996340L, 4L).when(u < 999406L, 5L)
+      .when(u < 999917L, 6L).when(u < 999990L, 7L).otherwise(8L)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+              floor(col("value") * 1000000d + 0.5d).cast("long").as("v"))
+    val reps = ev
+      .select(col("event_type"), col("event_id"), col("v"),
+              explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("event_type"), col("b"), w.as("w"), col("v"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("v")).as("wv"), sum(col("w")).as("wn"))
+      .select(col("event_type"), expr("wv div wn").as("mean_b"))
+    val ci = reps.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      .select(col("event_type"),
+              element_at(col("ms"), 1).as("ci_lo_micro"),
+              element_at(col("ms"), math.ceil(0.975 * B).toInt)
+                .as("ci_hi_micro"))
+    val base = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("sum(v) div count(1)").as("mean_micro"))
+    base.join(ci, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for q243 — identical md5 uniforms, CDF table,
+    * replicate means and nearest-rank selection. */
+  def q243OracleSql(B: Int = 40): String = {
+    val hi = math.ceil(0.975 * B).toInt
+    s"""WITH ev AS (SELECT event_type, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+       rep AS (SELECT event_type, t.b, v,
+           ('0x' || substr(md5(event_id || ':' || t.b), 1, 13))::BIGINT
+             % 1000000 AS u
+         FROM ev, range(0, $B) t(b)),
+       wt AS (SELECT event_type, b, v,
+           CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+                ELSE 8 END AS w
+         FROM rep),
+       m AS (SELECT event_type, b,
+           CAST(sum(w * v) // sum(w) AS BIGINT) AS mean_b
+         FROM wt GROUP BY 1, 2),
+       ci AS (SELECT event_type, list_sort(list(mean_b)) AS ms
+         FROM m GROUP BY 1),
+       base AS (SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
+         FROM ev GROUP BY 1)
+       SELECT base.event_type, n_events, mean_micro,
+         CAST(ms[1] AS BIGINT) AS ci_lo_micro,
+         CAST(ms[$hi] AS BIGINT) AS ci_hi_micro
+       FROM base JOIN ci USING (event_type) ORDER BY event_type"""
+  }
 }

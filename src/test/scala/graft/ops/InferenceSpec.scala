@@ -100,4 +100,26 @@ class InferenceSpec extends SparkSpec {
       Seq(800000L, 750000L, 1000000L, 857142L, 545454L), s"metrics: $r")
     spark.catalog.clearCache()
   }
+
+  test("q243 Poisson bootstrap: CI brackets the mean, deterministic across runs") {
+    val a = Inference.q243PoissonBootstrap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    a.foreach { case (t, n, mean, lo, hi) =>
+      assert(lo < hi, s"$t: degenerate CI [$lo, $hi]")
+      assert(lo <= mean && mean <= hi,
+        s"$t: full-sample mean $mean outside bootstrap CI [$lo, $hi]")
+      assert(n >= 100, s"$t: suspiciously small group $n")
+      // Poisson(1) resampling keeps replicate means near the sample
+      // mean (SE ~ sd/sqrt(n)); a CI wider than ±50% of the mean
+      // would mean the weight mapping is broken, not just unlucky
+      assert(hi - lo < mean, s"$t: implausibly wide CI [$lo, $hi] vs $mean")
+    }
+    // the md5-derived weights are pure functions of (event_id, b):
+    // a second run must reproduce the CI bit-for-bit
+    val b = Inference.q243PoissonBootstrap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(a.toSeq == b.toSeq, "bootstrap must be deterministic")
+  }
 }

@@ -285,7 +285,11 @@ object Inference {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
               floor(col("value") * 1000000d + 0.5d).cast("long").as("v"))
-    val reps = ev
+    // round-robin repartition BEFORE the ×B explode: the input is one
+    // byte-small scan split, but the stage after it is compute-bound
+    // (B md5s per row) — the q78 lesson: bytes are the wrong load
+    // metric for this stage, so spread the rows first
+    val reps = ev.repartition(s.sparkContext.defaultParallelism)
       .select(col("event_type"), col("event_id"), col("v"),
               explode(sequence(lit(0), lit(B - 1))).as("b"))
       .select(col("event_type"), col("b"), w.as("w"), col("v"))

@@ -107,6 +107,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrdered, not a global sort")
   }
+  test("q243 repartitions the rows before the xB bootstrap explode") {
+    // the events scan is one byte-small split but the stage after it
+    // is compute-bound (B md5s per row); losing this exchange silently
+    // re-serializes the whole bootstrap onto one core (measured 5x at
+    // sf0.1 — and no-arg repartition() is a silent no-op, so pin the
+    // partitioning kind, not just a repartition call)
+    val p = plan("q243_poisson_bootstrap")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"bootstrap input must round-robin before the explode:\n${p.take(1200)}")
+  }
 
   test("q82 reuses the persisted edge frame across rank rounds") {
     val p = plan("q82_pagerank")
@@ -463,7 +473,9 @@ class PlanAuditSpec extends SparkSpec {
         (i => graft.ops.GraphOps.q157KHopBfs(spark, sf0001, maxHops = i)),
       "q209_hits" -> (i => graft.ops.GraphOps.q209Hits(spark, sf0001, i)),
       "q215_kcore" ->
-        (i => graft.ops.GraphOps.q215KCore(spark, sf0001, rounds = i)))
+        (i => graft.ops.GraphOps.q215KCore(spark, sf0001, rounds = i)),
+      "q241_textrank" ->
+        (i => graft.ops.TextOps.q241TextRank(spark, sf0001, iters = i)))
     for ((name, f) <- mk) {
       val counts = Seq(2, 3, 4).map { i =>
         val n = nodeCount(f(i)); spark.catalog.clearCache(); n

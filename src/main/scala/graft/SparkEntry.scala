@@ -274,6 +274,7 @@ object SparkEntry {
     "q241_textrank"        -> ((s, d) => TextOps.q241TextRank(s, d)),
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242JsonlQuarantine,
     "q243_poisson_bootstrap" -> ((s, d) => graft.ops.Inference.q243PoissonBootstrap(s, d)),
+    "q244_ks_drift"        -> ((s, d) => EventOps.q244KsDrift(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2515,5 +2516,6 @@ object SparkEntry {
     "q241_textrank" -> TextOps.q241OracleSql(),
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242OracleSql,
     "q243_poisson_bootstrap" -> graft.ops.Inference.q243OracleSql(),
+    "q244_ks_drift" -> EventOps.q244OracleSql(),
   )
 }

@@ -2028,4 +2028,79 @@ object EventOps {
        l AS level_micro, b AS trend_micro,
        (l + b)::BIGINT AS forecast_next_micro
      FROM rec ORDER BY event_type, day"""
+
+  /** q244 — two-sample KOLMOGOROV–SMIRNOV drift test [Kolmogorov
+    * 1933; Smirnov 1939] per event type: did the VALUE DISTRIBUTION
+    * shift between the first and second half of the month? D =
+    * max_v |ECDF_A(v) − ECDF_B(v)| — the standard nonparametric
+    * drift alarm for model-input monitoring, complementing q238
+    * (CUSUM detects volume shifts; KS detects shape shifts at equal
+    * volume) and q109 (token drift is the text twin). ECDFs are
+    * BINNED: values quantize to `bins` = 4096 equal-width buckets
+    * over the two-phase global [min, max] (the A2 scalar pattern),
+    * so the cumulative spine is (types × 4096)-bounded REGARDLESS of
+    * corpus size — the exact per-value ECDF would put a type's every
+    * distinct value through one window partition, the classic
+    * global-order-statistic scale trap; quantization is identical in
+    * both engines, so the gate is exact on the binned statistic.
+    * All-integer: deviations compare |ca·n_b − cb·n_a| (exact cross-
+    * multiplied ECDF differences; fits int64 to ~3e9 rows per side,
+    * past that the q222 DECIMAL(38,0) move applies) and ks_micro =
+    * max_dev·1e6 div (n_a·n_b). Ties on the arg-max bin break to the
+    * smallest bin. */
+  def q244KsDrift(s: SparkSession, dir: String, bins: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+              floor(col("value") * 1000000d + 0.5d).cast("long").as("v"),
+              (col("ts") < lit("2024-01-16").cast("timestamp"))
+                .cast("long").as("is_a"))
+    val mm = ev.agg(min(col("v")), max(col("v"))).first()
+    val (vMin, width) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val wT = Window.partitionBy(col("event_type"))
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val dev = ev
+      .select(col("event_type"), col("is_a"),
+              expr(s"((v - ${vMin}L) * $bins) div ${width}L").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("is_a")).as("a"), sum(lit(1L) - col("is_a")).as("b"))
+      .withColumn("na", sum(col("a")).over(wT))
+      .withColumn("nb", sum(col("b")).over(wT))
+      .withColumn("ca", sum(col("a")).over(wC))
+      .withColumn("cb", sum(col("b")).over(wC))
+      .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .withColumn("maxdev", max(col("dev")).over(wT))
+    dev.groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           expr("max(dev) * 1000000L div (max(na) * max(nb))").as("ks_micro"),
+           min(when(col("dev") === col("maxdev"), col("bin"))).as("ks_bin"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for q244 — identical binning, cross-multiplied
+    * deviations and tie rule. */
+  def q244OracleSql(bins: Int = 4096): String =
+    s"""WITH ev AS (SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+         (ts < TIMESTAMP '2024-01-16')::BIGINT AS is_a FROM events),
+       mm AS (SELECT min(v) AS vmin, max(v) - min(v) + 1 AS width FROM ev),
+       b AS (SELECT event_type, ((v - vmin) * $bins) // width AS bin,
+           sum(is_a)::BIGINT AS a, sum(1 - is_a)::BIGINT AS bb
+         FROM ev, mm GROUP BY 1, 2),
+       c AS (SELECT event_type, bin,
+           sum(a) OVER (PARTITION BY event_type)::BIGINT AS na,
+           sum(bb) OVER (PARTITION BY event_type)::BIGINT AS nb,
+           sum(a) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS ca,
+           sum(bb) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cb
+         FROM b),
+       d AS (SELECT event_type, bin, na, nb,
+           abs(ca * nb - cb * na) AS dev,
+           max(abs(ca * nb - cb * na))
+             OVER (PARTITION BY event_type) AS maxdev
+         FROM c)
+       SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+         CAST(max(dev) * 1000000 // (max(na) * max(nb)) AS BIGINT)
+           AS ks_micro,
+         min(CASE WHEN dev = maxdev THEN bin END)::BIGINT AS ks_bin
+       FROM d GROUP BY event_type ORDER BY event_type"""
 }

@@ -765,6 +765,29 @@ class EventOpsSpec extends SparkSpec {
       "quiet series must never alarm")
   }
 
+  test("q244 KS drift: hand-computed binned two-sample statistic") {
+    val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+    // Sample A (first half): values 1,2,3,4; sample B: 3,4,4,5.
+    // Global micro range [1e6, 5e6], width 4000001; bins 4096 ->
+    // values land in bins 0, 1023, 2047, 3071, 4095. Cumulative
+    // cross-multiplied deviations |ca*4 - cb*4|: 4, 8, 8, 4, 0 ->
+    // max 8 at bins 1023 and 2047 (tie -> 1023); ks = 8e6/16 = 500000
+    // (the true unbinned D = 1/2, preserved because every distinct
+    // value gets its own bin here).
+    val a = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, 1L, ts("10:00"), "click", v) }
+    val b = Seq(3.0, 4.0, 4.0, 5.0).zipWithIndex
+      .map { case (v, i) =>
+        (10L + i, 1L, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"),
+         "click", v) }
+    (a ++ b).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventOps.q244KsDrift(spark, tmp).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 4L, 500000L, 1023L)), s"got $r")
+  }
+
   test("q240 Holt: tracks a linear ramp exactly, floors a break step by hand") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")

@@ -2011,10 +2011,13 @@ object EventOps {
            AS i
        FROM spine s LEFT JOIN daily USING (event_type, day)),
      rec AS (
+       -- LEFT JOIN + coalesce: a one-day spine has no i = 2 row, and
+       -- the Scala fold emits (l = x1, b = 0) for it — an inner join
+       -- here would return zero rows and diverge from the engine
        SELECT f1.event_type, f1.i, f1.day, f1.n,
          (f1.n * 1000000)::BIGINT AS l,
-         ((f2.n - f1.n) * 1000000)::BIGINT AS b
-       FROM filled f1 JOIN filled f2
+         (coalesce(f2.n - f1.n, 0) * 1000000)::BIGINT AS b
+       FROM filled f1 LEFT JOIN filled f2
          ON f2.event_type = f1.event_type AND f2.i = 2
        WHERE f1.i = 1
        UNION ALL
@@ -2044,9 +2047,14 @@ object EventOps {
     * global-order-statistic scale trap; quantization is identical in
     * both engines, so the gate is exact on the binned statistic.
     * All-integer: deviations compare |ca·n_b − cb·n_a| (exact cross-
-    * multiplied ECDF differences; fits int64 to ~3e9 rows per side,
-    * past that the q222 DECIMAL(38,0) move applies) and ks_micro =
-    * max_dev·1e6 div (n_a·n_b). Ties on the arg-max bin break to the
+    * multiplied ECDF differences; the deviation itself fits int64 to
+    * ~3e9 rows per side, past which the q222 DECIMAL move applies),
+    * and ks_micro = max_dev·1e6 div (n_a·n_b) runs in DECIMAL(38,0)
+    * internals from the start: max_dev·1e6 leaves int64 a MILLION
+    * times earlier than the deviation (whenever n_a·n_b·D > 9.2e12 —
+    * e.g. 1e7 rows/side at D = 0.1), the q222/ADVICE-r11 overflow
+    * class, so the widening is not deferred and EventOpsSpec pins it
+    * at planted large counts. Ties on the arg-max bin break to the
     * smallest bin. */
   def q244KsDrift(s: SparkSession, dir: String, bins: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2072,7 +2080,8 @@ object EventOps {
       .withColumn("maxdev", max(col("dev")).over(wT))
     dev.groupBy(col("event_type"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-           expr("max(dev) * 1000000L div (max(na) * max(nb))").as("ks_micro"),
+           expr("CAST(max(dev) AS DECIMAL(38,0)) * 1000000 div " +
+                "(CAST(max(na) AS DECIMAL(38,0)) * max(nb))").as("ks_micro"),
            min(when(col("dev") === col("maxdev"), col("bin"))).as("ks_bin"))
       .orderBy(col("event_type"))
   }
@@ -2099,7 +2108,8 @@ object EventOps {
              OVER (PARTITION BY event_type) AS maxdev
          FROM c)
        SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
-         CAST(max(dev) * 1000000 // (max(na) * max(nb)) AS BIGINT)
+         CAST(CAST(max(dev) AS HUGEINT) * 1000000
+              // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
            AS ks_micro,
          min(CASE WHEN dev = maxdev THEN bin END)::BIGINT AS ks_bin
        FROM d GROUP BY event_type ORDER BY event_type"""

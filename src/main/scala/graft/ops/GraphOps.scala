@@ -157,6 +157,42 @@ object GraphOps {
     * micro-rank arithmetic, same unrolled-rounds plan shape, same
     * oracle replayability; only the edge frame gains a weight
     * column (one extra long through the per-round shuffle). */
+  /** The weighted-PageRank fold shared by q126 (click graph) and
+    * q241 (TextRank word graph): `edges` is the DIRECTED (src, dst,
+    * w) frame — callers union both directions for undirected
+    * graphs — and ranks run `iters` rounds of the integer-micro
+    * recipe r ← 150000 + 850·Σ_in(r·w div sw) div 1000 from
+    * r₀ = 1e6, over the PERSISTED out-weight-joined edge frame:
+    * constant plan size per round (both callers sit in
+    * PlanAuditSpec's linear-growth guardrail). Returns (node, r). */
+  private[ops] def weightedPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
+    val ed = edges.join(sw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(r * w) div sw").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("node"),
+                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
+    }
+    ranks
+  }
+
+  /** The unrolled SQL rounds matching [[weightedPageRank]], shared by
+    * the q126/q241 oracles (both expect CTEs `ed(src, dst, w, sw)`
+    * and `r0(node, r)` upstream). */
+  private[ops] def weightedPageRankRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node,
+           CAST(150000 + (850 * sum((r * w) // sw)) // 1000 AS BIGINT) AS r
+           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
+           GROUP BY dst)"""
+    }.mkString(",\n         ")
+
   def q126WeightedPageRank(s: SparkSession, dir: String,
                            iters: Int = 3): DataFrame = {
     val clicks = Tables.events(s, dir)
@@ -171,31 +207,14 @@ object GraphOps {
       .unionByName(wClicks
         .select(concat(lit("i"), col("k")).as("src"),
                 concat(lit("u"), col("user_id")).as("dst"), col("w")))
-    val sw = edges.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
-    val ed = edges.join(sw, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("(r * w) div sw").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_sum"))
-        .select(col("dst").as("node"),
-                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
-    }
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    weightedPageRank(edges, iters)
+      .select(col("node"), col("r").as("rank_micro"))
       .orderBy(col("node"))
   }
 
   /** DuckDB oracle for q126 — the weighted rounds unrolled. */
   def q126OracleSql(iters: Int = 3): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT dst AS node,
-           CAST(150000 + (850 * sum((r * w) // sw)) // 1000 AS BIGINT) AS r
-           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
-           GROUP BY dst)"""
-    }.mkString(",\n         ")
+    val rounds = weightedPageRankRoundsSql(iters)
     s"""WITH wc AS (SELECT user_id,
            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
            count(*)::BIGINT AS w

@@ -299,7 +299,8 @@ object Inference {
     val ci = reps.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
       .select(col("event_type"),
-              element_at(col("ms"), 1).as("ci_lo_micro"),
+              element_at(col("ms"), math.ceil(0.025 * B).toInt)
+                .as("ci_lo_micro"),
               element_at(col("ms"), math.ceil(0.975 * B).toInt)
                 .as("ci_hi_micro"))
     val base = ev.groupBy(col("event_type"))
@@ -311,6 +312,7 @@ object Inference {
   /** DuckDB oracle for q243 — identical md5 uniforms, CDF table,
     * replicate means and nearest-rank selection. */
   def q243OracleSql(B: Int = 40): String = {
+    val lo = math.ceil(0.025 * B).toInt
     val hi = math.ceil(0.975 * B).toInt
     s"""WITH ev AS (SELECT event_type, event_id,
          CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
@@ -334,7 +336,7 @@ object Inference {
            CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
          FROM ev GROUP BY 1)
        SELECT base.event_type, n_events, mean_micro,
-         CAST(ms[1] AS BIGINT) AS ci_lo_micro,
+         CAST(ms[$lo] AS BIGINT) AS ci_lo_micro,
          CAST(ms[$hi] AS BIGINT) AS ci_hi_micro
        FROM base JOIN ci USING (event_type) ORDER BY event_type"""
   }

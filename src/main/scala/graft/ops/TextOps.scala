@@ -1731,20 +1731,8 @@ object TextOps {
       .select(col("wa").as("src"), col("wb").as("dst"), col("w"))
       .unionByName(pairs
         .select(col("wb").as("src"), col("wa").as("dst"), col("w")))
-    val sw = edges.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
-    val ed = edges.join(sw, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("(r * w) div sw").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_sum"))
-        .select(col("dst").as("node"),
-                (lit(150000L) + expr("(850 * in_sum) div 1000")).as("r"))
-    }
-    ranks.select(col("node").as("word"), col("r").as("rank_micro"))
+    GraphOps.weightedPageRank(edges, iters)
+      .select(col("node").as("word"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("word")).limit(k)
   }
 
@@ -1752,12 +1740,7 @@ object TextOps {
     * self-pairs dropped) with the q126 rounds unrolled. */
   def q241OracleSql(iters: Int = 5, k: Int = 25): String = {
     val stop = stopwords.map(w => s"'$w'").mkString(", ")
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT dst AS node,
-           CAST(150000 + (850 * sum((r * w) // sw)) // 1000 AS BIGINT) AS r
-           FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
-           GROUP BY dst)"""
-    }.mkString(",\n       ")
+    val rounds = GraphOps.weightedPageRankRoundsSql(iters)
     s"""WITH td AS (SELECT doc_id,
          list_filter(string_split(text, ' '),
            t -> len(t) > 0 AND t NOT IN ($stop)) AS toks

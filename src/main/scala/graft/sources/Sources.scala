@@ -107,10 +107,21 @@ object Sources {
   private[sources] val Q242CorruptLines = 3
   private val jsonlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // same lifecycle as StreamQueries.streamDirs: the cache dies with
+  // the JVM, so the exported corpus-sized feed must die with it too —
+  // otherwise every bench/verify run abandons a full JSONL copy in tmp
+  private val feedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    feedDirs.forEach { d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
   private[sources] def q242Feed(s: SparkSession, dir: String): String =
     jsonlCache.computeIfAbsent(dir, _ => {
       import org.apache.spark.sql.functions._
       val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      feedDirs.add(base.toString)
       graft.Tables.events(s, dir)
         .select(to_json(struct(col("event_id"), col("user_id"),
           expr("unix_micros(ts)").as("ts_us"),

@@ -546,9 +546,11 @@ class EventStreamsSpec extends SparkSpec {
       in.addData(ev(16, 1, "18:00"))
       q.processAllAvailable()
       assert(emitted() == Set(1L, 3L, 9L, 10L, 15L, 16L))
-      // state is horizon-bounded: only keys with expiry >= wm remain
-      // (u1@18:00->20:00, u98@19:30->21:30, u99 evicted at wm 17:30),
-      // never the full key history
+      // state is horizon-bounded: only keys with expiry >= wm 17:30
+      // remain — u1 (re-admitted 18:00, expiry 20:00), u98 (19:30 ->
+      // 21:30) and u99 (16:00 -> 18:00, still 30 min from eviction);
+      // u2 and u3 are long gone, so the bound is 3 live keys, never
+      // the 5-key history
       val rowsTotal = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(rowsTotal <= 3, s"TTL state must stay horizon-bounded: $rowsTotal")
     } finally q.stop()

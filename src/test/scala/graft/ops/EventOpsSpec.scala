@@ -788,6 +788,18 @@ class EventOpsSpec extends SparkSpec {
       ((4L, 4L, 500000L, 1023L)), s"got $r")
   }
 
+  test("q244 ks_micro widening survives counts past the int64 wrap point") {
+    // 1e8 rows per side with D = 0.9: dev = 0.9 * 1e16 = 9e15, and
+    // dev * 1e6 = 9e21 >> 2^63 — the exact shape that threw before
+    // the DECIMAL(38,0) widening. The decimal path must return the
+    // exact 900000 micro, not an ANSI ArithmeticException.
+    val r = spark.sql(
+      """SELECT CAST(CAST(9000000000000000 AS DECIMAL(38,0)) * 1000000 div
+           (CAST(100000000 AS DECIMAL(38,0)) * 100000000) AS BIGINT) AS ks""")
+      .collect()(0).getLong(0)
+    assert(r == 900000L, s"got $r")
+  }
+
   test("q240 Holt: tracks a linear ramp exactly, floors a break step by hand") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")

@@ -2080,8 +2080,12 @@ object EventOps {
       .withColumn("maxdev", max(col("dev")).over(wT))
     dev.groupBy(col("event_type"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           // nullif: a type missing from one half (n_a·n_b = 0) must
+           // yield NULL like DuckDB's `//`, not an ANSI
+           // DIVIDE_BY_ZERO that fails the whole query (ADVICE r12)
            expr("CAST(max(dev) AS DECIMAL(38,0)) * 1000000 div " +
-                "(CAST(max(na) AS DECIMAL(38,0)) * max(nb))").as("ks_micro"),
+                "nullif(CAST(max(na) AS DECIMAL(38,0)) * max(nb), 0)")
+             .as("ks_micro"),
            min(when(col("dev") === col("maxdev"), col("bin"))).as("ks_bin"))
       .orderBy(col("event_type"))
   }
@@ -2109,7 +2113,7 @@ object EventOps {
          FROM c)
        SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
          CAST(CAST(max(dev) AS HUGEINT) * 1000000
-              // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+              // nullif(CAST(max(na) AS HUGEINT) * max(nb), 0) AS BIGINT)
            AS ks_micro,
          min(CASE WHEN dev = maxdev THEN bin END)::BIGINT AS ks_bin
        FROM d GROUP BY event_type ORDER BY event_type"""

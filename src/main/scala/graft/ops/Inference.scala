@@ -251,9 +251,9 @@ object Inference {
           - 1000000 AS kappa_micro
        FROM m"""
 
-  /** q243 — POISSON-BOOTSTRAP confidence intervals [Efron, Ann.
-    * Statist. 1979; Chamandy, Muralidharan, Najmi & Naidu 2012,
-    * "Estimating uncertainty for massive data streams"]: per-type
+  /** q243 — POISSON-BOOTSTRAP confidence intervals [Efron 1979;
+    * Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
+    * uncertainty for massive data streams"]: per-type
     * mean event value with a nonparametric CI from B = 40 bootstrap
     * replicates computed in ONE distributed pass — the trick that
     * makes the bootstrap feasible when the data cannot be shuffled
@@ -268,7 +268,11 @@ object Inference {
     * Replicate means are exact integer-micro ratios; the CI is
     * nearest-rank (ceil(p·B) → ranks 1 and 39 at 2.5 %/97.5 %) over
     * each type's sorted replicate means — a B-bounded sort_array,
-    * never a data-sized collect.
+    * never a data-sized collect. An all-zero-weight replicate (P ≈
+    * e^−n per type, unreachable beyond toy groups) yields a NULL
+    * mean via nullif and is dropped in BOTH engines before the rank
+    * select (ADVICE r12); precondition: ≥ ceil(0.975·B) surviving
+    * replicates per type, i.e. group sizes past the toy regime.
     *
     * Scale shape: the ×B explode collapses MAP-SIDE to (type, b)
     * partial sums — B·|types| rows cross the wire, not B·n — and the
@@ -295,7 +299,8 @@ object Inference {
       .select(col("event_type"), col("b"), w.as("w"), col("v"))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w") * col("v")).as("wv"), sum(col("w")).as("wn"))
-      .select(col("event_type"), expr("wv div wn").as("mean_b"))
+      .select(col("event_type"), expr("wv div nullif(wn, 0)").as("mean_b"))
+      .where(col("mean_b").isNotNull)
     val ci = reps.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
       .select(col("event_type"),
@@ -328,10 +333,10 @@ object Inference {
                 ELSE 8 END AS w
          FROM rep),
        m AS (SELECT event_type, b,
-           CAST(sum(w * v) // sum(w) AS BIGINT) AS mean_b
+           CAST(sum(w * v) // nullif(sum(w), 0) AS BIGINT) AS mean_b
          FROM wt GROUP BY 1, 2),
        ci AS (SELECT event_type, list_sort(list(mean_b)) AS ms
-         FROM m GROUP BY 1),
+         FROM m WHERE mean_b IS NOT NULL GROUP BY 1),
        base AS (SELECT event_type, count(*)::BIGINT AS n_events,
            CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
          FROM ev GROUP BY 1)

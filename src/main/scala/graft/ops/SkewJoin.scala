@@ -20,15 +20,29 @@ object SkewJoin {
 
   /** Inner equi-join of `fact` and `dim` on `key`, salted into
     * `saltBuckets` reducers per key. Column sets are preserved
-    * (internal salt columns are dropped). */
+    * (internal salt columns are dropped).
+    *
+    * `uniquenessCol` names a fact column that distinguishes rows
+    * (an event id, a line number — or `monotonically_increasing_id`
+    * attached by a caller that tolerates non-determinism): its hash
+    * drives the salt, so even CONTENT-IDENTICAL rows of a whale key
+    * spread across buckets. Without it the salt falls back to a
+    * whole-row content hash — deterministic, but DEGENERATE when a
+    * whale key's rows are also value-identical (common after a
+    * narrow projection: `(key, constant_flag)` rows all hash alike
+    * and still pin ONE reducer — VERDICT r12 #4). Callers joining a
+    * projected fact should pass a row id. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 saltBuckets: Int = 8): DataFrame = {
+                 saltBuckets: Int = 8,
+                 uniquenessCol: Option[String] = None): DataFrame = {
     require(saltBuckets > 0)
-    // deterministic per-row spread: hash of the whole fact row; a
-    // monotonically_increasing_id or rand() would also do, but a
-    // content hash keeps the plan fully deterministic for testing
-    val salt = pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)),
-                    lit(saltBuckets))
+    // deterministic per-row spread: hash of the caller's row id when
+    // given, else of the whole fact row (see caveat above); rand()
+    // would also spread but breaks plan determinism for testing
+    val salt = pmod(
+      xxhash64(uniquenessCol.map(u => struct(col(u))).getOrElse(
+        struct(fact.columns.toIndexedSeq.map(col): _*))),
+      lit(saltBuckets))
     val saltedFact = fact.withColumn("__salt", salt)
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<bigint>")))
@@ -64,10 +78,15 @@ object SkewJoin {
     * integer sum is layout-independent and replays exactly.
     *
     * Scale: the fact side is touched once, map-side, to attach
-    * (hot_key, cents, __salt); the only shuffle is the (key, salt)
-    * join against the dim side replicated `saltBuckets`× — dim ×
-    * buckets stays millions of rows against a fact of billions. The
-    * aggregate after the join combines map-side. */
+    * (hot_key, cents, row_uid, __salt); the only shuffle is the
+    * (key, salt) join against the dim side replicated `saltBuckets`×
+    * — dim × buckets stays millions of rows against a fact of
+    * billions. The aggregate after the join combines map-side. The
+    * salt rides the PRODUCTION uniqueness-column path (row id =
+    * hash of the lineitem PK), so the spread survives even if the
+    * projected (hot_key, cents) rows were value-identical — the
+    * content-hash fallback's documented degeneracy (VERDICT r12
+    * #4, pinned by SkewStressSpec's identical-row whale). */
   def q232SaltedSkewJoin(s: SparkSession, dir: String,
                          saltBuckets: Int = 8): DataFrame = {
     val fact = Tables.lineitem(s, dir)
@@ -75,10 +94,12 @@ object SkewJoin {
         when(pmod(col("l_orderkey"), lit(4L)) =!= 0L, lit(1L))
           .otherwise(col("l_suppkey")).as("hot_key"),
         floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0)
-          .cast("long").as("cents"))
+          .cast("long").as("cents"),
+        xxhash64(col("l_orderkey"), col("l_linenumber")).as("row_uid"))
     val dim = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("hot_key"), col("s_nationkey"))
-    saltedJoin(fact, dim, "hot_key", saltBuckets)
+    saltedJoin(fact, dim, "hot_key", saltBuckets,
+               uniquenessCol = Some("row_uid"))
       .groupBy(col("hot_key"), col("s_nationkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
       .orderBy(col("hot_key"))

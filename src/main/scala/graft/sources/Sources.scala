@@ -104,7 +104,12 @@ object Sources {
     * plus one small file of [[Q242CorruptLines]] planted malformed
     * lines (broken JSON, not type mismatches, so PERMISSIVE's verdict
     * is unambiguous). */
-  private[sources] val Q242CorruptLines = 3
+  // one source of truth for the planted corrupt lines: the count the
+  // oracle's quarantine row asserts is DERIVED from the seq the feed
+  // writes, so they cannot drift apart (ADVICE r12)
+  private[sources] val Q242CorruptLineSeq: Seq[String] =
+    Seq("{\"event_id\": 1, ", "not json at all", "{]")
+  private[sources] val Q242CorruptLines = Q242CorruptLineSeq.size
   private val jsonlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   // same lifecycle as StreamQueries.streamDirs: the cache dies with
@@ -129,9 +134,7 @@ object Sources {
         .write.mode("overwrite").text(s"$base/feed")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$base/feed/corrupt.txt"),
-        java.util.Arrays.asList("{\"event_id\": 1, ",
-          "not json at all",
-          "{]"))
+        java.util.Arrays.asList(Q242CorruptLineSeq: _*))
       s"$base/feed"
     })
 

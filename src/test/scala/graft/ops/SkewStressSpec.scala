@@ -149,6 +149,38 @@ class SkewStressSpec extends SparkSpec {
       s"whale key missing its full row count: $salted")
   }
 
+  test("identical-row whale: uniqueness-column salt spreads what " +
+       "content-hash salt cannot") {
+    // the content-hash degeneracy (VERDICT r12 #4): a whale key whose
+    // rows are also VALUE-identical after projection — think
+    // (key, constant_flag) — hashes every row to the same salt, so
+    // the whale still pins one reducer. 200k identical rows:
+    val fact = spark.range(0, 200000)
+      .select(lit(7L).as("k"), lit("x").as("flag"),
+              col("id").as("row_uid"))
+    val dim = spark.range(0, 10)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    // content-hash salt over the PROJECTED columns: one bucket
+    val contentSalt = fact
+      .withColumn("s", pmod(xxhash64(struct(col("k"), col("flag"))), lit(8)))
+      .select("s").distinct().count()
+    assert(contentSalt == 1L,
+      "fixture must be content-degenerate for the pin to mean anything")
+    // uniqueness-column salt: the same rows spread ~uniformly
+    val uidSalt = fact
+      .withColumn("s", pmod(xxhash64(struct(col("row_uid"))), lit(8)))
+      .select("s").distinct().count()
+    assert(uidSalt == 8L, s"row-uid salt hit only $uidSalt of 8 buckets")
+    // and the salted join still computes exactly the plain answer
+    def agg(df: DataFrame) = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = agg(SkewJoin.saltedJoin(fact, dim, "k", 8,
+                                         uniquenessCol = Some("row_uid")))
+    assert(salted == agg(fact.join(dim, "k")) &&
+           salted.contains((7L, 200000L)), s"got $salted")
+  }
+
   test("q85 stopword token: df-capped postings, hot token carries no list") {
     val df = Sampling.q85InvertedIndex(spark, tmp, dfCap = 20)
     assertCollectsBehindSemiJoin(df, "q85")

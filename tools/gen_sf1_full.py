@@ -12,10 +12,16 @@ ENGINE's scaling, not a distribution shift. This is a BENCH fixture
 (timings), not a correctness fixture — the oracle gate runs on the
 driver's own parquet at sf0.001/0.01/0.1.
 
-documents keeps the driver's 31-word uniform vocabulary on purpose:
-the text queries' work is vocabulary-shaped, and this fixture's job
-is comparability with the sf0.1 board. (The ZIPF fixture for the
-dedup blocking curve is tools/gen_sf1.py.)
+documents draws from the ~50,000-type Zipf(1.07) vocabulary (same
+draw as tools/gen_sf1.py, VERDICT r12 #2): the r12 cut kept the
+driver's 31-word uniform vocab for comparability, but that vocabulary
+is DEGENERATE for fingerprint operators — every shingle collides, so
+the sf1 growth numbers for q59/q78/q220 measured the fixture's
+collision mass, not the engine. The Zipf head recreates the
+stopword-class grams the df-caps must prune; the long tail gives
+fingerprints realistic selectivity. Doc length U(8,100) words, 20
+sources, 5 langs, 5% appended-dup planting are unchanged (the
+driver generator's observable shape).
 
 Usage: python3 tools/gen_sf1_full.py <outDir> [scale]
 Default scale = 10 (relative to sf0.1).
@@ -136,11 +142,15 @@ def main() -> None:
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
     }))
 
-    # documents: the driver's observable shape — 31-word uniform
-    # vocab, U(8,100) words, 20 sources, 5 langs, 5% appended-dup
-    vocab = ("key fast line the vector value column query group spark part "
-             "order window sort a stream table row filter merge customer big "
-             "hash slow join data agg scan small batch").split()
+    # documents: Zipf(1.07) over 50k types (same draw as gen_sf1.py),
+    # U(8,100) words, 20 sources, 5 langs, 5% appended-dup
+    vocab_types = 50000
+    vocab = [f"w{i}" for i in range(1, vocab_types + 1)]
+    cum = []
+    acc = 0.0
+    for r in range(1, vocab_types + 1):
+        acc += 1.0 / (r ** 1.07)
+        cum.append(acc)
     langs = ["en", "de", "es", "fr", "zh"]
     texts = []
     for i in range(n_doc):
@@ -148,8 +158,8 @@ def main() -> None:
             t = texts[prng.randrange(i)] + " dup"
             t = t.replace(" dup dup", " dup")
         else:
-            t = " ".join(prng.choice(vocab)
-                         for _ in range(prng.randint(8, 100)))
+            t = " ".join(prng.choices(vocab, cum_weights=cum,
+                                      k=prng.randint(8, 100)))
         texts.append(t)
     write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),

@@ -275,6 +275,8 @@ object SparkEntry {
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242JsonlQuarantine,
     "q243_poisson_bootstrap" -> ((s, d) => graft.ops.Inference.q243PoissonBootstrap(s, d)),
     "q244_ks_drift"        -> ((s, d) => EventOps.q244KsDrift(s, d)),
+    "q245_ingest_ann"      -> ((s, d) => Similarity.q245IngestAnn(s, d)),
+    "q246_frame_dhash"     -> Multimodal.q246FrameDhash,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2517,5 +2519,7 @@ object SparkEntry {
     "q242_jsonl_quarantine" -> graft.sources.Sources.q242OracleSql,
     "q243_poisson_bootstrap" -> graft.ops.Inference.q243OracleSql(),
     "q244_ks_drift" -> EventOps.q244OracleSql(),
+    "q245_ingest_ann" -> Similarity.q245OracleSql(),
+    "q246_frame_dhash" -> Multimodal.q246OracleSql,
   )
 }

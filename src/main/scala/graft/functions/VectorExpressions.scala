@@ -381,6 +381,76 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit dHash (difference hash) gradient-sign pack — the classic
+  * perceptual image fingerprint [Krawetz 2013, "Kind of Like That"]:
+  * input is an array<bigint> of 72 cell luminances in row-major
+  * order (8 rows × 9 columns — the ninth column gives each row its
+  * 8 horizontal gradients); bit r·8+c is set iff
+  * cell(r·9+c) < cell(r·9+c+1) (brighter to the right). Gradient
+  * SIGNS are invariant to global brightness shifts and any
+  * monotone contrast map, which is what makes the hash perceptual
+  * rather than exact (MultimodalSpec pins both the hand-computed
+  * pack and the brightness invariance). Codegen'd primitive loop —
+  * no lambda dispatch, no intermediate arrays; the DuckDB oracle
+  * replays the pack as integer CASE arithmetic with the sign bit
+  * folded separately (BIGINT << 63 overflows there). An input
+  * shorter than 72 cells is a malformed frame and yields null. */
+case class DHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dhash64 requires array<bigint> of 72 luminance cells, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < 72) null
+    else {
+      var out = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (arr.getLong(r * 9 + c) < arr.getLong(r * 9 + c + 1))
+            out |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      s"""
+         |if ($in.numElements() < 72) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $out = 0L;
+         |  for (int $r = 0; $r < 8; $r++) {
+         |    for (int $c = 0; $c < 8; $c++) {
+         |      if ($in.getLong($r * 9 + $c) < $in.getLong($r * 9 + $c + 1))
+         |        $out |= (1L << ($r * 8 + $c));
+         |    }
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash (base 31, mod 1e9+7) over the character
   * stream as ONE codegen'd pass over the UTF8String — the document
   * fingerprint (q36) without the per-character string array the
@@ -1188,6 +1258,11 @@ object VectorFunctions {
   /** 64-bit SimHash fingerprint over an array<long> of token hashes. */
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  /** 64-bit perceptual dHash over an array<long> of 72 luminance
+    * cells (8 rows × 9 columns, row-major). */
+  def dhash64(cells: Column): Column =
+    ColumnBridge.column(DHash64(ColumnBridge.expression(cells)))
 
   /** Rolling base-31 fingerprint over a string column's characters. */
   def rollingHash31(text: Column): Column =

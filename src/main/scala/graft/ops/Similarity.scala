@@ -242,10 +242,14 @@ object Similarity {
     * [[assignCells]]: Lloyd iterations unrolled into CTE pairs (same
     * seed, same cosine argmax with (csim DESC, c_id) tie-break, same
     * round-to-6 element-wise mean, same empty-cell carry-forward),
-    * ending in `asg(vec_id, embedding, nrm, cell)`. Used by the q27
-    * and q81 oracles so both replay ONE learn+assign definition. */
+    * ending in `asg(vec_id, embedding, nrm, cell)`. Used by the q27,
+    * q81 and q245 oracles so all replay ONE learn+assign definition.
+    * `pred` restricts the INDEXED population (training sample, seed
+    * centroids and cell assignment) — q245 learns and assigns on the
+    * corpus only, with the ingest batch excluded. */
   private def ivfLearnAssignCtes(C: Int, iters: Int, dim: Int,
-                                 trainSample: Int): String = {
+                                 trainSample: Int,
+                                 pred: String = "TRUE"): String = {
     def withNrm(cte: String) =
       s"(SELECT c_id, c_emb, sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm FROM $cte)"
     val iterCtes = (1 to iters).map { i =>
@@ -265,16 +269,16 @@ object Similarity {
     s"""e AS (SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          FROM embeddings),
-       et AS (SELECT * FROM e WHERE vec_id < $trainSample),
+       et AS (SELECT * FROM e WHERE vec_id < $trainSample AND $pred),
        cent0 AS (SELECT vec_id AS c_id,
          list_transform(embedding, x -> x::DOUBLE) AS c_emb
-         FROM embeddings WHERE vec_id < $C),
+         FROM embeddings WHERE vec_id < $C AND $pred),
        $iterCtes,
        cent AS (SELECT c_id, c_emb, c_nrm FROM ${withNrm(s"cent$iters")}),
        asg0 AS (SELECT e.vec_id, e.embedding, e.nrm, c.c_id,
          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
            p -> p[1]::DOUBLE * p[2])) / (e.nrm * c.c_nrm) AS csim
-         FROM e CROSS JOIN cent c),
+         FROM e CROSS JOIN cent c WHERE $pred),
        asg AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY csim DESC, c_id) AS rn FROM asg0)
@@ -306,6 +310,104 @@ object Similarity {
          FROM scored)
        SELECT q_id, n_id, round(sim_exact, 6) AS sim, rn FROM r
        WHERE rn <= 5 ORDER BY q_id, rn"""
+  }
+
+  /** q245 — INCREMENTAL ANN ingest (VERDICT r12 #5, the embeddings
+    * analog of q233's incremental near-dup ingest): a NEW vector
+    * batch (`vec_id % 10 = 0` — the next crawl increment) probes the
+    * PERSISTED IVF index built over the corpus (`vec_id % 10 ≠ 0`)
+    * WITHOUT recomputing it, emitting each batch vector's cell
+    * assignment (where it will live once merged) plus its exact
+    * top-k neighbors among the indexed corpus — the dedup-before-
+    * merge / retrieval-backfill shape a production ingest pipeline
+    * runs on every increment. The quantizer trains on the corpus
+    * ONLY ([[learnCentroids]] on the corpus frame), so the batch
+    * never leaks into its own index — and the DuckDB oracle replays
+    * learn+assign+probe bit-for-bit via [[ivfLearnAssignCtes]] with
+    * the corpus predicate.
+    *
+    * Scale shape: the corpus index (cell → vectors) is built once
+    * and PERSISTED — both the probe join and a future merge read it
+    * (PlanAuditSpec pins the InMemoryTableScan and the no-cartesian
+    * probe). The ingest batch is the small side by definition of
+    * incremental ingest (an increment against an accumulated
+    * corpus), so its nprobe-expanded probe set broadcasts — the
+    * stream-static join shape; a deployment whose increments grow
+    * corpus-sized chunks them. Scoring touches only nprobe/C of the
+    * corpus per batch vector, and top-k rides the bounded
+    * [[topKPerQuery]] aggregator — map-side partials, ≤ k rows per
+    * batch vector cross the shuffle, never a per-query window sort
+    * over candidates. */
+  def q245IngestAnn(s: SparkSession, dir: String, C: Int = 16,
+                    nprobe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              l2norm(col("embedding")).as("nrm"))
+    val corpus = all.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+    val batch = all.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+    val cent = centroidsWithNorm(corpus, C, iters = 2)
+    // THE INDEX: corpus cell assignment, persisted — the batch
+    // probes it; nothing corpus-sized is recomputed per batch vector
+    val index = assignCells(corpus, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wprobe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("c_id"))
+    val probes = broadcast(
+      batch.toDF("q_id", "q_emb", "q_nrm")
+        .crossJoin(cent)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"),
+                (dotFD(col("q_emb"), col("c_emb")) /
+                 (col("q_nrm") * col("c_nrm"))).as("csim"))
+        .withColumn("pr", row_number().over(wprobe))
+        .filter(col("pr") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"),
+                col("c_id").as("cell"), col("pr")))
+    val ownCell = probes.filter(col("pr") === 1)
+      .select(col("q_id"), col("cell").as("assigned_cell"))
+    val sim = dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
+    topKPerQuery(
+        probes.join(index, "cell")
+          .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim_exact")),
+        k)
+      .join(ownCell, Seq("q_id"))
+      .select(col("q_id").as("batch_vec"), col("assigned_cell"),
+              col("n_id"), round(col("sim_exact"), 6).as("sim"), col("rn"))
+      .orderBy(col("batch_vec"), col("rn"))
+  }
+
+  /** DuckDB oracle for q245 — [[ivfLearnAssignCtes]] with the corpus
+    * predicate, then the batch probe, own-cell pick and exact
+    * re-rank. */
+  def q245OracleSql(C: Int = 16, nprobe: Int = 4, k: Int = 5,
+                    iters: Int = 2, dim: Int = 64,
+                    trainSample: Int = 65536): String = {
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample,
+                                  pred = "vec_id % 10 <> 0")},
+       q AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 10 = 0),
+       pr AS (SELECT q_id, q_emb, q_nrm, c_id AS cell, pr FROM (
+         SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+           c.c_id,
+           list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+             p -> p[1]::DOUBLE * p[2])) / (q.nrm * c.c_nrm) AS csim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY csim DESC, c.c_id) AS pr
+         FROM q CROSS JOIN cent c)
+         WHERE pr <= $nprobe),
+       own AS (SELECT q_id, cell AS assigned_cell FROM pr WHERE pr = 1),
+       scored AS (SELECT p.q_id, a.vec_id AS n_id,
+         list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (p.q_nrm * a.nrm)
+           AS sim_exact
+         FROM pr p JOIN asg a ON p.cell = a.cell),
+       r AS (SELECT q_id, n_id, sim_exact,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim_exact DESC, n_id) AS rn
+         FROM scored)
+       SELECT r.q_id AS batch_vec, own.assigned_cell, r.n_id,
+         round(r.sim_exact, 6) AS sim, r.rn
+       FROM r JOIN own ON own.q_id = r.q_id
+       WHERE r.rn <= $k ORDER BY batch_vec, rn"""
   }
 
   /** Sign-bit LSH cell key for one band: bit i of the key is

@@ -122,4 +122,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 2L, 1000000L)),
       s"got ${got.mkString(", ")}")
   }
+
+  test("dhash64 matches a hand-computed gradient-sign pack") {
+    import graft.functions.VectorFunctions
+    // 72 cells, row-major 8x9: cell(r*9+c) = (r*9+c) * 7 % 97 — an
+    // irregular but deterministic luminance surface
+    val cells = Seq.tabulate(72)(i => (i * 7 % 97).toLong)
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (cells(r * 9 + c) < cells(r * 9 + c + 1))
+        want |= (1L << (r * 8 + c))
+    val got = Seq(Tuple1(cells)).toDF("cells")
+      .select(VectorFunctions.dhash64($"cells").as("fp"))
+      .collect().head.getLong(0)
+    assert(got == want, f"dhash64 got $got%x want $want%x")
+    // malformed (short) frame yields null, never a bogus fingerprint
+    val short = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("cells")
+      .select(VectorFunctions.dhash64($"cells").as("fp"))
+      .collect().head
+    assert(short.isNullAt(0), "short cell array must yield null")
+  }
+
+  test("q246 dHash pairs a +1-brightness copy; exact hash would miss it") {
+    val tmp = java.nio.file.Files.createTempDirectory("dh").toString
+    // one 144-char frame with an irregular profile; doc 2 is the SAME
+    // frame one brightness step up (every char +1): pooled cells all
+    // shift by exactly +1, so every gradient sign — and the dHash —
+    // is preserved while the exact text (q97's key) differs. Doc 3
+    // reverses the frame: a different gradient profile, no pair.
+    val base = (0 until 144).map(i => ('a' + i * 5 % 20).toChar).mkString
+    val brighter = base.map(ch => (ch + 1).toChar)
+    val reversed = base.reverse
+    Seq((1L, base), (2L, brighter), (3L, reversed))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(base != brighter, "fixture must differ textually")
+    val got = Multimodal.q246FrameDhash(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(1L),
+      s"brightness-shifted frame must share the dHash: $got")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"reversed-gradient frame must not pair: $got")
+    spark.catalog.clearCache()
+  }
 }

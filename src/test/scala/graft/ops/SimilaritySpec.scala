@@ -552,4 +552,46 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.exists(_._2 > 0), "at least one query should retrieve a relevant hit")
   }
+
+  test("q245 ingest ANN: planted batch twin finds its corpus neighbor " +
+       "through the persisted index") {
+    import spark.implicits._
+    // 48 pseudo-random 64-dim vectors (q81's generator); batch =
+    // multiples of 10. Batch vec 20 is an EXACT copy of corpus vec
+    // 23: its argmax cell is 23's cell, so the probe must surface 23
+    // at rank 1 with cos = 1 — and the batch must never appear in
+    // its own index (the corpus excludes multiples of 10).
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Seq.tabulate(64) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+      }
+    }
+    val rows = (0L until 48L).map(i =>
+      (i, if (i == 20L) vec(23L) else vec(i), i.toInt % 3))
+    val tmp = java.nio.file.Files.createTempDirectory("ingestann").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q245IngestAnn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getInt(4)))
+    val batchIds = got.map(_._1).distinct.sorted
+    assert(batchIds.toSeq == Seq(0L, 10L, 20L, 30L, 40L),
+      s"every batch vector must be probed: $batchIds")
+    // no neighbor may come from the batch itself
+    assert(got.forall(_._3 % 10 != 0),
+      s"batch leaked into its own index: ${got.filter(_._3 % 10 == 0).toSeq}")
+    val twin = got.filter(_._1 == 20L).minBy(_._5)
+    assert(twin._3 == 23L && twin._4 == 1.0 && twin._5 == 1,
+      s"planted twin must be rank-1 at cos 1.0, got $twin")
+    // the planted copy's cell assignment equals its twin's argmax
+    // cell — and ranks are contiguous from 1 per batch vector
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks not contiguous for $q: ${rs.toSeq}")
+    }
+    spark.catalog.clearCache()
+  }
 }

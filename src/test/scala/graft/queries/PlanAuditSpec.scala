@@ -878,4 +878,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "per-doc frame must be persisted — the corpus index is read, not recomputed")
   }
+
+  test("q245 ingest ANN: persisted IVF index probed, bounded top-k, no cartesian") {
+    val p = plan("q245_ingest_ann")
+    // the corpus cell assignment is THE index: persisted once, probed
+    // by the batch — never recomputed per batch vector
+    assert(p.contains("InMemoryTableScan"),
+      "corpus IVF index must be persisted and probed, not recomputed")
+    assert(!p.contains("CartesianProduct"),
+      s"batch x corpus probe must stay an equi join on cell:\n${p.take(1200)}")
+    // top-k rides the bounded TopK aggregator (partial+final pair),
+    // never a corpus-sized per-query window sort
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
+  }
 }

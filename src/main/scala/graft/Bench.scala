@@ -38,6 +38,15 @@ object Bench {
     // reports -1 (sentinel) and its error — never the fast-failure
     // elapsed time (ADVICE r1).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // The streaming family runs a HIGHER floor of per-run samples
+    // (default 3, VERDICT r12 #6): its per-query times are dominated
+    // by a ~0.5 s/trigger session fixed cost whose round-over-round
+    // deltas are sub-second — exactly the scale of this box's noise
+    // bursts — so two samples cannot adjudicate a streaming
+    // regression claim. One extra sample on 14 queries costs ~20 s
+    // and makes the min a real steady-state estimate.
+    val streamRuns = sys.env.get("SPARK_GRAFT_BENCH_STREAM_RUNS")
+      .map(_.toInt).getOrElse(math.max(runs, 3))
     // Crosstalk guards (VERDICT r6 #4): per-query GC-time deltas make
     // allocation-storm inflation visible next to the wall time, and
     // the full GC between queries stops one query's garbage taxing
@@ -60,7 +69,8 @@ object Bench {
     // failure must stay visible — silently publishing it as cleanly
     // measured hides flaky queries from the board (ADVICE r9)
     val retriedErrors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timeGroup(group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+    def timeGroup(group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                  groupRuns: Int)
         : Seq[(String, Double, Double, Option[String])] = {
       // JVM/Spark warmup outside the timed region (codegen compilation,
       // parquet footer reads, first-shuffle setup) so timings reflect
@@ -90,7 +100,7 @@ object Bench {
             None
           }
         }
-        val base = (1 to runs).flatMap(_ => timedRun())
+        val base = (1 to groupRuns).flatMap(_ => timedRun())
         // adaptive third run (r9): when the N runs disagree by >1.4×,
         // at least one landed in a machine-noise window (this box
         // shows minute-scale CPU-steal bursts — the closing boards'
@@ -119,7 +129,25 @@ object Bench {
          err)
       }
     }
-    val results = (timeGroup(batchQs) ++ timeGroup(streamingQs)).sortBy(_._1)
+    val batchResults = timeGroup(batchQs, runs)
+    val streamResults = timeGroup(streamingQs, streamRuns)
+    val results = (batchResults ++ streamResults).sortBy(_._1)
+    // per-family min/max subtotals: the spread WITHIN a family is the
+    // adjudication evidence the per-round regression reads need
+    // (VERDICT r12 #6) — a family whose max/min ratio is wide was
+    // measured through machine noise, and sub-second deltas inside
+    // that band are not plan changes
+    def famJson(rs: Seq[(String, Double, Double, Option[String])],
+                n: Int): String = {
+      val lo = rs.map(_._2).filter(_ >= 0).sum
+      val hi = rs.map(_._3).filter(_ >= 0).sum
+      s"""{"value":${r3b(lo)},"value_max":${r3b(hi)},"runs":$n}"""
+    }
+    def r3b(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val families =
+      s"""{"batch":${famJson(batchResults, runs)},"streaming":${famJson(streamResults, streamRuns)}}"""
     // milli-second precision: the full 167-query map must survive the
     // driver's truncated stdout-tail capture (BENCH_r01..r05 all came
     // back `parsed: null` — VERDICT r5 #4), so keep the line compact
@@ -142,7 +170,7 @@ object Bench {
     val rerrs = retriedErrors.map { case (k, e) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —
     // carries the per-query GC seconds the compact stdout line omits
     val gcs = results.map { case (k, _, _, _) =>
@@ -150,7 +178,7 @@ object Bench {
     val qmax = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
@@ -166,6 +194,6 @@ object Bench {
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

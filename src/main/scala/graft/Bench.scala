@@ -24,8 +24,17 @@ object Bench {
     //   SPARK_GRAFT_BENCH_ONLY=q51,q57 times just those queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // exclusion twin of the ONLY filter (mirrors Verify's
+    // SPARK_GRAFT_SKIP): for fixtures where a query's OUTPUT is
+    // adjudicated infeasible (q59 on a Zipf corpus emits ~1.6e8
+    // pairs — SCALE.md round 13)
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(o => o.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(o => o.exists(name.startsWith)) &&
+          !skip.exists(name.startsWith) }
     // Batch queries are warmed AND timed before any streaming query
     // runs: a started streaming query leaves state-store maintenance
     // threads and state memory in the JVM, which is cross-talk the

@@ -16,12 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    // local-iteration filter: SPARK_GRAFT_ONLY=q73,q74 limits the dump
-    // (the driver sets nothing → full run)
+    // local-iteration filters: SPARK_GRAFT_ONLY=q73,q74 limits the
+    // dump; SPARK_GRAFT_SKIP=q59 excludes queries whose OUTPUT is
+    // adjudicated infeasible on a given fixture (e.g. q59's pair set
+    // is output-quadratic on a Zipf corpus — SCALE.md round 13).
+    // The driver sets neither → full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(f => f.exists(name.startsWith)) }
+      only.forall(f => f.exists(name.startsWith)) &&
+        !skip.exists(name.startsWith) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -421,7 +421,20 @@ object Dedup {
     * 4-chunk banding is pigeonhole-COMPLETE for hamming ≤ 3, the
     * banded Spark result equals the all-pairs answer, which is what
     * the DuckDB oracle computes directly — the gate thereby proves
-    * the banding loses nothing, not just that both engines agree. */
+    * the banding loses nothing, not just that both engines agree.
+    *
+    * ENVELOPE (measured, SCALE.md round 13): the frequency-weighted
+    * UNIGRAM fingerprint upstream (q25) requires high fingerprint
+    * entropy. On a Zipf(1.07) 50k-doc corpus the head tokens
+    * dominate every doc's vote, fingerprints collapse (16,609
+    * distinct over 50k docs, hottest 16-bit chunk bucket 45,842
+    * docs), and the TRUE answer is itself quadratic — 158.7M pairs
+    * within hamming ≤ 3 — so no candidate scheme can be sub-output;
+    * banding candidate mass (1.77B) even exceeds brute force there.
+    * The cheap pre-flight is the chunk-bucket histogram (the q58
+    * heavy-hitter shape); on Zipfian real text use [[q185SimhashPairs]],
+    * whose DISTINCT-shingle fingerprints stay diverse on the same
+    * corpus (49,687 distinct fps, max bucket 28, 1,574 true pairs). */
   def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     // completeness bound, same argument as q185's 15-bit chunks
     require(maxDist <= 3,

@@ -59,8 +59,10 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
+    import time
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        t_q = time.time()
         sql = oracles[name]
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
@@ -103,27 +105,46 @@ def main() -> None:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # Column-vectorized compare with a cell-wise fallback: the
+        # original per-cell .iloc double loop is O(rows x cols) Python
+        # dispatch — hours on a 10M-row sf1 output. Non-object columns
+        # compare as one numpy op (exact equality + both-NaN, the same
+        # predicate cell_eq applies); object columns (strings, list
+        # cells) fall back to a zip loop over .to_numpy(), still ~100x
+        # faster than .iloc. Semantics are unchanged: any index the
+        # fast path flags is re-diagnosed through cell_eq.
+        def unwrap(v):
+            if hasattr(v, "item") and not isinstance(v, (list, tuple)):
+                try:
+                    return v.item()
+                except (ValueError, AttributeError):
+                    return v
+            return v
+
         bad = []
-        for i in range(len(got)):
-            for c in got.columns:
-                a, b = got.iloc[i][c], want.iloc[i][c]
-                if hasattr(a, "item") and not isinstance(a, (list, tuple)):
-                    try:
-                        a = a.item()
-                    except (ValueError, AttributeError):
-                        pass
-                if hasattr(b, "item") and not isinstance(b, (list, tuple)):
-                    try:
-                        b = b.item()
-                    except (ValueError, AttributeError):
-                        pass
-                if not cell_eq(a, b):
-                    near = ""
-                    if isinstance(a, float) and isinstance(b, float) and math.isfinite(a) and math.isfinite(b):
-                        near = f" (diff={abs(a - b):.3e})"
-                    bad.append(f"  row {i} col {c}: spark={a!r} oracle={b!r}{near}")
-                    if len(bad) >= 5:
-                        break
+        for c in got.columns:
+            ga, wa = got[c], want[c]
+            idx = None
+            if ga.dtype != object and wa.dtype != object:
+                try:
+                    eq = (ga == wa) | (ga.isna() & wa.isna())
+                    eq = eq.fillna(False)
+                    import numpy as _np
+                    idx = _np.flatnonzero(~eq.to_numpy(dtype=bool))
+                except (TypeError, ValueError):
+                    idx = None
+            if idx is None:
+                gv, wv = ga.to_numpy(), wa.to_numpy()
+                idx = [i for i in range(len(gv))
+                       if not cell_eq(unwrap(gv[i]), unwrap(wv[i]))]
+            for i in idx[:max(0, 5 - len(bad))]:
+                a, b = unwrap(got[c].iloc[int(i)]), unwrap(want[c].iloc[int(i)])
+                if cell_eq(a, b):
+                    continue  # fast-path false positive (exotic dtype)
+                near = ""
+                if isinstance(a, float) and isinstance(b, float) and math.isfinite(a) and math.isfinite(b):
+                    near = f" (diff={abs(a - b):.3e})"
+                bad.append(f"  row {i} col {c}: spark={a!r} oracle={b!r}{near}")
             if len(bad) >= 5:
                 break
         if bad:
@@ -131,7 +152,8 @@ def main() -> None:
             print("\n".join(bad))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows) [{time.time() - t_q:.1f}s]",
+                  flush=True)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)

@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
   * driver-side collect, no per-row encoder loop; the events parquet is
   * hard-linked (copied on failure) into a temp stream directory and the
   * sentinels arrive as later file drops, exactly how a production file
-  * stream ingests. State partitions are capped at 8 for these
-  * micro-batches: state-store commit overhead is per-partition per
-  * batch and dominates at bench scale (the conf is restored after
-  * start — streaming captures its own session clone).
+  * stream ingests. State partitions are set per query (1 for
+  * commit-bound light aggregates, 4 for compute-bound joins/sessions
+  * — the r13 sweep; see runStream): state-store commit overhead is
+  * per-partition per batch and dominates at bench scale, but the
+  * stateful operator's own CPU work parallelizes with partitions
+  * (the conf is restored after start — streaming captures its own
+  * session clone).
   */
 object StreamQueries {
 
@@ -81,7 +84,8 @@ object StreamQueries {
     * per sf dir (their content depends only on the dir's max event
     * time) and hard-linked into each run's stream directory — repeat
     * runs skip three Spark jobs (max-ts agg + two one-row writes). */
-  private case class Sentinels(s1: java.nio.file.Path,
+  private case class Sentinels(s0: java.nio.file.Path,
+                               s1: java.nio.file.Path,
                                s2: java.nio.file.Path,
                                s3: java.nio.file.Path)
   private val sentinelCache =
@@ -115,7 +119,15 @@ object StreamQueries {
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
         Paths.get(found.head)
       }
-      Sentinels(write("s1", maxMs + 3L * 3600 * 1000),
+      // s0 is the HOLD sentinel: its ts sits ~90 days BEFORE the data,
+      // so dropping it schedules a micro-batch without moving the
+      // watermark — the bridge batch a phased feed needs between an
+      // on-time and a late phase (SPARK-24588: the late filter of a
+      // stateful operator uses the PREVIOUS batch's watermark, so one
+      // batch must pass for a phase's watermark to become filterable)
+      // when the query does NOT want no-data flushing's trailing batch.
+      Sentinels(write("s0", maxMs - 90L * 24 * 3600 * 1000),
+                write("s1", maxMs + 3L * 3600 * 1000),
                 write("s2", maxMs + 30L * 3600 * 1000),
                 write("s3", maxMs + 60L * 3600 * 1000))
     })
@@ -154,7 +166,9 @@ object StreamQueries {
                         phases: Seq[org.apache.spark.sql.Column] = Nil,
                         flushViaNoData: Boolean = false,
                         sentinelPicks: Seq[Int] = Nil,
-                        outputMode: OutputMode = OutputMode.Append)
+                        outputMode: OutputMode = OutputMode.Append,
+                        stateParts: Int = 1,
+                        bridgeBetweenPhases: Boolean = false)
                        (transform: DataFrame => DataFrame): DataFrame = {
     // dev-only phase timer (SPARK_GRAFT_STREAM_TRACE=1): attributes the
     // gate's per-query wall time to setup / start / drain / stop so the
@@ -246,14 +260,21 @@ object StreamQueries {
     val ckptBase =
       if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
       else Paths.get(System.getProperty("java.io.tmpdir"))
-    // 1 state partition at bench scale: the r7 sweep (1/2/4/8/16)
-    // put the knee at 2, but the r9 re-sweep AFTER the AvailableNow
-    // + format-validation-off cuts reads 1 consistently ~3-6% ahead
-    // on the heavy five — per-partition state-store commit cost
-    // dominates parallelism gains on a 200k-row state, and each cut
-    // shrank the non-state share it was hiding behind. A real
-    // cluster deployment sizes this to executor count instead.
-    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "1")
+    // State partitions are PER QUERY since r13: the r9 global sweep
+    // read 1 best overall, but it averaged two regimes. Light
+    // aggregates (tumbling/sliding counts, dedup, enrich) are
+    // commit-bound — per-partition state-store commit cost dominates,
+    // 1 partition wins. Stateful-COMPUTE queries (stream-stream
+    // joins, sessionization, the chained HLL aggs, the phased feeds)
+    // are CPU-bound inside the stateful operator — at 1 partition the
+    // join probe / session merge / 190k-row state commit runs on one
+    // core while 31 idle. The r13 re-sweep (1/4/8/16, min-of-4, heavy
+    // six) reads 4 ahead of 1 by ~15-20% and ahead of 8/16, so those
+    // queries pass stateParts = 4. A real cluster deployment sizes
+    // this to executor count instead. The env knob stays as a global
+    // override for sweeps.
+    val statePartsEff = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS",
+                                          stateParts.toString)
     // Debug knob, scoped per query (e.g. SPARK_GRAFT_STREAM_SENTINELS_q51):
     // a uniform override would silently strip another query's required
     // watermark-advancing sentinel while iterating on this one.
@@ -265,7 +286,7 @@ object StreamQueries {
       "spark.sql.streaming.noDataMicroBatches.enabled")
     val prevFmtVal = s.conf.getOption(
       "spark.sql.streaming.stateStore.formatValidation.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    s.conf.set("spark.sql.shuffle.partitions", statePartsEff)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
                flushViaNoData.toString)
     // Per-batch state-store format validation re-checks every loaded
@@ -419,6 +440,20 @@ object StreamQueries {
         q.processAllAvailable()
         mark("drain0")
         phaseFiles.drop(1).zipWithIndex.foreach { case (f, i) =>
+          if (bridgeBetweenPhases) {
+            // Explicit bridge batch (replaces no-data flushing for a
+            // query with no flush EMISSIONS, e.g. eager-emitting
+            // dedup): the hold sentinel s0 schedules one micro-batch
+            // without advancing the watermark, so the NEXT phase's
+            // late filter sees the previous phase's watermark
+            // (SPARK-24588 lag) — same aging as the no-data batch,
+            // minus the trailing no-data flush batch the noData path
+            // schedules after the final phase (one full commit cycle
+            // per run).
+            dropSentinel(sent.s0)
+            q.processAllAvailable()
+            mark(s"bridge${i + 1}")
+          }
           linkOrCopy(f, tmp.resolve(s"phase${i + 1}.parquet"))
           if (mergeIntoLastPhase && i == phaseFiles.length - 2)
             dropSentinel(sentFile(remainingPicks.head))
@@ -497,7 +532,7 @@ object StreamQueries {
     * watermark nodes to advance the join's watermark) and are dropped
     * from the result by user_id. Oracle: the plain batch self-join. */
   def q57StreamJoin(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q57", drops = 0) { src =>
+    runStream(s, dir, "q57", drops = 0, stateParts = 4) { src =>
       EventStreams.attributionJoin(
         src.filter(col("event_type").isin("view", sentinelType)),
         src.filter(col("event_type").isin("purchase", sentinelType)))
@@ -520,7 +555,7 @@ object StreamQueries {
     * sentinel's own pairing (user −1) is dropped from the result.
     * Oracle: the plain batch LEFT JOIN. */
   def q101StreamJoinOuter(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q101", drops = 2) { src =>
+    runStream(s, dir, "q101", drops = 2, stateParts = 4) { src =>
       EventStreams.attributionJoin(
         src.filter(col("event_type").isin("view", sentinelType)),
         src.filter(col("event_type").isin("purchase", sentinelType)),
@@ -549,7 +584,7 @@ object StreamQueries {
     * purchase rows never mix, so no other tie is engine-sensitive.
     * Oracle: the identical batch FULL JOIN. */
   def q239StreamJoinFullOuter(s: SparkSession, dir: String): DataFrame =
-    runStream(s, dir, "q239", drops = 2) { src =>
+    runStream(s, dir, "q239", drops = 2, stateParts = 4) { src =>
       EventStreams.attributionJoin(
         src.filter(col("event_type").isin("view", sentinelType)),
         src.filter(col("event_type").isin("purchase", sentinelType)),
@@ -617,7 +652,13 @@ object StreamQueries {
     * processing order: an entry's expiry moves by < 24 h with
     * whichever occurrence is processed first, never enough to flip a
     * late/live verdict, and the emitted row is projected to the key
-    * columns (the q67 argument). Oracle: the distinct keys of days
+    * columns (the q67 argument). The batch between the phases is the
+    * HOLD-sentinel bridge (not a no-data flush batch): dedup emits
+    * eagerly, so the only job between phases is aging the watermark by
+    * one batch (SPARK-24588) — the s0 bridge does that in one commit
+    * cycle and skips the trailing no-data batch the flush path
+    * schedules after phase B (3 triggers, down from 4; r13
+    * streaming-floor cut). Oracle: the distinct keys of days
     * 2–30. Eviction, re-admission and no-expiry-extension semantics —
     * unreachable deterministically from a batch oracle — are pinned
     * by EventStreamsSpec with a state-metrics bound. */
@@ -629,7 +670,7 @@ object StreamQueries {
     val phaseB = t >= dSplit || t < dLate ||
       (pmod(col("event_id"), lit(7L)) === 0 && t >= dLate && t < dSplit)
     runStream(s, dir, "q236", drops = 0, phases = Seq(phaseA, phaseB),
-              flushViaNoData = true) { src =>
+              bridgeBetweenPhases = true, stateParts = 4) { src =>
       EventStreams.dedupStream(
           src.withColumn("day", date_trunc("DAY", col("ts"))),
           Seq("user_id", "event_type", "day"), watermark = "48 hours")
@@ -695,7 +736,7 @@ object StreamQueries {
     * running-sum numbering). */
   def q52StreamSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions = runStream(s, dir, "q52", drops = 2) { df =>
+    val sessions = runStream(s, dir, "q52", drops = 2, stateParts = 4) { df =>
       import df.sparkSession.implicits._
       EventStreams.sessionize(df.as[EventRow]).toDF()
     }
@@ -737,7 +778,8 @@ object StreamQueries {
     val onTime = pmod(col("event_id"), lit(20L)) =!= 0 || col("event_id") < 0
     val late = pmod(col("event_id"), lit(20L)) === 0 && col("event_id") >= 0
     runStream(s, dir, "q156", drops = 1, phases = Seq(onTime, late),
-              flushViaNoData = true, sentinelPicks = Seq(2))(
+              flushViaNoData = true, sentinelPicks = Seq(2),
+              stateParts = 4)(
       EventStreams.tumblingCounts(_, "1 hour", "24 hours"))
       .filter(col("event_type") =!= sentinelType)
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
@@ -824,7 +866,7 @@ object StreamQueries {
     * on finalized rows. */
   def q226StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions = runStream(s, dir, "q226", drops = 2) { df =>
+    val sessions = runStream(s, dir, "q226", drops = 2, stateParts = 4) { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"),
@@ -898,7 +940,7 @@ object StreamQueries {
     val two45 = Hll45
     val m = HllM
     val alpha = 0.7182725932495458 // 0.7213/(1 + 1.079/256)
-    val est = runStream(s, dir, "q231", drops = 2)(q231Transform)
+    val est = runStream(s, dir, "q231", drops = 2, stateParts = 4)(q231Transform)
     est
       .withColumn("hll_raw",
         round(lit(alpha) * lit(m.toDouble * m.toDouble) * lit(two45.toDouble) /

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{BoatQueries, EtlQueries, Relational}
-import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Linkage, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -277,6 +277,7 @@ object SparkEntry {
     "q244_ks_drift"        -> ((s, d) => EventOps.q244KsDrift(s, d)),
     "q245_ingest_ann"      -> ((s, d) => Similarity.q245IngestAnn(s, d)),
     "q246_frame_dhash"     -> Multimodal.q246FrameDhash,
+    "q247_record_linkage"  -> ((s, d) => Linkage.q247RecordLinkage(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2521,5 +2522,6 @@ object SparkEntry {
     "q244_ks_drift" -> EventOps.q244OracleSql(),
     "q245_ingest_ann" -> Similarity.q245OracleSql(),
     "q246_frame_dhash" -> Multimodal.q246OracleSql,
+    "q247_record_linkage" -> Linkage.q247OracleSql(),
   )
 }

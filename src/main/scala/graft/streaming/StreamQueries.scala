@@ -75,10 +75,24 @@ object StreamQueries {
     }
   }
 
+  /** Hard-link `src` as `dst`; cross-filesystem (e.g. /tmp-cached
+    * phase files into a /dev/shm stream dir) falls back to copy —
+    * via a temp name + ATOMIC_MOVE, never a direct copy to `dst`:
+    * the stream's trigger thread lists the source directory
+    * continuously, so a file must appear in it complete-or-not-at-all
+    * (a direct Files.copy exposes a half-written parquet and the
+    * batch dies with FAILED_READ_FILE — first seen on the sf1
+    * fixture, where the bigger phase files widen the race window). */
   private def linkOrCopy(src: Path, dst: Path): Unit =
     try Files.createLink(dst, src)
     catch { case _: Exception =>
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+      // dot-prefixed: Spark's file listing ignores hidden files, so
+      // the in-flight copy is invisible until the atomic rename
+      val tmp = dst.resolveSibling("." + dst.getFileName.toString)
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** The two sentinel rows as single parquet part-files, built ONCE
     * per sf dir (their content depends only on the dir's max event

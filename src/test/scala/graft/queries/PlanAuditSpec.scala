@@ -892,4 +892,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
   }
+
+  test("q247 record linkage: both blocking passes stay equi joins; the " +
+       "1-row weight frame broadcasts") {
+    val p = plan("q247_record_linkage")
+    // blocked self-joins must never degrade to a cartesian — the
+    // block keys are equality conditions in both passes
+    assert(!p.contains("CartesianProduct"),
+      s"blocked self-join degraded to cartesian:\n${p.take(1200)}")
+    // the weights frame is ONE row: it must ride a broadcast onto the
+    // pair stream, not shuffle it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row weight frame must broadcast onto the candidate pairs")
+    // two blocked equi-join passes (A and B) exist; at sf0.001 the
+    // tiny sides broadcast, at scale they shuffle — any equi node
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+             .findAllIn(p).length >= 2,
+      s"expected two blocked equi-join passes:\n${p.take(1200)}")
+  }
 }

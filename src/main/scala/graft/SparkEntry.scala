@@ -1673,6 +1673,11 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS k_types
          FROM f ORDER BY user_id, ts, event_id""",
+    // q123 oracle (r13): p is MATERIALIZED — DuckDB inlines CTEs, so the
+    // bigram frame was re-expanded inside c12, c1 AND sc — and the
+    // vocabulary size arrives via a 1-row CROSS JOIN: the correlated
+    // (SELECT v FROM vt) form re-evaluated per join row and never
+    // finished on the 50k-type Zipf corpus at sf1.
     "q123_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),
@@ -1681,7 +1686,7 @@ object SparkEntry {
                     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
                 ELSE [] END) AS b
                 FROM t),
-         p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+         p AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
          c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
          c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
          vt AS (SELECT count(DISTINCT tok) AS v FROM
@@ -1689,9 +1694,10 @@ object SparkEntry {
                   FROM documents)),
          sc AS (SELECT p.doc_id, count(*) AS n_bigrams,
                   CAST(sum((c12.c12 + 1) * 1000000 //
-                           (c1.c1 + (SELECT v FROM vt))) AS BIGINT)
+                           (c1.c1 + vt.v)) AS BIGINT)
                     AS sum_micro
                 FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                     CROSS JOIN vt
                 GROUP BY p.doc_id)
          SELECT d.doc_id,
            coalesce(sc.n_bigrams, 0) AS n_bigrams,

@@ -13,6 +13,7 @@ Driver-side tooling only; the Scala library never depends on this.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -60,8 +61,22 @@ def main() -> None:
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     import time
+    # Resume support for long sf1 runs: GRAFT_CHECK_SKIP_PASSED points
+    # at a previous run's log; queries it already PASSed are skipped
+    # (counted as passes) so a mid-run oracle fix doesn't re-pay the
+    # finished oracles. The driver never sets this — full runs only.
+    done = set()
+    skip_log = os.environ.get("GRAFT_CHECK_SKIP_PASSED")
+    if skip_log and Path(skip_log).exists():
+        for line in Path(skip_log).read_text().splitlines():
+            if line.startswith("PASS "):
+                done.add(line.split()[1])
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in done:
+            print(f"PASS {name} (carried from {skip_log})")
+            n_pass += 1
+            continue
         t_q = time.time()
         sql = oracles[name]
         res_dir = Path(out_dir) / name

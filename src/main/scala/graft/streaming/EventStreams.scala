@@ -193,9 +193,16 @@ object EventStreams {
     *
     * Semantics: while a type's active users fit in m, counts are
     * EXACT and the emission is identical to the full-map operator —
-    * the regime the oracle gate runs in (m = 4096 vs ≤ 1,500 active
-    * users at sf0.1), so the batch oracle still proves it
-    * bit-for-bit. Past m, SpaceSaving's guarantee applies: any user
+    * the regime the oracle gate runs in (m = 65536 vs ≤ 1,500 active
+    * users at sf0.1 and 15,000 at the 10× sf1 stress fixture, where
+    * the r13 run MEASURED the envelope: at the old m = 4096 the
+    * sf1 top-3 counts inflated by exactly the eviction error the
+    * sketch tracks — the approximate regime working as specified,
+    * but outside what an exact batch oracle can gate), so the batch
+    * oracle still proves it bit-for-bit at every fixture. m stays a
+    * pure memory/accuracy dial: production sizes it to budget and
+    * accepts the ε = N/m bound. Past m, SpaceSaving's guarantee
+    * applies: any user
     * with true frequency > N/m is retained, estimates over-count by
     * at most the tracked `error`, and the top-k of the counters is
     * the classic heavy-hitters answer (the approximation, arrival-
@@ -208,7 +215,7 @@ object EventStreams {
     * pin). Per-row cost is O(log m) via a (count asc, user desc)
     * ordered set; per-batch emission sorts m entries. */
   def typeTopUsers(events: Dataset[EventRow], k: Int = 3,
-                   m: Int = 4096): Dataset[TypeTopK] = {
+                   m: Int = 65536): Dataset[TypeTopK] = {
     import events.sparkSession.implicits._
     // victim order: smallest count first, ties -> LARGEST user id
     val victimOrd = new Ordering[(Long, Long)] {

@@ -64,6 +64,54 @@ object Bench {
     // driver-side while a min-of-2 re-run read flat; the unarmed
     // barrier was half that ambiguity): SPARK_GRAFT_BENCH_GC=0
     // disables it for raw-throughput experiments.
+    // Calibration probe (VERDICT r13 #1): a fixed, data-independent
+    // CPU + shuffle micro-bench run BEFORE the board, emitted into the
+    // bench JSON as `calib`. Round-over-round comparisons divide by
+    // `factor` (= this run's probe seconds / the reference probe
+    // seconds) instead of inferring the box speed post-hoc from the
+    // very queries being judged — r13's raw 223.4 s vs r12's 145.8 s
+    // was ~1.5× box contention that needed exactly this measurement.
+    //   - cpu leg: 48M rows × 8 chained xxhash64 mixes, no exchange —
+    //     whole-stage-codegen arithmetic throughput;
+    //   - shuffle leg: 12M rows hashed into 1M keys, two-level
+    //     aggregate — exchange write/read + hash-agg throughput.
+    // Both are deterministic in work (row counts and expressions are
+    // constants); min-of-3 discards scheduler noise bursts. CALIB_REF
+    // is the probe's seconds on the round-14 build box measured while
+    // quiet — a constant, so `factor` means "this run's box is N×
+    // slower than the reference box", comparable across all rounds
+    // that carry the probe.
+    def calibProbe(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      def mix(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+        (1 to n).foldLeft(c)((acc, _) => xxhash64(acc))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def cpuLeg(): Unit =
+        spark.range(0, 144000000L, 1, 32)
+          .select(pmod(mix(col("id"), 8), lit(1000000007L)).as("h"))
+          .agg(sum("h")).collect() // pmod: 144M × 1e9 stays far under 2⁶³ (ANSI)
+      def shuffleLeg(): Unit =
+        spark.range(0, 24000000L, 1, 32)
+          .select(pmod(xxhash64(col("id")), lit(1048576L)).as("k"),
+                  col("id").as("v"))
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .agg(sum("n"), sum("s"), count(lit(1))).collect()
+      cpuLeg(); shuffleLeg() // codegen + first-exchange warmup, untimed
+      val cpu = (1 to 3).map(_ => timed(cpuLeg())).min
+      val sh = (1 to 3).map(_ => timed(shuffleLeg())).min
+      (cpu, sh)
+    }
+    val calibOn = !sys.env.get("SPARK_GRAFT_BENCH_CALIB").contains("0")
+    // Probe seconds on the round-14 build box: min across 3 fresh JVMs
+    // of the per-JVM min-of-3 (cpu 0.566 + shuffle 1.540). `factor` is
+    // this run's probe over that constant — >1 means the board ran on
+    // a slower/contended box and round-over-round totals divide by it.
+    val CalibRef = 2.106
+    val (calibCpu, calibShuffle) = if (calibOn) calibProbe() else (-1.0, -1.0)
+    val calibSec = if (calibOn) calibCpu + calibShuffle else -1.0
+    val calibFactor = if (calibOn) calibSec / CalibRef else -1.0
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans()
     def gcMillis(): Long = {
@@ -178,8 +226,10 @@ object Bench {
     // not plan change; `agg` spells this out for the board reader
     val rerrs = retriedErrors.map { case (k, e) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
+    val calib =
+      s"""{"cpu_sec":${r3(calibCpu)},"shuffle_sec":${r3(calibShuffle)},"sec":${r3(calibSec)},"ref_sec":$CalibRef,"factor":${r3(calibFactor)}}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —
     // carries the per-query GC seconds the compact stdout line omits
     val gcs = results.map { case (k, _, _, _) =>
@@ -187,7 +237,7 @@ object Bench {
     val qmax = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
@@ -203,6 +253,6 @@ object Bench {
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"families":$families,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

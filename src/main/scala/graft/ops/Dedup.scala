@@ -434,12 +434,52 @@ object Dedup {
     * The cheap pre-flight is the chunk-bucket histogram (the q58
     * heavy-hitter shape); on Zipfian real text use [[q185SimhashPairs]],
     * whose DISTINCT-shingle fingerprints stay diverse on the same
-    * corpus (49,687 distinct fps, max bucket 28, 1,574 true pairs). */
-  def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    * corpus (49,687 distinct fps, max bucket 28, 1,574 true pairs).
+    *
+    * That pre-flight now runs INSIDE the operator (VERDICT r13 #3):
+    * before the banded self-join, one aggregate over the 4n
+    * (chunk_no, chunk) rows measures the hottest bucket, and the
+    * operator REFUSES the join — IllegalStateException naming the
+    * measured envelope and the q185 alternative — when it exceeds
+    * `maxBucket` (default adaptive: max(1024, 5% of docs); the Zipf
+    * collapse reads 92% of docs in one bucket, healthy corpora well
+    * under 1%). The pre-flight costs one map-side-combined aggregate
+    * over fingerprints that are persisted and reused by the join —
+    * nothing is computed twice — and turns the documented
+    * degenerate-regime adjudication into a runtime guarantee: a user
+    * pointing q59 at Zipfian text gets a diagnosis, not a
+    * 1.77e9-candidate join. */
+  def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3,
+                      maxBucket: Long = -1L): DataFrame = {
     // completeness bound, same argument as q185's 15-bit chunks
     require(maxDist <= 3,
       s"q59 chunk banding is complete only for maxDist <= 3, got $maxDist")
-    simhashPairs(q25SimHash(s, dir), maxDist)
+    val fps = q25SimHash(s, dir).persist()
+    // hottest (chunk_no, chunk) bucket + doc count from ONE aggregate
+    // (n = Σ bucket counts / 4 — every doc lands in exactly 4 buckets)
+    val hist = fps.select(explode(chunkCols(col("simhash"))).as("ck"))
+      .groupBy(col("ck.chunk_no"), col("ck.chunk"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("hot"), sum(col("cnt")).as("tot4"))
+      .collect()
+    val (hot, nDocs) = hist.headOption
+      .filterNot(_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1) / 4)).getOrElse((0L, 0L))
+    val bound =
+      if (maxBucket > 0) maxBucket
+      else math.max(1024L, math.ceil(nDocs * 0.05).toLong)
+    if (hot > bound) {
+      fps.unpersist()
+      throw new IllegalStateException(
+        s"q59: degenerate fingerprint regime — hottest 16-bit chunk bucket " +
+        s"holds $hot of $nDocs docs (bound $bound). The frequency-weighted " +
+        s"unigram SimHash collapses on skewed token distributions " +
+        s"(measured on a Zipf(1.07) 50k-doc corpus: 16,609 distinct " +
+        s"fingerprints, 1.77e9 banded candidates — worse than all-pairs; " +
+        s"SCALE.md round 13). Use q185SimhashPairs (distinct-shingle " +
+        s"fingerprints) for near-dup pairs on natural text.")
+    }
+    simhashPairs(fps, maxDist)
   }
 
   /** DuckDB oracle for q59 — the q25 fingerprints joined ALL-PAIRS
@@ -469,15 +509,19 @@ object Dedup {
        ORDER BY doc_a, doc_b"""
   }
 
+  /** The 4 disjoint 16-bit chunk structs of a 64-bit fingerprint —
+    * shared by the banded join and q59's pre-flight histogram. */
+  private def chunkCols(simhash: org.apache.spark.sql.Column) =
+    array((0 until 4).map { c =>
+      struct(lit(c).as("chunk_no"),
+             shiftrightunsigned(simhash, c * 16)
+               .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    }: _*)
+
   /** The banding+verify core over any (doc_id, simhash) frame. */
   private[ops] def simhashPairs(fps: DataFrame, maxDist: Int): DataFrame = {
-    val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("chunk_no"),
-             shiftrightunsigned(col("simhash"), c * 16)
-               .bitwiseAND(lit(0xFFFFL)).as("chunk"))
-    }
     val banded = fps
-      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), explode(chunkCols(col("simhash"))).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk_no"), col("ck.chunk"))
     val a = banded.toDF("doc_a", "sh_a", "cn_a", "ck_a")
     val b = banded.toDF("doc_b", "sh_b", "cn_b", "ck_b")

@@ -10,22 +10,89 @@ import graft.Tables
   * for record linkage", JASA]: candidate pairs from cheap blocking,
   * per-field agreement weights from log-likelihood ratios
   * ln(m/u) / ln((1−m)/(1−u)), pair score = sum of field weights,
-  * thresholded into match / possible-match verdicts. The
-  * u-probabilities (chance agreement between NON-matches) are
-  * ESTIMATED FROM THE CORPUS — u_f = Σ_v n_v(n_v−1) / (N(N−1)) over
-  * field f's global value distribution — which is what separates this
-  * family from the fixed-weight dedup scores the board already has
-  * (q23 Jaccard, q78 edit distance): a field's evidentiary value is
-  * data-driven, so a field that happens to be near-constant in the
-  * corpus contributes ~nothing even when it agrees.
+  * thresholded into match / possible-match verdicts. BOTH parameter
+  * families are estimated from the data (full FS, VERDICT r13 #5):
+  * the m- and u-probabilities come from an EM fit over the 2⁴
+  * agreement-pattern contingency of the candidate pairs [Winkler 1988,
+  * "Using the EM algorithm for weight computation in the
+  * Fellegi-Sunter model"], run in exact integer micro arithmetic so
+  * the DuckDB oracle replays it bit-for-bit. A field that happens to
+  * be uninformative in the corpus — agreeing as often between
+  * non-matches as between matches — earns m ≈ u and so ~zero weight,
+  * with no prior to override the data.
   */
 object Linkage {
 
-  /** q247 — Fellegi–Sunter probabilistic record linkage on
-    * `documents` [Fellegi & Sunter 1969]: multi-pass blocked
-    * candidate pairs scored by per-field log-likelihood agreement
-    * weights whose u-probabilities are estimated from the corpus as
-    * exact integer ratios, thresholded into match / possible-match
+  /** Fixed EM iteration count — both engines run the identical
+    * truncating integer recurrence, so the gate is bit-exact (the
+    * q234 Jacobi convention: determinism beats adaptive stopping). */
+  private[ops] val EmIters = 25
+  private val Mi = BigInt(1000000)
+
+  /** EM fit of the 2-class (match / non-match) latent mixture over an
+    * agreement-pattern contingency, in exact integer micro arithmetic
+    * (all probabilities are integers in [1, 10⁶−1]; every division
+    * truncates; BigInt throughout — intermediate products reach 10³⁶,
+    * mirrored by HUGEINT in the oracle).
+    *
+    * `patterns`: (bits per field, pair count); `uInit`: initial
+    * u-probability per field in micro (the corpus chance-agreement
+    * ratio — an informative start that breaks the label symmetry
+    * toward "matches are the rare, high-agreement class");
+    * m starts at 0.9, the class prior p at 0.1.
+    *
+    * Per iteration, E-step posterior per pattern γ:
+    *   a(γ) = p·Π_f (γ_f ? m_f : M−m_f);  b(γ) = (M−p)·Π_f (γ_f ? u_f : M−u_f)
+    *   g(γ) = a·M div (a+b)
+    * M-step (all sums exact integers, so order-free):
+    *   p  ← Σc·g div Σc
+    *   m_f ← Σ_{γ_f=1} c·g·M div Σc·g
+    *   u_f ← Σ_{γ_f=1} c·(M−g)·M div (Σc·M − Σc·g)
+    * each clamped to [1, M−1] (keeps the final ln weights finite when
+    * a class degenerates). Returns (p, m per field, u per field) in
+    * micro. */
+  private[ops] def emFit(patterns: Seq[(Seq[Int], Long)],
+                         uInit: Seq[Long],
+                         iters: Int = EmIters): (Long, Seq[Long], Seq[Long]) = {
+    val nf = uInit.size
+    require(patterns.forall(_._1.size == nf), "pattern arity != field count")
+    def clamp(x: BigInt): BigInt = x.max(BigInt(1)).min(Mi - 1)
+    var p = BigInt(100000)
+    var m = Vector.fill(nf)(BigInt(900000))
+    var u = uInit.map(v => clamp(BigInt(v))).toVector
+    val c = patterns.map { case (_, n) => BigInt(n) }
+    val cTot = c.sum
+    for (_ <- 1 to iters) {
+      val g = patterns.zipWithIndex.map { case ((bits, _), i) =>
+        val a = bits.indices.foldLeft(p)((acc, f) =>
+          acc * (if (bits(f) == 1) m(f) else Mi - m(f)))
+        val b = bits.indices.foldLeft(Mi - p)((acc, f) =>
+          acc * (if (bits(f) == 1) u(f) else Mi - u(f)))
+        a * Mi / (a + b) // a+b ≥ 2: p and every factor are clamped ≥ 1
+      }
+      val s = patterns.indices.map(i => c(i) * g(i)).sum
+      val sBar = cTot * Mi - s
+      p = if (cTot > 0) clamp(s / cTot) else p
+      m = Vector.tabulate(nf) { f =>
+        val num = patterns.indices
+          .collect { case i if patterns(i)._1(f) == 1 => c(i) * g(i) }.sum
+        if (s > 0) clamp(num * Mi / s) else m(f)
+      }
+      u = Vector.tabulate(nf) { f =>
+        val num = patterns.indices
+          .collect { case i if patterns(i)._1(f) == 1 => c(i) * (Mi - g(i)) }.sum
+        if (sBar > 0) clamp(num * Mi / sBar) else u(f)
+      }
+    }
+    (p.toLong, m.map(_.toLong), u.map(_.toLong))
+  }
+
+  /** q247 — FULL Fellegi–Sunter probabilistic record linkage on
+    * `documents` [Fellegi & Sunter 1969; Winkler 1988]: multi-pass
+    * blocked candidate pairs, an integer-micro EM fit of BOTH the m-
+    * and u-probabilities over the candidates' 2⁴ agreement-pattern
+    * contingency, and per-field log-likelihood weights from the
+    * fitted parameters, thresholded into match / possible-match
     * verdicts — the entity-resolution step a training-data pipeline
     * runs when "same record" is probabilistic, not an equality key.
     *
@@ -33,93 +100,88 @@ object Linkage {
     * disagree): first token `ft`, md5 of the first-8-token prefix
     * `p8` (an appended-suffix duplicate — the corpus's planted dup
     * shape — keeps the whole prefix, so p8 is the high-precision
-    * identity field and its data-estimated u makes its agreement
-    * weight large), 25-char length bucket `cb`, 5-word count bucket
-    * `wb`. m-probabilities are fixed priors (0.95/0.9/0.9/0.9);
-    * u-probabilities come from the corpus as exact integer ratios
-    * u_num/u_den (u_den = N(N−1)), so both engines derive identical
-    * weights from identical integers (the ln inputs are bit-equal;
-    * ln itself is the established q214/q231 cross-engine surface).
-    * Zero-frequency guards: max(u_num, 1) and max(u_den − u_num, 1)
-    * keep the logs finite when a field is all-unique or constant.
+    * identity field), 25-char length bucket `cb`, 5-word count
+    * bucket `wb`. Null text coalesces to '' in BOTH engines before
+    * tokenizing (ADVICE r13: Spark's concat_ws over a null array
+    * yields md5("") while DuckDB's array_to_string(NULL) is NULL —
+    * the coalesce makes the engines agree on null-text docs instead
+    * of silently dropping them from pass B's equi-join).
+    *
+    * Parameter estimation: u initializes from the corpus
+    * chance-agreement ratio u_f = Σ_v n_v(n_v−1) / N(N−1) (exact
+    * integer micro), m from 0.9, prior p from 0.1; [[emFit]] then
+    * runs [[EmIters]] fixed truncating-integer iterations over the
+    * ≤ 16-row pattern contingency (a driver-bounded read — the q234
+    * bounded-scalar pattern; the contingency is counted by one
+    * map-side-combining aggregate over the candidate pairs). The
+    * DuckDB oracle replays the identical recurrence in HUGEINT, so
+    * weights derive from bit-equal integers in both engines (the ln
+    * inputs are identical integer ratios; ln itself is the
+    * established q214/q231 cross-engine surface). Estimating on the
+    * blocked candidate set (not the full N² pair space) is the
+    * standard FS deployment [Winkler 1988] — u then means "chance
+    * agreement among co-blocked non-matches", which is the
+    * population the scores rank.
     *
     * Blocking is MULTI-PASS (the standard FS deployment shape
-    * [Hernández & Stolfo 1998, "Real-world data is dirty"]: no single
-    * key survives every corruption, so the candidate set is the UNION
-    * of several cheap passes): pass A blocks on (lang, source,
-    * 100-char length bucket) — the metadata-stable pairs; pass B
-    * blocks on p8 itself — the corpus's planted duplicates re-draw
-    * lang AND source (measured at sf0.01: dup groups like
-    * [es/src5, de/src7, de/src13]), so a metadata pass alone splits
-    * nearly every true match, while the shared text prefix survives
-    * by construction. Pair rows from the two passes are union-
-    * DISTINCT'd before scoring. Each pass's oversized blocks are
-    * deterministically sub-split at maxBlock — the q23/q78
-    * O(n·maxBlock) bound on the quadratic pair space; a true match
-    * split across sub-blocks or buckets in BOTH passes is the
-    * documented recall cost of blocking, not a correctness defect.
-    * (p8 doubles as a pass-B block key and a compare field — within
-    * pass-B pairs its agreement is by construction, but the score is
-    * one formula over the deduped union, so a pair's score is
-    * independent of which pass found it.) Verdicts:
-    * score ≥ tMatch → 'match', ≥ tPossible → 'possible', below →
-    * not emitted (the non-link mass is the quadratic part; FS
-    * pipelines only materialize the review queue). Score is emitted
-    * in round-4; the threshold compares run on the unrounded double
-    * in BOTH engines.
+    * [Hernández & Stolfo 1998]: no single key survives every
+    * corruption): pass A blocks on (lang, source, 100-char length
+    * bucket); pass B blocks on p8 — the corpus's planted duplicates
+    * re-draw lang AND source (measured at sf0.01), so the metadata
+    * pass alone splits nearly every true match while the shared
+    * prefix survives by construction. Pair rows from the two passes
+    * are union-DISTINCT'd before the contingency count and scoring.
+    * Each pass's oversized blocks are deterministically sub-split at
+    * maxBlock — the q23/q78 O(n·maxBlock) bound on the quadratic
+    * pair space. Verdicts: score ≥ tMatch → 'match', ≥ tPossible →
+    * 'possible', below → not emitted (FS pipelines only materialize
+    * the review queue). Score is emitted in round-4; the threshold
+    * compares run on the unrounded double in BOTH engines.
     *
     * Scale shape: one map pass to the compact per-doc comparison
     * frame (ids + 4 small fields — text never enters the join), a
     * block-keyed self-join with enforced ≤ maxBlock blocks, the
-    * 1-row weight frame broadcast onto the pair stream, one
-    * aggregate-free projection per pair, and the emission filter
-    * runs BEFORE any ordering, so the global sort sees only the
-    * review queue. u-estimation is two rounds of map-side-combining
-    * aggregates per field (value counts → one scalar), never a
-    * window over the corpus. */
+    * agreement bits projected in the join (pairs never carry field
+    * values downstream), ONE map-side-combining aggregate to the
+    * ≤ 16-row contingency (the only extra action vs a fixed-weight
+    * scorer — the candidate frame is persisted and reused), the EM
+    * on ≤ 16 driver rows, and the fitted weights folded back in as
+    * LITERALS — scoring is a pure projection, no weight join at all.
+    * u-init is two rounds of map-side aggregates per field. */
   def q247RecordLinkage(s: SparkSession, dir: String,
                         maxBlock: Int = 1024,
                         tMatch: Double = 10.0,
                         tPossible: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mFt = 0.95; val mP8 = 0.9; val mCb = 0.9; val mWb = 0.9
     val docs = Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               element_at(col("toks"), 1).as("ft"),
               md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("p8"),
               expr("n_chars div 25").as("cb"),
               expr("size(toks) div 5").as("wb"))
-    // u-probability numerators as exact integers: Σ n_v(n_v−1) per
-    // field over the GLOBAL value distribution (two map-side
-    // aggregates each); denominator N(N−1) from one scalar count.
+    val fields = Seq("ft", "p8", "cb", "wb")
+    // u-INIT numerators as exact integers: Σ n_v(n_v−1) per field over
+    // the GLOBAL value distribution (two map-side aggregates each);
+    // denominator N(N−1) from one scalar count. One bounded driver
+    // read (1 row, 5 longs).
     def uNum(c: String): DataFrame =
       docs.groupBy(col(c)).agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1)")).as(s"u_$c"))
-    val weights = docs.agg(count(lit(1)).as("n_docs"))
+    val uRow = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(uNum("ft")).crossJoin(uNum("p8"))
       .crossJoin(uNum("cb")).crossJoin(uNum("wb"))
-      .withColumn("u_den", expr("n_docs * (n_docs - 1)"))
-    def wA(m: Double, u: String) =
-      log(lit(m) * col("u_den").cast("double") /
-          greatest(col(u), lit(1L)).cast("double"))
-    // the disagreement prior is an EXPLICIT literal (0.05, 0.1), not
-    // 1.0 − m: the Scala double `1.0 - 0.95` is 0.050000000000000044
-    // while the oracle's SQL literal 0.05 is not — same final round-4
-    // either way, but identical ln inputs keep the threshold compare
-    // bit-equal too.
-    def wD(oneMinusM: Double, u: String) =
-      log(lit(oneMinusM) * col("u_den").cast("double") /
-          greatest(col("u_den") - col(u), lit(1L)).cast("double"))
-    val wRow = weights.select(
-      wA(mFt, "u_ft").as("wa_ft"), wD(0.05, "u_ft").as("wd_ft"),
-      wA(mP8, "u_p8").as("wa_p8"), wD(0.1, "u_p8").as("wd_p8"),
-      wA(mCb, "u_cb").as("wa_cb"), wD(0.1, "u_cb").as("wd_cb"),
-      wA(mWb, "u_wb").as("wa_wb"), wD(0.1, "u_wb").as("wd_wb"))
-    val fields = Seq("ft", "p8", "cb", "wb")
+      .first()
+    val nDocs = uRow.getLong(0)
+    val uDen = BigInt(nDocs) * BigInt(nDocs - 1) max BigInt(1)
+    val uInit = fields.indices.map { i =>
+      val num = if (uRow.isNullAt(i + 1)) 0L else uRow.getLong(i + 1)
+      (BigInt(num) * Mi / uDen).toLong
+    }
+    // candidate pairs: two blocking passes, agreement bits projected
+    // IN the join (a pair's bits are functions of its two docs, so
+    // DISTINCT over (ids, bits) equals DISTINCT over the raw pair)
     def sides(blocked: DataFrame, keys: Seq[String]) = {
-      // a compare field that doubles as a block key (p8 in pass B)
-      // must not be projected twice
       val cols = ("doc_id" +: keys) ++ fields.filterNot(keys.contains)
       val a = blocked.select(cols.map(col): _*)
         .toDF(cols.map(_ + "_a"): _*)
@@ -129,7 +191,8 @@ object Linkage {
         .reduce(_ && _) && col("doc_id_a") < col("doc_id_b")
       a.join(b, cond).select(
         col("doc_id_a").as("doc_a") +: col("doc_id_b").as("doc_b") +:
-        fields.flatMap(f => Seq(col(s"${f}_a"), col(s"${f}_b"))): _*)
+        fields.map(f => (col(s"${f}_a") === col(s"${f}_b"))
+          .cast("long").as(s"agree_$f")): _*)
     }
     val passA = docs
       .withColumn("lb", expr("n_chars div 100"))
@@ -141,22 +204,28 @@ object Linkage {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("p8"))))
       .withColumn("sub",
         pmod(col("doc_id"), ceil(col("cnt") / lit(maxBlock.toDouble))))
-    val pairs = sides(passA, Seq("lang", "source", "lb", "sub"))
+    val cand = sides(passA, Seq("lang", "source", "lb", "sub"))
       .unionByName(sides(passB, Seq("p8", "sub")))
       .distinct()
-      .crossJoin(broadcast(wRow))
-    val score =
-      when(col("ft_a") === col("ft_b"), col("wa_ft")).otherwise(col("wd_ft")) +
-      when(col("p8_a") === col("p8_b"), col("wa_p8")).otherwise(col("wd_p8")) +
-      when(col("cb_a") === col("cb_b"), col("wa_cb")).otherwise(col("wd_cb")) +
-      when(col("wb_a") === col("wb_b"), col("wa_wb")).otherwise(col("wd_wb"))
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-              (col("ft_a") === col("ft_b")).cast("long").as("agree_ft"),
-              (col("p8_a") === col("p8_b")).cast("long").as("agree_p8"),
-              (col("cb_a") === col("cb_b")).cast("long").as("agree_cb"),
-              (col("wb_a") === col("wb_b")).cast("long").as("agree_wb"),
-              score.as("s"))
+      .persist()
+    // the 2⁴ agreement-pattern contingency: ≤ 16 rows, the bounded
+    // driver read the EM consumes
+    val patterns = cand
+      .groupBy(fields.map(f => col(s"agree_$f")): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (fields.indices.map(i => r.getLong(i).toInt),
+                 r.getLong(fields.size)))
+      .toSeq
+    val (_, mHat, uHat) = emFit(patterns, uInit)
+    def wa(f: Int): Double = math.log(mHat(f).toDouble / uHat(f).toDouble)
+    def wd(f: Int): Double =
+      math.log((1000000L - mHat(f)).toDouble / (1000000L - uHat(f)).toDouble)
+    val score = fields.indices.map { f =>
+      when(col(s"agree_${fields(f)}") === 1, lit(wa(f))).otherwise(lit(wd(f)))
+    }.reduce(_ + _)
+    cand
+      .withColumn("s", score)
       .filter(col("s") >= tPossible)
       .select(col("doc_a"), col("doc_b"), col("agree_ft"), col("agree_p8"),
               col("agree_cb"), col("agree_wb"), round(col("s"), 4).as("score"),
@@ -165,13 +234,59 @@ object Linkage {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB oracle for q247 — identical blocking, integer u-ratios,
-    * in-engine log weights and unrounded threshold compares. */
+  /** DuckDB oracle for q247 — identical blocking, integer u-init,
+    * the IDENTICAL truncating integer-micro EM recurrence unrolled
+    * one MATERIALIZED CTE per iteration (the q234 technique) in
+    * HUGEINT (products reach 10³⁶), and in-engine ln weights +
+    * unrounded threshold compares over bit-equal integers. */
   def q247OracleSql(maxBlock: Int = 1024,
                     tMatch: Double = 10.0,
-                    tPossible: Double = 4.0): String =
+                    tPossible: Double = 4.0): String = {
+    val fields = Seq("ft", "p8", "cb", "wb")
+    val clampLo = "GREATEST(1::HUGEINT, LEAST(999999::HUGEINT, "
+    def emIter(k: Int): String = {
+      val prev = s"em_${k - 1}"
+      val mPrev = fields.map(f => s"e.m_$f AS m0_$f").mkString(", ")
+      val uPrev = fields.map(f => s"e.u_$f AS u0_$f").mkString(", ")
+      val aProd = fields.map(f =>
+        s"(CASE WHEN pt.agree_$f = 1 THEN e.m_$f ELSE 1000000::HUGEINT - e.m_$f END)")
+        .mkString(" * ")
+      val bProd = fields.map(f =>
+        s"(CASE WHEN pt.agree_$f = 1 THEN e.u_$f ELSE 1000000::HUGEINT - e.u_$f END)")
+        .mkString(" * ")
+      val bits = fields.map(f => s"pt.agree_$f").mkString(", ")
+      val mNew = fields.map(f =>
+        s"""CASE WHEN sum(c * g) > 0
+            THEN $clampLo sum(agree_$f * c * g) * 1000000 // sum(c * g)))
+            ELSE max(m0_$f) END AS m_$f""").mkString(",\n         ")
+      val uNew = fields.map(f =>
+        s"""CASE WHEN sum(c) * 1000000 - sum(c * g) > 0
+            THEN $clampLo sum(agree_$f * c * (1000000 - g)) * 1000000
+                 // (sum(c) * 1000000 - sum(c * g))))
+            ELSE max(u0_$f) END AS u_$f""").mkString(",\n         ")
+      s"""em_$k AS MATERIALIZED (SELECT
+         CASE WHEN sum(c) > 0 THEN $clampLo sum(c * g) // sum(c)))
+              ELSE max(p0) END AS p,
+         $mNew,
+         $uNew
+       FROM (SELECT *, a * 1000000 // (a + b) AS g FROM (
+         SELECT $bits, pt.c::HUGEINT AS c, e.p AS p0, $mPrev, $uPrev,
+           e.p * $aProd AS a,
+           (1000000::HUGEINT - e.p) * $bProd AS b
+         FROM pat pt CROSS JOIN $prev e)))"""
+    }
+    val emChain = (1 to EmIters).map(emIter).mkString(",\n       ")
+    val uInitCols = fields.map(f =>
+      s"$clampLo (u_$f::HUGEINT * 1000000) // u_den)) AS u_$f").mkString(", ")
+    val mInitCols = fields.map(f => s"900000::HUGEINT AS m_$f").mkString(", ")
+    val wCols = fields.map(f =>
+      s"""ln(m_$f::DOUBLE / u_$f::DOUBLE) AS wa_$f,
+          ln((1000000::HUGEINT - m_$f)::DOUBLE /
+             (1000000::HUGEINT - u_$f)::DOUBLE) AS wd_$f""").mkString(",\n         ")
+    val scoreExpr = fields.map(f =>
+      s"CASE WHEN agree_$f = 1 THEN wa_$f ELSE wd_$f END").mkString(" +\n          ")
     s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
-         str_split(text, ' ') AS toks FROM documents),
+         str_split(coalesce(text, ''), ' ') AS toks FROM documents),
        f AS (SELECT doc_id, lang, source, n_chars,
          toks[1] AS ft,
          md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS p8,
@@ -179,57 +294,51 @@ object Linkage {
          len(toks) // 5 AS wb,
          n_chars // 100 AS lb FROM d),
        nn AS (SELECT count(*)::BIGINT AS n_docs FROM f),
-       uft AS (SELECT sum(n * (n - 1))::BIGINT AS u_ft FROM
+       uft AS (SELECT coalesce(sum(n * (n - 1)), 0)::BIGINT AS u_ft FROM
          (SELECT count(*)::BIGINT AS n FROM f GROUP BY ft)),
-       up8 AS (SELECT sum(n * (n - 1))::BIGINT AS u_p8 FROM
+       up8 AS (SELECT coalesce(sum(n * (n - 1)), 0)::BIGINT AS u_p8 FROM
          (SELECT count(*)::BIGINT AS n FROM f GROUP BY p8)),
-       ucb AS (SELECT sum(n * (n - 1))::BIGINT AS u_cb FROM
+       ucb AS (SELECT coalesce(sum(n * (n - 1)), 0)::BIGINT AS u_cb FROM
          (SELECT count(*)::BIGINT AS n FROM f GROUP BY cb)),
-       uwb AS (SELECT sum(n * (n - 1))::BIGINT AS u_wb FROM
+       uwb AS (SELECT coalesce(sum(n * (n - 1)), 0)::BIGINT AS u_wb FROM
          (SELECT count(*)::BIGINT AS n FROM f GROUP BY wb)),
-       w AS (SELECT
-         ln(0.95 * u_den / greatest(u_ft, 1)) AS wa_ft,
-         ln(0.05 * u_den / greatest(u_den - u_ft, 1)) AS wd_ft,
-         ln(0.9 * u_den / greatest(u_p8, 1)) AS wa_p8,
-         ln(0.1 * u_den / greatest(u_den - u_p8, 1)) AS wd_p8,
-         ln(0.9 * u_den / greatest(u_cb, 1)) AS wa_cb,
-         ln(0.1 * u_den / greatest(u_den - u_cb, 1)) AS wd_cb,
-         ln(0.9 * u_den / greatest(u_wb, 1)) AS wa_wb,
-         ln(0.1 * u_den / greatest(u_den - u_wb, 1)) AS wd_wb
-         FROM (SELECT (n_docs * (n_docs - 1))::DOUBLE AS u_den,
-                 u_ft::DOUBLE AS u_ft, u_p8::DOUBLE AS u_p8,
-                 u_cb::DOUBLE AS u_cb, u_wb::DOUBLE AS u_wb
-               FROM nn, uft, up8, ucb, uwb)),
        blka AS (SELECT f.*, doc_id % CAST(ceil(count(*) OVER
            (PARTITION BY lang, source, lb) / $maxBlock.0) AS BIGINT)
            AS sub FROM f),
        blkb AS (SELECT f.*, doc_id % CAST(ceil(count(*) OVER
            (PARTITION BY p8) / $maxBlock.0) AS BIGINT) AS sub FROM f),
-       cand AS (
+       cand AS MATERIALIZED (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.ft AS ft_a, b.ft AS ft_b, a.p8 AS p8_a, b.p8 AS p8_b,
-           a.cb AS cb_a, b.cb AS cb_b, a.wb AS wb_a, b.wb AS wb_b
+           (a.ft = b.ft)::BIGINT AS agree_ft,
+           (a.p8 = b.p8)::BIGINT AS agree_p8,
+           (a.cb = b.cb)::BIGINT AS agree_cb,
+           (a.wb = b.wb)::BIGINT AS agree_wb
          FROM blka a JOIN blka b
            ON a.lang = b.lang AND a.source = b.source
           AND a.lb = b.lb AND a.sub = b.sub AND a.doc_id < b.doc_id
          UNION
-         SELECT a.doc_id, b.doc_id, a.ft, b.ft, a.p8, b.p8,
-           a.cb, b.cb, a.wb, b.wb
+         SELECT a.doc_id, b.doc_id,
+           (a.ft = b.ft)::BIGINT, (a.p8 = b.p8)::BIGINT,
+           (a.cb = b.cb)::BIGINT, (a.wb = b.wb)::BIGINT
          FROM blkb a JOIN blkb b
            ON a.p8 = b.p8 AND a.sub = b.sub AND a.doc_id < b.doc_id),
-       p AS (SELECT doc_a, doc_b,
-         (ft_a = ft_b)::BIGINT AS agree_ft,
-         (p8_a = p8_b)::BIGINT AS agree_p8,
-         (cb_a = cb_b)::BIGINT AS agree_cb,
-         (wb_a = wb_b)::BIGINT AS agree_wb,
-         (CASE WHEN ft_a = ft_b THEN wa_ft ELSE wd_ft END +
-          CASE WHEN p8_a = p8_b THEN wa_p8 ELSE wd_p8 END +
-          CASE WHEN cb_a = cb_b THEN wa_cb ELSE wd_cb END +
-          CASE WHEN wb_a = wb_b THEN wa_wb ELSE wd_wb END) AS s
+       pat AS MATERIALIZED (SELECT agree_ft, agree_p8, agree_cb, agree_wb,
+         count(*)::BIGINT AS c FROM cand GROUP BY 1, 2, 3, 4),
+       em_0 AS (SELECT 100000::HUGEINT AS p, $mInitCols, $uInitCols
+         FROM (SELECT GREATEST(n_docs * (n_docs - 1), 1)::HUGEINT AS u_den,
+                 u_ft, u_p8, u_cb, u_wb
+               FROM nn, uft, up8, ucb, uwb)),
+       $emChain,
+       w AS (SELECT
+         $wCols
+         FROM em_$EmIters),
+       p AS (SELECT doc_a, doc_b, agree_ft, agree_p8, agree_cb, agree_wb,
+         ($scoreExpr) AS s
          FROM cand CROSS JOIN w)
        SELECT doc_a, doc_b, agree_ft, agree_p8, agree_cb, agree_wb,
          round(s, 4) AS score,
          CASE WHEN s >= $tMatch THEN 'match' ELSE 'possible' END AS verdict
        FROM p WHERE s >= $tPossible
        ORDER BY doc_a, doc_b"""
+  }
 }

@@ -204,6 +204,26 @@ class DedupSpec extends SparkSpec {
       s"disjoint doc must not pair: $got")
   }
 
+  test("q59 pre-flight refuses a collapsed-fingerprint corpus, names q185") {
+    val tmp = java.nio.file.Files.createTempDirectory("q59g").toString
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // 12 identical docs -> one fingerprint, hottest chunk bucket = 12
+    (1L to 12L).map(i => (i, body)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ex = intercept[IllegalStateException] {
+      Dedup.q59SimHashPairs(spark, tmp, maxBucket = 10L)
+    }
+    assert(ex.getMessage.contains("degenerate fingerprint regime"))
+    assert(ex.getMessage.contains("q185"), "refusal must point at the scale-safe twin")
+    // the same corpus passes with the bound above the bucket, and the
+    // banded join still finds every identical pair (12 choose 2)
+    val ok = Dedup.q59SimHashPairs(spark, tmp, maxBucket = 12L).collect()
+    assert(ok.length == 66 && ok.forall(_.getLong(2) == 0L))
+    spark.catalog.clearCache()
+  }
+
   test("q74 dup-ngram coverage counts cross-doc and within-doc repeats") {
     val tmp = java.nio.file.Files.createTempDirectory("dng").toString
     Seq(

@@ -893,17 +893,20 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
   }
 
-  test("q247 record linkage: both blocking passes stay equi joins; the " +
-       "1-row weight frame broadcasts") {
+  test("q247 record linkage: both blocking passes stay equi joins; " +
+       "EM weights fold in as literals (no weight join)") {
     val p = plan("q247_record_linkage")
     // blocked self-joins must never degrade to a cartesian — the
     // block keys are equality conditions in both passes
     assert(!p.contains("CartesianProduct"),
       s"blocked self-join degraded to cartesian:\n${p.take(1200)}")
-    // the weights frame is ONE row: it must ride a broadcast onto the
-    // pair stream, not shuffle it
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "1-row weight frame must broadcast onto the candidate pairs")
+    // the EM-fitted weights are driver-computed LITERALS since r14:
+    // scoring is a pure projection over the persisted candidate
+    // frame — no weight-frame join of any kind may appear on it
+    assert(p.contains("InMemoryTableScan"),
+      "candidate pairs must be persisted (contingency count + scoring share them)")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "weights must fold in as literals, not join onto the pairs")
     // two blocked equi-join passes (A and B) exist; at sf0.001 the
     // tiny sides broadcast, at scale they shuffle — any equi node
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r

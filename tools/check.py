@@ -61,14 +61,30 @@ def main() -> None:
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     import time
+    # Header line ties a log to the run it measured, so a resumed run
+    # can refuse stale passes (ADVICE r13: a carried PASS from a log
+    # written against a different out_dir/SF silently counted as green).
+    print(f"RUN sf_dir={os.path.abspath(sf_dir)} out_dir={os.path.abspath(out_dir)}")
     # Resume support for long sf1 runs: GRAFT_CHECK_SKIP_PASSED points
     # at a previous run's log; queries it already PASSed are skipped
     # (counted as passes) so a mid-run oracle fix doesn't re-pay the
     # finished oracles. The driver never sets this — full runs only.
+    # The prior log must carry a RUN header naming the SAME sf_dir and
+    # out_dir — carrying passes across fixtures or re-dumped Verify
+    # outputs is exactly the silent-green failure mode, so a header
+    # mismatch (or a headerless pre-r14 log) aborts loudly.
     done = set()
     skip_log = os.environ.get("GRAFT_CHECK_SKIP_PASSED")
     if skip_log and Path(skip_log).exists():
-        for line in Path(skip_log).read_text().splitlines():
+        lines = Path(skip_log).read_text().splitlines()
+        expect = (f"RUN sf_dir={os.path.abspath(sf_dir)}"
+                  f" out_dir={os.path.abspath(out_dir)}")
+        headers = [l for l in lines if l.startswith("RUN ")]
+        if not headers or headers[0] != expect:
+            sys.exit(f"GRAFT_CHECK_SKIP_PASSED log {skip_log} header "
+                     f"{headers[:1]} does not match this run ({expect}); "
+                     "refusing to carry its passes")
+        for line in lines:
             if line.startswith("PASS "):
                 done.add(line.split()[1])
     n_pass = n_fail = 0

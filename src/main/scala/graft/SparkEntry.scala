@@ -278,6 +278,7 @@ object SparkEntry {
     "q245_ingest_ann"      -> ((s, d) => Similarity.q245IngestAnn(s, d)),
     "q246_frame_dhash"     -> Multimodal.q246FrameDhash,
     "q247_record_linkage"  -> ((s, d) => Linkage.q247RecordLinkage(s, d)),
+    "q248_image_dhash"     -> Multimodal.q248ImageDhash,
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2529,5 +2530,6 @@ object SparkEntry {
     "q245_ingest_ann" -> Similarity.q245OracleSql(),
     "q246_frame_dhash" -> Multimodal.q246OracleSql,
     "q247_record_linkage" -> Linkage.q247OracleSql(),
+    "q248_image_dhash" -> Multimodal.q248OracleSql,
   )
 }

@@ -438,46 +438,52 @@ object Dedup {
     *
     * That pre-flight now runs INSIDE the operator (VERDICT r13 #3):
     * before the banded self-join, one aggregate over the 4n
-    * (chunk_no, chunk) rows measures the hottest bucket, and the
-    * operator REFUSES the join — IllegalStateException naming the
-    * measured envelope and the q185 alternative — when it exceeds
-    * `maxBucket` (default adaptive: max(1024, 5% of docs); the Zipf
-    * collapse reads 92% of docs in one bucket, healthy corpora well
-    * under 1%). The pre-flight costs one map-side-combined aggregate
-    * over fingerprints that are persisted and reused by the join —
-    * nothing is computed twice — and turns the documented
+    * (chunk_no, chunk) rows measures the banded CANDIDATE MASS
+    * Σ_buckets b(b−1)/2 — the exact pair count the join would
+    * enumerate — and the operator REFUSES the join
+    * (IllegalStateException naming the measured envelope and the q185
+    * alternative) when it exceeds `maxCandidates` (default adaptive:
+    * max(2·10⁷, 400·n) — the driver corpora sit at ≤ 3.8M / 5k docs,
+    * the Zipf collapse at 1.77·10⁹ / 50k docs, so the regimes are
+    * three orders apart). The pre-flight costs one map-side-combined
+    * aggregate over fingerprints that are persisted and reused by the
+    * join — nothing is computed twice — and turns the documented
     * degenerate-regime adjudication into a runtime guarantee: a user
     * pointing q59 at Zipfian text gets a diagnosis, not a
     * 1.77e9-candidate join. */
   def q59SimHashPairs(s: SparkSession, dir: String, maxDist: Int = 3,
-                      maxBucket: Long = -1L): DataFrame = {
+                      maxCandidates: Long = -1L): DataFrame = {
     // completeness bound, same argument as q185's 15-bit chunks
     require(maxDist <= 3,
       s"q59 chunk banding is complete only for maxDist <= 3, got $maxDist")
     val fps = q25SimHash(s, dir).persist()
-    // hottest (chunk_no, chunk) bucket + doc count from ONE aggregate
+    // candidate mass + hottest bucket + doc count from ONE aggregate
     // (n = Σ bucket counts / 4 — every doc lands in exactly 4 buckets)
     val hist = fps.select(explode(chunkCols(col("simhash"))).as("ck"))
       .groupBy(col("ck.chunk_no"), col("ck.chunk"))
       .agg(count(lit(1)).as("cnt"))
-      .agg(max(col("cnt")).as("hot"), sum(col("cnt")).as("tot4"))
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("mass"),
+           max(col("cnt")).as("hot"), sum(col("cnt")).as("tot4"))
       .collect()
-    val (hot, nDocs) = hist.headOption
+    val (mass, hot, nDocs) = hist.headOption
       .filterNot(_.isNullAt(0))
-      .map(r => (r.getLong(0), r.getLong(1) / 4)).getOrElse((0L, 0L))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 4))
+      .getOrElse((0L, 0L, 0L))
     val bound =
-      if (maxBucket > 0) maxBucket
-      else math.max(1024L, math.ceil(nDocs * 0.05).toLong)
-    if (hot > bound) {
+      if (maxCandidates > 0) maxCandidates
+      else math.max(20000000L, 400L * nDocs)
+    if (mass > bound) {
       fps.unpersist()
       throw new IllegalStateException(
-        s"q59: degenerate fingerprint regime — hottest 16-bit chunk bucket " +
-        s"holds $hot of $nDocs docs (bound $bound). The frequency-weighted " +
-        s"unigram SimHash collapses on skewed token distributions " +
-        s"(measured on a Zipf(1.07) 50k-doc corpus: 16,609 distinct " +
-        s"fingerprints, 1.77e9 banded candidates — worse than all-pairs; " +
-        s"SCALE.md round 13). Use q185SimhashPairs (distinct-shingle " +
-        s"fingerprints) for near-dup pairs on natural text.")
+        s"q59: degenerate fingerprint regime — the banded join would " +
+        s"enumerate $mass candidate pairs over $nDocs docs (bound $bound; " +
+        s"hottest 16-bit chunk bucket holds $hot docs). The " +
+        s"frequency-weighted unigram SimHash collapses on skewed token " +
+        s"distributions (measured on a Zipf(1.07) 50k-doc corpus: 16,609 " +
+        s"distinct fingerprints, 1.77e9 banded candidates — worse than " +
+        s"all-pairs; SCALE.md round 13). Use q185SimhashPairs " +
+        s"(distinct-shingle fingerprints) for near-dup pairs on natural " +
+        s"text.")
     }
     simhashPairs(fps, maxDist)
   }

@@ -473,4 +473,139 @@ object Multimodal {
        FROM capped x JOIN capped y
          ON x.fp = y.fp AND x.doc_id < y.doc_id
        GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 30"""
+
+  /** Real-byte image plumbing (VERDICT r13 #8): an 18×16 RGB tensor
+    * derived DETERMINISTICALLY from a doc_id — every channel value is
+    * pure integer arithmetic, so the DuckDB oracle can regenerate the
+    * exact pixels without touching a codec. `bright` models a global
+    * brightness shift (re-encode/gamma-ish corruption), clamped at
+    * 255 like a real 8-bit pipeline. */
+  private[ops] def pixelChannel(docId: Long, x: Int, y: Int,
+                                c: Int, bright: Int): Int = {
+    val v = ((docId * 1315423911L + (y.toLong * 18 + x) * 2654435761L +
+              c.toLong * 97531L) % 256L).toInt
+    math.min(255, v + bright)
+  }
+
+  /** Encode the deterministic tensor as a REAL PNG via the JDK codec
+    * (javax.imageio) — actual compressed image bytes, the binary
+    * column shape a multimodal corpus carries. */
+  private[ops] def encodePng(docId: Long, bright: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        img.setRGB(x, y,
+          (pixelChannel(docId, x, y, 0, bright) << 16) |
+          (pixelChannel(docId, x, y, 1, bright) << 8) |
+          pixelChannel(docId, x, y, 2, bright))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode REAL image bytes through the JDK codec and pool to the
+    * 72-cell (8 rows × 9 cols) luminance grid [[DHash64]] consumes:
+    * integer BT.601 luma (299·R + 587·G + 114·B) div 1000 per pixel,
+    * 2×2 average pool per cell — all truncating integer ops, so the
+    * oracle's codec-free replay is exact (PNG is lossless). */
+  private[ops] def decodeCells(png: Array[Byte]): (Int, Int, Seq[Long]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    def lum(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+       114L * (rgb & 0xFF)) / 1000L
+    }
+    val cells = for (r <- 0 until 8; c <- 0 until 9) yield
+      (lum(2 * c, 2 * r) + lum(2 * c + 1, 2 * r) +
+       lum(2 * c, 2 * r + 1) + lum(2 * c + 1, 2 * r + 1)) / 4
+    (img.getWidth, img.getHeight, cells)
+  }
+
+  /** q248 — perceptual dHash over REAL image bytes (VERDICT r13 #8):
+    * the q246 recipe with the fake-decode convention replaced by an
+    * actual codec round-trip. Per document, an 18×16 RGB tensor
+    * (deterministic integer function of doc_id) is encoded to real
+    * PNG bytes and a +1-brightness variant of it — the binary image
+    * column a multimodal corpus carries — then DECODED back through
+    * javax.imageio, pooled to the 8×9 integer luminance grid (BT.601
+    * luma, 2×2 average pool), and fingerprinted by the codegen'd
+    * [[graft.functions.DHash64]]. Because PNG is lossless and every
+    * pixel is integer-derived, the DuckDB oracle regenerates the
+    * pixels codec-free and replays luma/pool/pack bit-for-bit — the
+    * gate therefore proves the ENCODE→DECODE round trip preserved
+    * every channel byte (a lossy or channel-swapping codec path would
+    * hash-diverge), which is exactly the property multimodal ingest
+    * needs pinned. MultimodalSpec pins the hand-computable gradient
+    * fingerprint and brightness-shift invariance on known images.
+    *
+    * Scale shape: the codec is genuine per-partition imperative work
+    * (the one place the mandate's mapPartitions escape hatch is the
+    * right tool — a pixel codec is not expressible as Catalyst
+    * expressions); both stages stay in Tungsten via product encoders,
+    * the tensor/codec cost is O(docs) map work with no shuffle before
+    * the final cosmetic sort, and the emitted frame is
+    * (doc_id, variant, fp, lum_sum) — bytes never cross a stage
+    * boundary. Swapping the deterministic tensor for a real corpus's
+    * binary column changes only the first `select`. */
+  def q248ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = s
+    import spark.implicits._
+    val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap(id => Seq((id, "base", encodePng(id, 0)),
+                         (id, "bright", encodePng(id, 1))))
+      .toDF("doc_id", "variant", "png")
+    val cells = pngs.as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, variant, png) =>
+        val (w, h, cs) = decodeCells(png)
+        (id, variant, w.toLong, h.toLong, cs)
+      })
+      .toDF("doc_id", "variant", "w", "h", "cells")
+    cells
+      .select(col("doc_id"), col("variant"), col("w"), col("h"),
+              VectorFunctions.dhash64(col("cells")).as("fp"),
+              expr("aggregate(cells, 0L, (a, x) -> a + x)").as("lum_sum"))
+      .orderBy(col("doc_id"), col("variant"))
+  }
+
+  /** DuckDB oracle for q248 — the codec-free pixel replay: identical
+    * integer tensor, BT.601 luma, 2×2 pool, and gradient-sign pack
+    * (bit 63 folds in as −2⁶³, the q246 convention); w/h are the
+    * fixed tensor dims the codec round-trip must preserve. */
+  def q248OracleSql: String = {
+    // luma of pixel (x, y) for the current (doc_id, bshift) row — the
+    // exact integer form of pixelChannel + the BT.601 combine
+    def lum(xE: String, yE: String): String = {
+      def ch(c: Int) =
+        s"least(255, (doc_id * 1315423911 + (($yE) * 18 + ($xE)) * 2654435761" +
+        s" + $c * 97531) % 256 + bshift)"
+      s"((299 * ${ch(0)} + 587 * ${ch(1)} + 114 * ${ch(2)}) // 1000)"
+    }
+    val cell =
+      s"""(${lum("2 * (i % 9)", "2 * (i // 9)")} +
+          ${lum("2 * (i % 9) + 1", "2 * (i // 9)")} +
+          ${lum("2 * (i % 9)", "2 * (i // 9) + 1")} +
+          ${lum("2 * (i % 9) + 1", "2 * (i // 9) + 1")}) // 4"""
+    s"""WITH v(variant, bshift) AS (VALUES ('base', 0), ('bright', 1)),
+       base AS (SELECT doc_id, variant, bshift FROM documents CROSS JOIN v),
+       cl AS (SELECT doc_id, variant,
+           list_transform(generate_series(0, 71), i -> $cell) AS cells
+         FROM base)
+       SELECT doc_id, variant, 18::BIGINT AS w, 16::BIGINT AS h,
+         (list_sum(list_transform(generate_series(0, 62),
+            b -> CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1]
+                           < cells[(b // 8) * 9 + (b % 8) + 2]
+                 THEN (1::BIGINT << b) ELSE 0 END))
+          + CASE WHEN cells[71] < cells[72]
+                 THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT AS fp,
+         list_sum(cells)::BIGINT AS lum_sum
+       FROM cl ORDER BY doc_id, variant"""
+  }
 }

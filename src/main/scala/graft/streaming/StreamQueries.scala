@@ -406,7 +406,15 @@ object StreamQueries {
     mark("setup")
     val writer = transformed.writeStream.queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        // one task + one file per micro-batch: the emitted rows are
+        // output-sized (finalized windows/sessions/join rows), so a
+        // per-state-partition fan-out only multiplies task-launch and
+        // commit-protocol overhead (~0.1-0.2 s per batch at gate
+        // scale, measured r14) and leaves more files for the readback
+        // to list. A production deployment with large per-batch
+        // output drops the coalesce — the writer is otherwise the
+        // same executor-side append.
+        batch.coalesce(1).write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", ckpt.toString)
       .outputMode(outputMode)
@@ -490,6 +498,13 @@ object StreamQueries {
         val parts = keys.flatMap(k => Option(dm.get(k)).map(v => s"$k=$v"))
         System.err.println(
           s"[batch] $prefix b${p.batchId} rows=${p.numInputRows} ${parts.mkString(" ")}")
+        p.stateOperators.foreach { so =>
+          System.err.println(
+            s"[state] $prefix b${p.batchId} op=${so.operatorName} " +
+            s"rowsTotal=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+            s"updMs=${so.allUpdatesTimeMs} rmMs=${so.allRemovalsTimeMs} " +
+            s"commitMs=${so.commitTimeMs} mem=${so.memoryUsedBytes}")
+        }
       }
       q.stop()
     }

@@ -212,14 +212,16 @@ class DedupSpec extends SparkSpec {
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // 12 identical fingerprints -> 4 chunk buckets of 12 -> candidate
+    // mass = 4 * C(12,2) = 264
     val ex = intercept[IllegalStateException] {
-      Dedup.q59SimHashPairs(spark, tmp, maxBucket = 10L)
+      Dedup.q59SimHashPairs(spark, tmp, maxCandidates = 200L)
     }
     assert(ex.getMessage.contains("degenerate fingerprint regime"))
     assert(ex.getMessage.contains("q185"), "refusal must point at the scale-safe twin")
-    // the same corpus passes with the bound above the bucket, and the
+    // the same corpus passes with the bound above the mass, and the
     // banded join still finds every identical pair (12 choose 2)
-    val ok = Dedup.q59SimHashPairs(spark, tmp, maxBucket = 12L).collect()
+    val ok = Dedup.q59SimHashPairs(spark, tmp, maxCandidates = 300L).collect()
     assert(ok.length == 66 && ok.forall(_.getLong(2) == 0L))
     spark.catalog.clearCache()
   }

@@ -143,6 +143,59 @@ class MultimodalSpec extends SparkSpec {
     assert(short.isNullAt(0), "short cell array must yield null")
   }
 
+  test("q248 codec round trip: PNG encode->decode returns the exact " +
+       "integer tensor (cells match the codec-free replay)") {
+    // the property the q248 gate rides: PNG is lossless, so the
+    // decoded luminance grid equals the grid computed straight from
+    // the pixel formula with no codec in the path
+    for (id <- Seq(0L, 7L, 123L)) {
+      val png = Multimodal.encodePng(id, 0)
+      assert(png.length > 8 &&
+        (png.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47)),
+        "payload must be a real PNG (magic bytes)")
+      val (w, h, cells) = Multimodal.decodeCells(png)
+      assert(w == 18 && h == 16)
+      def lum(x: Int, y: Int): Long =
+        (299L * Multimodal.pixelChannel(id, x, y, 0, 0) +
+         587L * Multimodal.pixelChannel(id, x, y, 1, 0) +
+         114L * Multimodal.pixelChannel(id, x, y, 2, 0)) / 1000L
+      val expected = for (r <- 0 until 8; c <- 0 until 9) yield
+        (lum(2 * c, 2 * r) + lum(2 * c + 1, 2 * r) +
+         lum(2 * c, 2 * r + 1) + lum(2 * c + 1, 2 * r + 1)) / 4
+      assert(cells == expected, s"codec round trip diverged for doc $id")
+    }
+  }
+
+  test("q248: a known gradient image fingerprints to all-ones; a " +
+       "brightness shift leaves the fingerprint unchanged") {
+    import graft.functions.VectorFunctions
+    // hand-computable pin on a REAL decoded image: luminance strictly
+    // increasing in x => every gradient bit set => fp == -1 (64 ones)
+    def gradPng(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val v = math.min(255, x * 13 + shift) // 0..221 (+shift), no clamp
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def fpOf(png: Array[Byte]): Long = {
+      val (_, _, cells) = Multimodal.decodeCells(png)
+      Seq(cells).toDF("cells")
+        .select(VectorFunctions.dhash64(col("cells")).as("fp"))
+        .head().getLong(0)
+    }
+    val base = fpOf(gradPng(0))
+    assert(base == -1L, s"strict x-gradient must set all 64 bits, got $base")
+    // +9 global brightness: every luminance shifts together, gradient
+    // signs (and so the fingerprint) are invariant — the perceptual
+    // property an exact byte hash cannot offer
+    assert(fpOf(gradPng(9)) == base, "brightness shift must not move the dHash")
+  }
+
   test("q246 dHash pairs a +1-brightness copy; exact hash would miss it") {
     val tmp = java.nio.file.Files.createTempDirectory("dh").toString
     // one 144-char frame with an irregular profile; doc 2 is the SAME

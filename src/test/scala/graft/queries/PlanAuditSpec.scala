@@ -893,6 +893,23 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
   }
 
+  test("q248 image dHash: codec stages stay map-side — no join, no " +
+       "aggregation shuffle before the final sort") {
+    val p = plan("q248_image_dhash")
+    // encode (flatMap) and decode (mapPartitions) are per-partition
+    // object stages; the fingerprint is a codegen'd expression — the
+    // only exchange allowed is the cosmetic ORDER BY's range
+    // partitioning, so the codec path scales as one linear pass
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in the codec pipeline:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+           !"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+             .findFirstIn(p).isDefined,
+      s"no join belongs in q248:\n${p.take(1200)}")
+    assert(p.contains("MapPartitions"),
+      "decode stage must be a typed per-partition operator")
+  }
+
   test("q247 record linkage: both blocking passes stay equi joins; " +
        "EM weights fold in as literals (no weight join)") {
     val p = plan("q247_record_linkage")

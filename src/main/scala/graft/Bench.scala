@@ -129,11 +129,16 @@ object Bench {
     // round-trip is two orders above bare metal, and it is the
     // streaming family's binding constraint; SCALE.md round 14).
     val CalibLatRef = 5.131
+    // The probe brackets the board — once before, once after — and
+    // the headline factors are the MEAN of the two readings: a
+    // contention burst that starts mid-board (the r14 run-B mode:
+    // pre-probe read 1.13× while the board's own spread showed ~1.5×)
+    // is invisible to a single pre-board probe but moves the post
+    // reading. Both raw readings are emitted so a pre/post gap flags
+    // an unstable measurement window outright.
     val (calibCpu, calibShuffle, calibLat) =
       if (calibOn) calibProbe() else (-1.0, -1.0, -1.0)
     val calibSec = if (calibOn) calibCpu + calibShuffle else -1.0
-    val calibFactor = if (calibOn) calibSec / CalibRef else -1.0
-    val calibLatFactor = if (calibOn) calibLat / CalibLatRef else -1.0
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans()
     def gcMillis(): Long = {
@@ -210,6 +215,14 @@ object Bench {
     }
     val batchResults = timeGroup(batchQs, runs)
     val streamResults = timeGroup(streamingQs, streamRuns)
+    // closing probe — same legs, same mins; see the calib comment above
+    val (postCpu, postShuffle, postLat) =
+      if (calibOn) calibProbe() else (-1.0, -1.0, -1.0)
+    val postSec = if (calibOn) postCpu + postShuffle else -1.0
+    val calibFactor =
+      if (calibOn) (calibSec + postSec) / 2.0 / CalibRef else -1.0
+    val calibLatFactor =
+      if (calibOn) (calibLat + postLat) / 2.0 / CalibLatRef else -1.0
     val results = (batchResults ++ streamResults).sortBy(_._1)
     // per-family min/max subtotals: the spread WITHIN a family is the
     // adjudication evidence the per-round regression reads need
@@ -249,7 +262,7 @@ object Bench {
     val rerrs = retriedErrors.map { case (k, e) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
     val calib =
-      s"""{"cpu_sec":${r3(calibCpu)},"shuffle_sec":${r3(calibShuffle)},"sec":${r3(calibSec)},"ref_sec":$CalibRef,"factor":${r3(calibFactor)},"lat_sec":${r3(calibLat)},"lat_ref_sec":$CalibLatRef,"lat_factor":${r3(calibLatFactor)}}"""
+      s"""{"cpu_sec":${r3(calibCpu)},"shuffle_sec":${r3(calibShuffle)},"sec":${r3(calibSec)},"post_sec":${r3(postSec)},"ref_sec":$CalibRef,"factor":${r3(calibFactor)},"lat_sec":${r3(calibLat)},"post_lat_sec":${r3(postLat)},"lat_ref_sec":$CalibLatRef,"lat_factor":${r3(calibLatFactor)}}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —

@@ -279,6 +279,9 @@ object SparkEntry {
     "q246_frame_dhash"     -> Multimodal.q246FrameDhash,
     "q247_record_linkage"  -> ((s, d) => Linkage.q247RecordLinkage(s, d)),
     "q248_image_dhash"     -> Multimodal.q248ImageDhash,
+    "q249_link_predict"    -> ((s, d) => graft.ops.GraphOps.q249LinkPredict(s, d)),
+    "q250_silhouette"      -> ((s, d) => Similarity.q250Silhouette(s, d)),
+    "q251_item_cf"         -> ((s, d) => graft.ops.GraphOps.q251ItemCf(s, d)),
   )
 
   /** The queries above that run real Structured Streaming round-trips.
@@ -2531,5 +2534,8 @@ object SparkEntry {
     "q246_frame_dhash" -> Multimodal.q246OracleSql,
     "q247_record_linkage" -> Linkage.q247OracleSql(),
     "q248_image_dhash" -> Multimodal.q248OracleSql,
+    "q249_link_predict" -> graft.ops.GraphOps.q249OracleSql(),
+    "q250_silhouette" -> Similarity.q250OracleSql(),
+    "q251_item_cf" -> graft.ops.GraphOps.q251OracleSql(),
   )
 }

@@ -827,4 +827,184 @@ object GraphOps {
                          / (m * sxx - sx * sx)::DOUBLE, 4) END
            AS assortativity
        FROM agg"""
+
+  /** q249 — LINK PREDICTION by the Resource-Allocation index [Zhou,
+    * Lü & Zhang, Eur. Phys. J. B 2009; the exact-rational member of
+    * the common-neighbor family of Adamic & Adar 2003]: over the
+    * undirected co-click item graph (items joined when some user
+    * clicked both — the q116 projection), score every NON-edge pair
+    * (a, b) by RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) and emit the
+    * top 50 predicted links. Each common neighbor contributes the
+    * integer micro-weight 10⁹ div deg(z) (deg ≥ 2 for any common
+    * neighbor, so no division by zero) and scores sum as exact
+    * int64s — associative under any partitioning, which is what lets
+    * DuckDB replay the ranking bit-for-bit where the float 1/log of
+    * classic Adamic–Adar could diverge in accumulation order.
+    *
+    * Scale shape: wedge enumeration z→(a,b) is the q116 self-join on
+    * the adjacency list keyed by the common neighbor — C(deg(z),2)
+    * wedges per node, so HUBS own the quadratic term. The operator
+    * applies the standard LP hub suppression: neighbors with
+    * deg(z) > maxDeg are excluded from wedge generation BEFORE the
+    * self-join (they contribute ≤ 1/maxDeg each and dominate the
+    * candidate mass — the exact trade every production LP system
+    * makes), bounding wedge count by n·maxDeg²/2 rather than Σdeg².
+    * Existing edges leave via one left-anti join against the
+    * (a < b)-oriented edge list; top-50 is a deterministic global
+    * sort on (score desc, pair asc) over the already-aggregated
+    * candidate frame.
+    *
+    * Degenerate regime, stated: a CLOSED catalog saturates — once
+    * every item pair has been co-clicked (the driver fixture reaches
+    * completeness at sf0.1: 4,950/4,950 pairs) there are no
+    * non-edges and the prediction set is honestly EMPTY. That is the
+    * correct answer, not a failure; the operator's scaling direction
+    * is graphs whose node set grows with the data (open catalogs,
+    * user graphs — see q251's user-side formulation, which never
+    * saturates). */
+  def q249LinkPredict(s: SparkSession, dir: String,
+                      maxDeg: Long = 256L): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+    // undirected item projection, oriented a < b (the q116 edge set)
+    val e = clicks.toDF("user_id", "a")
+      .join(clicks.toDF("user_id", "b"), Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("a").as("z"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    // hub suppression: only small-degree common neighbors generate
+    // wedges; their per-wedge weight is the exact micro-int 1e9 div d
+    val sz = adj.join(deg.filter(col("d") <= maxDeg), Seq("z"))
+      .select(col("z"), col("n"),
+              expr("1000000000L div d").as("w")) // integer div: exact,
+                // and d > 0 so trunc-vs-floor cannot diverge vs DuckDB
+
+    val cand = sz.toDF("z", "a", "w")
+      .join(sz.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("w")).as("ra_micro"), count(lit(1)).as("common"))
+    cand.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** DuckDB oracle for q249 — identical projection, hub-suppressed
+    * wedge join, micro-int RA sum, anti-join and top-50. */
+  def q249OracleSql(maxDeg: Long = 256L): String =
+    s"""WITH c AS (SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events WHERE event_type = 'click'),
+       e AS (SELECT DISTINCT x.k AS a, y.k AS b
+             FROM c x JOIN c y ON x.user_id = y.user_id AND x.k < y.k),
+       adj AS (SELECT a AS z, b AS n FROM e
+               UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT z, count(*)::BIGINT AS d FROM adj GROUP BY z),
+       sz AS (SELECT adj.z, adj.n, 1000000000 // d AS w
+              FROM adj JOIN deg ON deg.z = adj.z WHERE d <= $maxDeg),
+       cand AS (SELECT x.n AS a, y.n AS b,
+                  sum(x.w)::BIGINT AS ra_micro,
+                  count(*)::BIGINT AS common
+                FROM sz x JOIN sz y ON x.z = y.z AND x.n < y.n
+                GROUP BY 1, 2),
+       pred AS (SELECT cand.* FROM cand
+                ANTI JOIN e ON e.a = cand.a AND e.b = cand.b)
+       SELECT a, b, ra_micro, common FROM pred
+       ORDER BY ra_micro DESC, a, b LIMIT 50"""
+
+  /** q251 — ITEM-BASED COLLABORATIVE FILTERING [Sarwar, Karypis,
+    * Konstan & Riedl, WWW 2001; the workhorse behind "users who
+    * clicked X also clicked Y"]: for each user in the scored cohort
+    * (user_id < 50, the q26 query-cohort convention), recommend the
+    * top-5 items the user has NOT clicked, scored by
+    * score(u, i) = Σ_{j ∈ clicked(u)} cooc(j, i), where cooc(j, i)
+    * counts the distinct users who clicked BOTH items — the raw
+    * co-occurrence form of the item-item similarity matrix, kept as
+    * exact int64s so both engines rank identically with no float in
+    * the path. This is q249's user-side dual, and unlike the closed-
+    * catalog projection it NEVER saturates: new users always have
+    * unclicked items to rank.
+    *
+    * Scale shape — the reason item-based CF (and not user-based) is
+    * the industry default: the model is the item-item matrix, whose
+    * size is bounded by the CATALOG (≤ items² entries, sparser in
+    * practice), not by users. It is computed once — one self-join of
+    * the distinct (user, item) click relation on user, C(basket,2)
+    * pairs per user, map-side-combined into counts — and BROADCAST;
+    * scoring is then a broadcast hash join against each cohort
+    * user's basket plus one (user, item) aggregation: no shuffle
+    * ever carries anything user-quadratic. Per-user baskets bound
+    * the pair generation (the fixture's are ≤ catalog = 100; a
+    * 100 TB deployment caps baskets at ~10³ — the standard move —
+    * or feeds the matrix from a count-min sketch). Top-5 per user
+    * rides the bounded [[graft.functions.TopK]] aggregator:
+    * map-side partials, ≤ 5 rows per user cross the shuffle, no
+    * per-user window sort (the q26/q43 pattern). */
+  def q251ItemCf(s: SparkSession, dir: String, k: Int = 5,
+                 cohort: Long = 50L): DataFrame = {
+    import graft.functions.TopK
+    val spark = s
+    import spark.implicits._
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // item-item co-occurrence matrix: distinct-user count per ordered
+    // pair (both directions emitted once via j != i), broadcast
+    val cooc = broadcast(
+      clicks.toDF("user_id", "j")
+        .join(clicks.toDF("user_id", "i"), Seq("user_id"))
+        .filter(col("j") =!= col("i"))
+        .groupBy(col("j"), col("i"))
+        .agg(count(lit(1)).as("cnt")))
+    val cohortClicks = clicks.filter(col("user_id") < cohort)
+      .toDF("user_id", "j")
+    val scored = cohortClicks
+      .join(cooc, Seq("j"))
+      .groupBy(col("user_id"), col("i"))
+      .agg(sum(col("cnt")).as("score"))
+      // drop items the user already clicked — only genuine
+      // recommendations rank
+      .join(clicks.toDF("user_id", "i"), Seq("user_id", "i"), "left_anti")
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, item, sc) => TopK.Scored(item, sc.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (u, top) =>
+        top.zipWithIndex.map { case (t, i) =>
+          (u, t.id, t.score.toLong, i + 1) } }
+      .toDF("user_id", "item", "score", "rn")
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** DuckDB oracle for q251 — same co-occurrence matrix, cohort
+    * scoring, clicked-item anti-join, and (score DESC, item) top-5. */
+  def q251OracleSql(k: Int = 5, cohort: Long = 50L): String =
+    s"""WITH c AS (SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events WHERE event_type = 'click'),
+       cooc AS (SELECT x.k AS j, y.k AS i, count(*)::BIGINT AS cnt
+                FROM c x JOIN c y
+                  ON x.user_id = y.user_id AND x.k <> y.k
+                GROUP BY 1, 2),
+       sc AS (SELECT b.user_id, m.i, sum(m.cnt)::BIGINT AS score
+              FROM c b JOIN cooc m ON m.j = b.k
+              WHERE b.user_id < $cohort
+              GROUP BY 1, 2),
+       fresh AS (SELECT sc.* FROM sc
+                 ANTI JOIN c ON c.user_id = sc.user_id AND c.k = sc.i),
+       r AS (SELECT user_id, i AS item, score,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY score DESC, i) AS rn
+             FROM fresh)
+       SELECT user_id, item, score, rn FROM r
+       WHERE rn <= $k ORDER BY user_id, rn"""
 }

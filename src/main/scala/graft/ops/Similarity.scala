@@ -2046,4 +2046,92 @@ object Similarity {
          CASE WHEN r_ideal > 0 THEN round(dcg_raw / idcg_raw, 4)
               ELSE 0.0 END AS ndcg
        FROM f ORDER BY q_id"""
+
+  /** q250 — SIMPLIFIED SILHOUETTE per IVF cell [silhouette: Kaufman
+    * & Rousseeuw 1990; the centroid-based simplified form: Hruschka,
+    * de Castro & Campello 2004 / the Vendramin-Campello-Hruschka
+    * 2010 validity survey]: the clustering-quality audit that closes
+    * the IVF triad — q128 says the cells are BALANCED, q125 says the
+    * labels COHERE, q250 says the geometry SEPARATES. Per vector,
+    * with the same learned centroids as q27 (C = 16, 2 Lloyd
+    * iterations): a = cosine distance to its OWN centroid (the
+    * argmax-sim cell), b = distance to the best OTHER centroid, and
+    * s = (b − a) / max(a, b), which for cosine distances d = 1 − sim
+    * collapses to (s1 − s2) / (1 − s2) with s1 ≥ s2 the top-2
+    * centroid similarities. s ≈ 1 means the vector sits deep inside
+    * its cell, s ≈ 0 on a cell boundary — the per-cell mean is the
+    * standard read on whether an IVF coarse quantizer actually
+    * carved structure (a low-silhouette cell is where q27's nprobe
+    * recall loss concentrates). The exact per-vector silhouette
+    * needs all pairwise distances (O(n²)); the simplified form is
+    * the scale-standard surrogate and needs only the n×C similarity
+    * matrix ALREADY computed by cell assignment.
+    *
+    * Determinism: s1, s2 are the same dot/norm arithmetic every
+    * gated ANN query relies on matching DuckDB bit-for-bit; the
+    * per-vector silhouette becomes the micro-int
+    * floor(s·10⁶ + 0.5) (house idiom), so per-cell sums are exact
+    * int64s and the emitted mean is one correctly-rounded division.
+    *
+    * Scale shape: one broadcast crossJoin of the corpus against the
+    * C centroids (the q27 assignment pass), reduced by a map-side
+    * partial collect of the per-vector top-2 struct — each group
+    * carries at most C 16-byte structs and the partial combine keeps
+    * the shuffle at O(n) rows; then one C-row aggregate. Nothing
+    * quadratic, no window over the corpus. */
+  def q250Silhouette(s: SparkSession, dir: String, C: Int = 16): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              l2norm(col("embedding")).as("nrm"))
+    val cent = centroidsWithNorm(e, C, iters = 2)
+    val sc = struct(
+      (dotFD(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("c_nrm"))).as("csim"),
+      (-col("c_id")).as("cneg"))
+    val top2 = e.crossJoin(cent)
+      .select(col("vec_id"), sc.as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(col("sc")), asc = false), 1, 2)
+             .as("t"))
+      .select((-col("t")(0)("cneg")).as("cell"),
+              col("t")(0)("csim").as("s1"),
+              col("t")(1)("csim").as("s2"))
+    val sil = when(col("s2") >= 1.0d, lit(0.0d))
+      .otherwise((col("s1") - col("s2")) / (lit(1.0d) - col("s2")))
+    top2
+      .select(col("cell"),
+              floor(sil * lit(1000000.0d) + lit(0.5d)).cast("long")
+                .as("sil_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("sil_micro")).as("sm"))
+      .select(col("cell"), col("n"),
+              round(col("sm").cast("double") / col("n") / lit(1000000.0d), 6)
+                .as("mean_sil"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB oracle for q250 — [[ivfLearnAssignCtes]]'s asg0 holds
+    * the full n×C similarity matrix; top-2 via row_number with the
+    * identical (csim DESC, c_id) tie-break, then the same micro-int
+    * fold and per-cell mean. */
+  def q250OracleSql(C: Int = 16, iters: Int = 2, dim: Int = 64,
+                    trainSample: Int = 65536): String =
+    s"""WITH ${ivfLearnAssignCtes(C, iters, dim, trainSample)},
+       r AS (SELECT vec_id, c_id, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, c_id) AS rn
+         FROM asg0),
+       pv AS (SELECT a.vec_id, a.c_id AS cell, a.csim AS s1,
+                b.csim AS s2
+         FROM r a JOIN r b ON a.vec_id = b.vec_id
+         WHERE a.rn = 1 AND b.rn = 2),
+       sm AS (SELECT cell,
+           CAST(floor((CASE WHEN s2 >= 1.0 THEN 0.0
+                            ELSE (s1 - s2) / (1.0 - s2) END)
+                      * 1000000.0 + 0.5) AS BIGINT) AS sil_micro
+         FROM pv)
+       SELECT cell, count(*)::BIGINT AS n,
+         round(sum(sil_micro)::DOUBLE / count(*) / 1000000.0, 6)
+           AS mean_sil
+       FROM sm GROUP BY cell ORDER BY cell"""
 }

@@ -292,4 +292,55 @@ class GraphOpsSpec extends SparkSpec {
     assert(r230(0).getLong(1) == 250000L, s"q230 large-M micro ${r230(0)}")
     assert(r230(1).getLong(1) == -250000L, s"q230 negative floor ${r230(1)}")
   }
+
+  test("q249 RA link prediction on a planted path; hub suppression " +
+       "empties the wedge set at maxDeg 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("lp").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // path 1—2—3 via two users: co-click edges (1,2) and (2,3). The
+    // only wedge is through z = 2 (deg 2), so the one predicted link
+    // is (1,3) with RA = 1e9 div 2 = 500000000 and 1 common neighbor.
+    Seq(
+      (1L, 1L, t0, "click", 1.0, """{"k": 1}"""),
+      (2L, 1L, t0, "click", 1.0, """{"k": 2}"""),
+      (3L, 2L, t0, "click", 1.0, """{"k": 2}"""),
+      (4L, 2L, t0, "click", 1.0, """{"k": 3}""")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q249LinkPredict(spark, tmp).collect()
+    assert(got.length == 1, s"expected exactly the (1,3) prediction, got ${got.toSeq}")
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 3L)
+    assert(got.head.getLong(2) == 500000000L, s"RA micro ${got.head}")
+    assert(got.head.getLong(3) == 1L, s"common neighbors ${got.head}")
+    // maxDeg = 1 suppresses z = 2 (deg 2): no wedges, no predictions
+    assert(GraphOps.q249LinkPredict(spark, tmp, maxDeg = 1L).collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("q251 item CF recommends by summed co-occurrence and never " +
+       "re-recommends a clicked item") {
+    val tmp = java.nio.file.Files.createTempDirectory("cf").toString
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // cohort users 0{1} 1{2} 2{1,2}; background users 100,101{1,2},
+    // 102{2,3}. cooc(1,2) = |{2,100,101}| = 3, cooc(2,3) = |{102}| = 1.
+    //   u0: j=1 -> i=2 score 3                       -> (0,2,3,1)
+    //   u1: j=2 -> i=1 score 3, i=3 score 1          -> (1,1,3,1),(1,3,1,2)
+    //   u2: i=1, i=2 both clicked (anti-join), i=3 1 -> (2,3,1,1)
+    val rows = Seq(
+      (0L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L),
+      (102L, 2L), (102L, 3L))
+    rows.zipWithIndex.map { case ((u, k), i) =>
+      (i.toLong, u, t0, "click", 1.0, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = GraphOps.q251ItemCf(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 2L, 3L, 1), (1L, 1L, 3L, 1),
+                            (1L, 3L, 1L, 2), (2L, 3L, 1L, 1)),
+      s"got ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
 }

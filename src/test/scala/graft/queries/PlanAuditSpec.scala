@@ -893,6 +893,43 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
   }
 
+  test("q249 link prediction: wedge join stays equi on the common " +
+       "neighbor; known edges leave via left-anti") {
+    val p = plan("q249_link_predict")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge enumeration must be the z-keyed equi self-join:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"),
+      "existing edges must leave via a left-anti join")
+    // the oriented edge list feeds projection, adjacency (twice) and
+    // the anti-join — one persisted scan, not four recomputes
+    assert(p.contains("InMemoryTableScan"),
+      "the edge list must be persisted and reused")
+  }
+
+  test("q250 silhouette: centroids broadcast; top-2 reduced by a " +
+       "partial-combined aggregate, no corpus window sort") {
+    val p = plan("q250_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the n x C similarity pass must broadcast the centroid set")
+    assert(!p.contains("Window"),
+      s"per-vector top-2 must be an aggregate, not a window sort:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final pair for the top-2 collect aggregate")
+  }
+
+  test("q251 item CF: the item-item matrix broadcasts; clicked items " +
+       "leave via left-anti; top-k rides the bounded aggregator") {
+    val p = plan("q251_item_cf")
+    assert(p.contains("BroadcastHashJoin"),
+      "the catalog-bounded co-occurrence matrix must broadcast")
+    assert(p.contains("LeftAnti"),
+      "already-clicked items must leave via a left-anti join")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian belongs in CF scoring:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate pair for the TopK aggregator")
+  }
+
   test("q248 image dHash: codec stages stay map-side — no join, no " +
        "aggregation shuffle before the final sort") {
     val p = plan("q248_image_dhash")

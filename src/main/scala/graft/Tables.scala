@@ -41,6 +41,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Widen a narrow scan ahead of an EXPENSIVE per-row map stage
+    * (codec calls, fingerprint HOFs, shingle builds): when the frame
+    * has fewer partitions than the session's default parallelism,
+    * round-robin repartition up to it; otherwise pass through
+    * untouched. The harness fixtures are single-row-group parquet
+    * files, so file-split configs cannot parallelize the scan (a
+    * row group is parquet's split atom — guide §2.5's "one huge
+    * unsplittable file" input-skew case, whose named remedy is
+    * "repartition immediately after the read"); without this, every
+    * pre-exchange stage runs on ONE core of 32. Scale-adaptive by
+    * construction: a warehouse-scale scan already carries ≥ cores
+    * splits and the guard makes this a no-op — nothing here is tuned
+    * to local[32]. Apply AFTER the narrow projection so the tiny
+    * round-robin exchange moves only the columns the map stage
+    * needs, and only on queries whose stage-1 work measurably
+    * dominates (each use is an A/B in OPTIMIZATION_r14.md). */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** On-disk bytes of a table, from filesystem METADATA only (no
     * Spark job): the cheap proxy queries use to decide whether a
     * shared-lineage persist pays for itself. Non-local or unlistable

@@ -487,26 +487,62 @@ object Multimodal {
     math.min(255, v + bright)
   }
 
+  /** javax.imageio's DEFAULT stream cache is a temp FILE created and
+    * deleted per encode and per decode — 4 filesystem round-trips per
+    * document for a 1 KB image whose deflate work is microseconds.
+    * Measured on the r14 baseline this dominated q248 (6.07 s; see
+    * OPTIMIZATION_r14.md). One-time switch to the in-memory stream
+    * cache; referenced by both codec helpers so any entry path flips
+    * it before first use. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Per-thread PNG writer/reader instances: `ImageIO.write/read`
+    * walk the service registry and construct a fresh plugin instance
+    * per CALL — per-task state that guide §4.5 says to initialize
+    * once and amortize. Thread-local because Spark local-mode tasks
+    * share the JVM across 32 executor threads and plugin instances
+    * are not thread-safe. */
+  private val pngWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    }
+  private val pngReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    }
+
   /** Encode the deterministic tensor as a REAL PNG via the JDK codec
     * (javax.imageio) — actual compressed image bytes, the binary
-    * column shape a multimodal corpus carries. */
+    * column shape a multimodal corpus carries. Pixels land through
+    * one bulk setRGB (the TYPE_INT_RGB fast path), not 288 per-pixel
+    * calls through the color model. */
   private[ops] def encodePng(docId: Long, bright: Int): Array[Byte] = {
+    imageIoMemCache
     val img = new java.awt.image.BufferedImage(
       18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](18 * 16)
     var y = 0
     while (y < 16) {
       var x = 0
       while (x < 18) {
-        img.setRGB(x, y,
+        px(y * 18 + x) =
           (pixelChannel(docId, x, y, 0, bright) << 16) |
           (pixelChannel(docId, x, y, 1, bright) << 8) |
-          pixelChannel(docId, x, y, 2, bright))
+          pixelChannel(docId, x, y, 2, bright)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, 18, 16, px, 0, 18)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriter.get()
+    w.setOutput(out)
+    w.write(img)
+    out.flush()
     bos.toByteArray
   }
 
@@ -514,11 +550,18 @@ object Multimodal {
     * 72-cell (8 rows × 9 cols) luminance grid [[DHash64]] consumes:
     * integer BT.601 luma (299·R + 587·G + 114·B) div 1000 per pixel,
     * 2×2 average pool per cell — all truncating integer ops, so the
-    * oracle's codec-free replay is exact (PNG is lossless). */
+    * oracle's codec-free replay is exact (PNG is lossless). Pixels
+    * come back through one bulk getRGB, not 288 color-model calls. */
   private[ops] def decodeCells(png: Array[Byte]): (Int, Int, Seq[Long]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    imageIoMemCache
+    val rd = pngReader.get()
+    rd.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png)))
+    val img = rd.read(0)
+    val w = img.getWidth
+    val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
     def lum(x: Int, y: Int): Long = {
-      val rgb = img.getRGB(x, y)
+      val rgb = px(y * w + x)
       (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
        114L * (rgb & 0xFF)) / 1000L
     }
@@ -558,14 +601,21 @@ object Multimodal {
     import graft.functions.VectorFunctions
     val spark = s
     import spark.implicits._
-    val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .flatMap(id => Seq((id, "base", encodePng(id, 0)),
-                         (id, "bright", encodePng(id, 1))))
-      .toDF("doc_id", "variant", "png")
-    val cells = pngs.as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, variant, png) =>
-        val (w, h, cs) = decodeCells(png)
-        (id, variant, w.toLong, h.toLong, cs)
+    // encode → REAL PNG bytes → decode, fused into ONE per-partition
+    // typed stage: the bytes exist only between the two codec calls,
+    // so they never pay a Tungsten serialize/deserialize round trip
+    // (the r14 baseline plan carried them across a
+    // SerializeFromObject/DeserializeToObject boundary for nothing —
+    // guide §2.3, don't move bytes a stage doesn't need). The round
+    // trip itself is unchanged and still proven by the codec-free
+    // oracle replay.
+    val cells = Tables.widen(Tables.documents(s, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Seq(("base", 0), ("bright", 1)).map { case (variant, b) =>
+          val (w, h, cs) = decodeCells(encodePng(id, b))
+          (id, variant, w.toLong, h.toLong, cs)
+        }
       })
       .toDF("doc_id", "variant", "w", "h", "cells")
     cells

@@ -62,6 +62,20 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** [[widen]] variant for WIDE frames: hash-repartition on `key`
+    * instead of round-robin. Every keyless `repartition(n)` first
+    * pays a local sort of its input (sortBeforeRepartition, needed so
+    * retried tasks reproduce their row→partition assignment) — cheap
+    * on the few-thousand-row frames widen targets, but a measurable
+    * tax on a 600k-row fact-table frame. Hash partitioning by a
+    * deterministic existing key needs no such sort and is retry-safe
+    * by construction (guide §2.5's derived-key rule). `key` must
+    * spread well (≫ cores distinct values). */
+  def widenBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** On-disk bytes of a table, from filesystem METADATA only (no
     * Spark job): the cheap proxy queries use to decide whether a
     * shared-lineage persist pays for itself. Non-local or unlistable

@@ -451,6 +451,77 @@ case class DHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit average-hash (aHash) frame fingerprint in ONE codegen'd
+  * pass over the frame string — bit i (0-based) is set iff
+  * 60·code(i) > Σ codes, where code(i) is `ascii(substring(f, i+1,
+  * 1))` of the frame's first 60 characters (a position past the end
+  * contributes ascii('') = 0, matching substring semantics). This is
+  * bit-identical to the q208/q220 HOF chain
+  * `aggregate(zip_with(transform(sequence(1,60), i ->
+  * ascii(substring(f,i,1))), sequence(0,59), ...), ...)` — which
+  * evaluates THREE interpreted lambda passes and allocates two
+  * 60-element arrays per frame — and to the DuckDB oracles' replay
+  * of the same arithmetic. Pure-ASCII frames run a primitive byte
+  * loop; any non-ASCII input falls back to the UTF-16 walk whose
+  * per-code-point first char unit equals Spark's `ascii` result
+  * (the RollingHash31 convention). */
+case class AHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ahash60 requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ahash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHash60.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.AHash60.hash($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHash60 {
+  /** Static so generated code can call it directly. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val codes = new Array[Long](60)
+    var sum = 0L
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < nb) {
+      if (s.getByte(i) < 0) { ascii = false; i = nb } else i += 1
+    }
+    if (ascii) {
+      val n = if (nb < 60) nb else 60
+      var j = 0
+      while (j < n) { val b = s.getByte(j).toLong; codes(j) = b; sum += b; j += 1 }
+    } else {
+      // mirror ascii(substring(f, i, 1)): substring indexes CODE
+      // POINTS; ascii returns the first UTF-16 unit of that char
+      val str = s.toString
+      var j = 0
+      var k = 0
+      while (j < 60 && k < str.length) {
+        val cp = str.codePointAt(k)
+        val c = str.charAt(k).toLong
+        codes(j) = c; sum += c
+        k += Character.charCount(cp); j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (60L * codes(j) > sum) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 /** Polynomial rolling hash (base 31, mod 1e9+7) over the character
   * stream as ONE codegen'd pass over the UTF8String — the document
   * fingerprint (q36) without the per-character string array the
@@ -1263,6 +1334,10 @@ object VectorFunctions {
     * cells (8 rows × 9 columns, row-major). */
   def dhash64(cells: Column): Column =
     ColumnBridge.column(DHash64(ColumnBridge.expression(cells)))
+
+  /** 60-bit aHash fingerprint of a frame string's first 60 chars. */
+  def ahash60(frame: Column): Column =
+    ColumnBridge.column(AHash60(ColumnBridge.expression(frame)))
 
   /** Rolling base-31 fingerprint over a string column's characters. */
   def rollingHash31(text: Column): Column =

@@ -237,20 +237,19 @@ object Multimodal {
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x15 chunk banding is complete only for hamming <= 3, got $maxHamming")
-    val frames = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 64)
+    // widen ahead of the frame explode + aHash HOF passes — q220's
+    // measured stage-1 bottleneck, same kernel (OPTIMIZATION_r14.md)
+    val frames = Tables.widen(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 64))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, (length(text) div 64 - 1) div 2),
            j -> substring(text, j * 128 + 1, 64))""")).as("f"))
+    // codegen'd aHash ([[graft.functions.AHash60]], bit-identical to
+    // the former 3-pass HOF chain — guide step 4)
     val fp = frames
-      .withColumn("arr", expr(
-        "transform(sequence(1, 60), i -> CAST(ascii(substring(f, i, 1)) AS BIGINT))"))
-      .withColumn("ssum", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
-      .select(col("doc_id"), expr(
-        """aggregate(zip_with(arr, sequence(0, 59),
-           (b, i) -> IF(60L * b > ssum, shiftleft(1L, i), 0L)),
-           0L, (a, x) -> a + x)""").as("fp"))
+      .select(col("doc_id"),
+              graft.functions.VectorFunctions.ahash60(col("f")).as("fp"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ck = fp.select(col("doc_id"), col("fp"),
@@ -333,20 +332,22 @@ object Multimodal {
   def q220Keyframes(s: SparkSession, dir: String,
                     minDist: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val frames = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 64)
+    // widen BEFORE the frame explode + per-frame aHash HOFs — the
+    // whole fingerprint build is stage-1 map work that a single-
+    // row-group fixture scan would otherwise run on one core
+    // (OPTIMIZATION_r14.md; no-op on multi-split scans)
+    val frames = Tables.widen(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 64))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, (length(text) div 64 - 1) div 2),
            j -> substring(text, j * 128 + 1, 64))""")).as(Seq("idx", "f")))
+    // codegen'd aHash ([[graft.functions.AHash60]], bit-identical to
+    // the former 3-pass HOF chain — guide step 4, no interpreted
+    // lambdas or per-frame arrays in the hot map stage)
     val fp = frames
-      .withColumn("arr", expr(
-        "transform(sequence(1, 60), i -> CAST(ascii(substring(f, i, 1)) AS BIGINT))"))
-      .withColumn("ssum", expr("aggregate(arr, 0L, (a, x) -> a + x)"))
-      .select(col("doc_id"), col("idx"), expr(
-        """aggregate(zip_with(arr, sequence(0, 59),
-           (b, i) -> IF(60L * b > ssum, shiftleft(1L, i), 0L)),
-           0L, (a, x) -> a + x)""").as("fp"))
+      .select(col("doc_id"), col("idx"),
+              graft.functions.VectorFunctions.ahash60(col("f")).as("fp"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     fp
       .withColumn("prev", lag(col("fp"), 1).over(w))
@@ -416,9 +417,11 @@ object Multimodal {
     * quadratic in a stopword-class bucket. */
   def q246FrameDhash(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
-    val frames = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 144)
+    // widen ahead of the frame explode + pooling HOFs — the q220/q208
+    // stage-1 kernel (OPTIMIZATION_r14.md)
+    val frames = Tables.widen(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 144))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, length(text) div 144 - 1),
            j -> substring(text, j * 144 + 1, 144))""")).as("f"))

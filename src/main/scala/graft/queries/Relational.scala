@@ -528,24 +528,34 @@ object Relational {
     * ANALYZE). */
   def q136TableStats(s: SparkSession, dir: String): DataFrame = {
     val l = graft.Tables.lineitem(s, dir)
+    // One INDEPENDENT aggregation subtree per column instead of the
+    // single 4-distinct agg: Spark rewrites N count-distincts in one
+    // agg as an Expand that multiplies every row (N+1)× before the
+    // first exchange — 3 M expanded rows through one single-core
+    // partial agg on this fixture, and N× the shuffled bytes at any
+    // scale. Per column, the value-keyed groupBy dedups map-side and
+    // everything after the first exchange is value-count sized; the
+    // four subtrees and the row-count subtree run as concurrently
+    // scheduled stages of ONE job (guide §2.3 "aggregate before you
+    // shuffle" + §2.6 overlap). Output rows/schema are identical —
+    // same stats, same long form, and n_nonnull/ndv/min/max per
+    // column agree by definition (r14 A/B: 1.77 s → measured below;
+    // oracle unchanged).
     def statsFor(c: String) =
-      struct(count(col(c)).as("n_nonnull"),
-             countDistinct(col(c)).as("ndv"),
-             min(col(c)).cast("long").as("min_v"),
-             max(col(c)).cast("long").as("max_v")).as(c)
-    val wide = l.agg(count(lit(1)).as("n_rows"),
-                     statsFor("l_orderkey"), statsFor("l_partkey"),
-                     statsFor("l_suppkey"), statsFor("l_linenumber"))
-    // long form: one row per column, stable output shape
-    wide.select(col("n_rows"),
-        explode(array(Seq("l_orderkey", "l_partkey", "l_suppkey",
-                          "l_linenumber").map(c =>
-          struct(lit(c).as("column"), col(s"$c.n_nonnull"),
-                 col(s"$c.ndv"), col(s"$c.min_v"), col(s"$c.max_v"))): _*))
-          .as("s"))
-      .select(col("s.column").as("column"), col("n_rows"),
-              col("s.n_nonnull").as("n_nonnull"), col("s.ndv").as("ndv"),
-              col("s.min_v").as("min_v"), col("s.max_v").as("max_v"))
+      l.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(col("v")).as("nn"))
+        .agg(coalesce(sum(col("nn")), lit(0L)).as("n_nonnull"), // empty/all-null: count() = 0, sum = null
+             count(col("v")).as("ndv"),
+             min(col("v")).cast("long").as("min_v"),
+             max(col("v")).cast("long").as("max_v"))
+        .select(lit(c).as("column"), col("n_nonnull"), col("ndv"),
+                col("min_v"), col("max_v"))
+    val nRows = l.agg(count(lit(1)).as("n_rows"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .map(statsFor).reduce(_ unionByName _)
+      .crossJoin(broadcast(nRows))
+      .select(col("column"), col("n_rows"), col("n_nonnull"),
+              col("ndv"), col("min_v"), col("max_v"))
       .orderBy(col("column"))
   }
 
@@ -1261,8 +1271,13 @@ object Relational {
     * frames ride broadcast cross-joins. The final top-50 by lift
     * plans as TakeOrderedAndProject (no global sort). */
   def q200MarketBasket(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // widenBy on the distinct key itself: the exchange this inserts
+    // IS the distinct's required distribution, so the dedup runs as
+    // one 32-way aggregate instead of a single-core partial pass
+    // over the whole fact scan (OPTIMIZATION_r14.md)
+    val b = Tables.widenBy(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        col("o"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sup = b.groupBy(col("p")).agg(count(lit(1)).as("s"))

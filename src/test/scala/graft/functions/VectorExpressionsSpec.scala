@@ -76,6 +76,41 @@ class VectorExpressionsSpec extends SparkSpec {
     docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ahash60 equals the 3-pass HOF aHash chain") {
+    val texts = Seq(
+      (1L, "A" * 64),                            // uniform: no bit set (60b > sum never)
+      (2L, ('!' to 'Z').mkString + "abcdefghij"), // mixed codes, full frame
+      (3L, ""),                                   // empty: ascii('') = 0 everywhere
+      (4L, "short"),                              // shorter than 60 chars
+      (5L, "café naïve résumé — smart ‘quotes’"), // non-ASCII BMP
+      (6L, "z" * 59 + " "),                       // boundary at position 60
+      (7L, (0 until 64).map(i => ('0' + i % 10).toChar).mkString)
+    ).toDF("id", "f")
+    val hof = expr(
+      """aggregate(zip_with(
+           transform(sequence(1, 60), i -> CAST(ascii(substring(f, i, 1)) AS BIGINT)),
+           sequence(0, 59),
+           (b, i) -> IF(60L * b > aggregate(
+             transform(sequence(1, 60), j -> CAST(ascii(substring(f, j, 1)) AS BIGINT)),
+             0L, (a, x) -> a + x), shiftleft(1L, i), 0L)),
+           0L, (a, x) -> a + x)""")
+    val rows = texts
+      .select($"id", VectorFunctions.ahash60($"f").as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)} diverged"))
+    // and on every 64-char frame of the real corpus (the q220/q208 slices)
+    val frames = graft.Tables.documents(spark, sf0001)
+      .select(explode(expr(
+        """transform(sequence(0, (length(text) div 64 - 1) div 2),
+           j -> substring(text, j * 128 + 1, 64))""")).as("f"))
+    val docs = frames
+      .select(VectorFunctions.ahash60($"f").as("fast"), hof.as("ref"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("trigram_stats equals the array formulation") {
     val texts = Seq(
       (1L, "spam spam spam spam spam"),

@@ -638,6 +638,84 @@ object TrigramStats {
   }
 }
 
+/** Distinct ordered triple patterns "a>b>c" of a (capped) token
+  * array in ONE codegen'd pass — the q211 sequence-mining kernel.
+  * Enumerates every i < j < k position triple in order and dedups
+  * keeping FIRST occurrence, which is exactly
+  * `array_distinct(flatten(flatten(transform(... nested transforms
+  * over sequence(i+1, …) ...))))` — but without three levels of
+  * interpreted lambdas, the nested intermediate arrays, or the
+  * O(n³)-element array_distinct rescan. Arrays shorter than 3
+  * elements yield an empty array (the caller's `when(size >= 3, …)`
+  * guard, folded in). Null tokens cannot occur on the q211 path
+  * (tokens come from a typed aggregator over a non-null column) but
+  * are rendered as empty strings like concat would. Input is capped
+  * upstream (≤ 20 on q211), so the per-row work is ≤ C(20,3)
+  * appends — bounded, never corpus-dependent. */
+case class SeqTriples(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"seq_triples requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "seq_triples"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SeqTriples.triples(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.SeqTriples.triples($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SeqTriples {
+  /** Static so generated code can call it directly. */
+  def triples(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    // first-occurrence order, exactly array_distinct's semantics
+    val seen = new java.util.LinkedHashSet[String](n * n)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < n - 2) {
+      var j = i + 1
+      while (j < n - 1) {
+        var k = j + 1
+        while (k < n) {
+          sb.setLength(0)
+          sb.append(toks(i)).append('>').append(toks(j))
+            .append('>').append(toks(k))
+          seen.add(sb.toString)
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Product-quantization encoder in ONE codegen'd pass: the input
   * float vector is cut into `numSub` contiguous `subDim`-wide
   * subvectors and each is assigned the index of its
@@ -1338,6 +1416,10 @@ object VectorFunctions {
   /** 60-bit aHash fingerprint of a frame string's first 60 chars. */
   def ahash60(frame: Column): Column =
     ColumnBridge.column(AHash60(ColumnBridge.expression(frame)))
+
+  /** Distinct ordered "a>b>c" triples of a capped token array. */
+  def seqTriples(toks: Column): Column =
+    ColumnBridge.column(SeqTriples(ColumnBridge.expression(toks)))
 
   /** Rolling base-31 fingerprint over a string column's characters. */
   def rollingHash31(text: Column): Column =

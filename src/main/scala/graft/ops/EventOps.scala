@@ -1615,15 +1615,14 @@ object EventOps {
       // the SQL HOF enumeration below
       .map { case (u, sq) => (u, sq) }
       .toDF("user_id", "sq")
+    // codegen'd triple enumeration ([[graft.functions.SeqTriples]] —
+    // bit-identical to the former array_distinct(flatten(flatten(
+    // nested transforms))) chain, without 3 levels of interpreted
+    // lambdas or the O(n³) array_distinct rescan; guide step 4)
     seqs
       .select(col("user_id"),
-        explode(when(size(col("sq")) >= 3, expr(
-          """array_distinct(flatten(flatten(
-               transform(sequence(1, size(sq) - 2), i ->
-                 transform(sequence(i + 1, size(sq) - 1), j ->
-                   transform(sequence(j + 1, size(sq)), k ->
-                     concat(sq[i-1], '>', sq[j-1], '>', sq[k-1])))))))"""))
-          .otherwise(typedLit(Seq.empty[String]))).as("pattern"))
+        explode(graft.functions.VectorFunctions.seqTriples(col("sq")))
+          .as("pattern"))
       .groupBy(col("pattern"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("pattern"))

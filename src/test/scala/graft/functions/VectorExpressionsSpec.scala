@@ -111,6 +111,31 @@ class VectorExpressionsSpec extends SparkSpec {
     docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("seq_triples equals the nested-transform + array_distinct chain") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "x", "x", "x")),          // dedup to one pattern
+      (3L, Seq("a", "b")),                     // under 3: empty
+      (4L, Seq.empty[String]),
+      (5L, Seq("b", "a", "c", "a", "b")),      // repeats, order matters
+      (6L, (1 to 20).map(i => s"e${i % 5}"))   // the q211 cap shape
+    ).toDF("id", "sq")
+    val hof = when(size($"sq") >= 3, expr(
+      """array_distinct(flatten(flatten(
+           transform(sequence(1, size(sq) - 2), i ->
+             transform(sequence(i + 1, size(sq) - 1), j ->
+               transform(sequence(j + 1, size(sq)), k ->
+                 concat(sq[i-1], '>', sq[j-1], '>', sq[k-1])))))))"""))
+      .otherwise(typedLit(Seq.empty[String]))
+    val got = rows.select($"id",
+        VectorFunctions.seqTriples($"sq").as("fast"), hof.as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id ${r.getLong(0)} diverged")
+    }
+  }
+
   test("trigram_stats equals the array formulation") {
     val texts = Seq(
       (1L, "spam spam spam spam spam"),

@@ -261,10 +261,22 @@ object Bench {
     // not plan change; `agg` spells this out for the board reader
     val rerrs = retriedErrors.map { case (k, e) =>
       "\"" + k + "\":" + JsonUtil.esc(e.take(300)) }.mkString("{", ",", "}")
+    // normalized total (VERDICT r14 #7): each family divided by the
+    // probe leg that models its cost structure — batch by the
+    // cpu+shuffle factor, streaming by the serial-latency factor — so
+    // round-over-round PERF can diff normalized numbers mechanically
+    // instead of bracketing the box state in prose. Additions-only:
+    // `value` stays the raw sum-of-mins.
+    val batchLo = batchResults.map(_._2).filter(_ >= 0).sum
+    val streamLo = streamResults.map(_._2).filter(_ >= 0).sum
+    val valueNorm =
+      if (calibOn && calibFactor > 0 && calibLatFactor > 0)
+        batchLo / calibFactor + streamLo / calibLatFactor
+      else -1.0
     val calib =
       s"""{"cpu_sec":${r3(calibCpu)},"shuffle_sec":${r3(calibShuffle)},"sec":${r3(calibSec)},"post_sec":${r3(postSec)},"ref_sec":$CalibRef,"factor":${r3(calibFactor)},"lat_sec":${r3(calibLat)},"post_lat_sec":${r3(postLat)},"lat_ref_sec":$CalibLatRef,"lat_factor":${r3(calibLatFactor)}}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"value_norm":${r3(valueNorm)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     // durable copy for the driver/judge, immune to stdout truncation —
     // carries the per-query GC seconds the compact stdout line omits
     val gcs = results.map { case (k, _, _, _) =>
@@ -272,7 +284,7 @@ object Bench {
     val qmax = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"value_norm":${r3(valueNorm)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","queries":$qs,"queries_max":$qmax,"gc_sec":$gcs,"errors":$errs,"retried_errors":$rerrs,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.writeString(outFile, fileLine + "\n")
@@ -288,6 +300,6 @@ object Bench {
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_max":${r3(totalMax)},"value_norm":${r3(valueNorm)},"agg":"sum_of_per_query_min","runs":$runs,"stream_runs":$streamRuns,"calib":$calib,"families":$families,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_retried":${retriedErrors.size},"top10":$top,"sf":"$sfDir","full":"target/bench.json"}""")
   }
 }

@@ -59,7 +59,37 @@ object Tables {
     * dominates (each use is an A/B in OPTIMIZATION_r14.md). */
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (scanSplits(df) < p) df.repartition(p) else df
+  }
+
+  /** Scan parallelism estimate for the [[widen]]/[[widenBy]] guard,
+    * from FILE METADATA only: Σ over the frame's file-source
+    * relations of ceil(fileBytes / maxPartitionBytes). The previous
+    * guard read `df.rdd.getNumPartitions`, which forces a
+    * physical-plan → RDD conversion at plan-build time and reads the
+    * PRE-AQE partition count (VERDICT r14 #3); this computes the
+    * same quantity for every real input shape — each split is
+    * min(maxPartitionBytes, file) of some file — without planting an
+    * RDD-scan boundary. openCostInBytes padding is deliberately
+    * ignored: it only INCREASES the split count for many-small-file
+    * scans, which are past the `< defaultParallelism` gate anyway.
+    * A frame with no file-source leaf (constructed data, cuts)
+    * reports "plenty" — widen is a scan remedy, not a general one. */
+  private def scanSplits(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+            .map(f => math.max(1L, (f.getLen + maxSplit - 1) / maxSplit))
+            .sum
+        case _ => Int.MaxValue.toLong
+      }
+    }
+    if (rels.isEmpty) Int.MaxValue
+    else math.min(rels.sum, Int.MaxValue.toLong).toInt
   }
 
   /** [[widen]] variant for WIDE frames: hash-repartition on `key`
@@ -73,7 +103,7 @@ object Tables {
     * spread well (≫ cores distinct values). */
   def widenBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    if (scanSplits(df) < p) df.repartition(p, key) else df
   }
 
   /** On-disk bytes of a table, from filesystem METADATA only (no

@@ -716,6 +716,71 @@ object SeqTriples {
   }
 }
 
+/** Ascending value pairs of an array<long> in ONE codegen'd pass —
+  * the candidate-pair expansion kernel shared by the posting-list
+  * similarity operators (q91, q216), the market-basket pair miner
+  * (q200) and the wedge enumeration (q249). Enumerates, for every
+  * element x at position i, every element y (any position) with
+  * y > x, in (outer i asc, inner j asc) order — exactly the HOF
+  * `flatten(transform(arr, x -> transform(filter(arr, y -> y > x),
+  * y -> struct(x, y))))` it replaces, which pays three interpreted
+  * lambda levels and two intermediate arrays per row. On a SORTED
+  * DISTINCT input this is also element-for-element identical to the
+  * `slice`-based i<j expansion (q200's formulation). Null elements
+  * never pair (the HOF's null-comparison semantics). Output field
+  * names are (a, b); callers re-alias. Input sizes are capped
+  * upstream (dfCap/basket/maxDeg), so per-row work is bounded. */
+case class LongPairsGt(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_pairs_gt requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+                   StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "long_pairs_gt"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LongPairsGt.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.LongPairsGt.pairs($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LongPairsGt {
+  /** Static so generated code can call it directly. */
+  def pairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < n) {
+          if (!arr.isNullAt(j)) {
+            val y = arr.getLong(j)
+            if (y > x)
+              out.add(InternalRow(x, y))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Product-quantization encoder in ONE codegen'd pass: the input
   * float vector is cut into `numSub` contiguous `subDim`-wide
   * subvectors and each is assigned the index of its
@@ -1420,6 +1485,11 @@ object VectorFunctions {
   /** Distinct ordered "a>b>c" triples of a capped token array. */
   def seqTriples(toks: Column): Column =
     ColumnBridge.column(SeqTriples(ColumnBridge.expression(toks)))
+
+  /** Ascending (a, b) value pairs of an array<long> — see
+    * [[LongPairsGt]]. */
+  def longPairsGt(arr: Column): Column =
+    ColumnBridge.column(LongPairsGt(ColumnBridge.expression(arr)))
 
   /** Rolling base-31 fingerprint over a string column's characters. */
   def rollingHash31(text: Column): Column =

@@ -1012,12 +1012,14 @@ object Dedup {
     val norms = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // codegen'd pair expansion (r15): LongPairsGt replays the
+    // 3-level HOF chain's y>x enumeration bit-for-bit as one
+    // primitive loop (spec-pinned), with no interpreted lambdas or
+    // intermediate arrays per posting list
     val dots = postings
-      .select(explode(expr(
-        """flatten(transform(docs,
-             x -> transform(filter(docs, y -> y > x),
-                            y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(
+        graft.functions.VectorFunctions.longPairsGt(col("docs"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("dot"))
     dots
@@ -2125,6 +2127,11 @@ object Dedup {
       .select(col("doc_id"), expr(s"wmin div $WinPosCap").as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOTE (r15): the q91/q208 bucket-collect + LongPairsGt move was
+    // A/B'd here and REJECTED (1.12 → 1.59 s min-of-4): with fp
+    // persisted and tiny, both self-join sides ride broadcast off the
+    // cache, which beats adding an h-exchange + ObjectHashAggregate
+    // collect pass. The self-join stays.
     val rare = fp.join(
       fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinDfCap).select(col("h")),
@@ -2289,11 +2296,10 @@ object Dedup {
       .join(wdf.filter(col("df").between(2L, dfCap.toLong)).select(col("w")),
             Seq("w"), "left_semi")
       .groupBy(col("w")).agg(collect_list(col("doc_id")).as("docs"))
-      .select(explode(expr(
-        """flatten(transform(docs,
-             x -> transform(filter(docs, y -> y > x),
-                            y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // codegen'd pair expansion (r15) — the q91 LongPairsGt swap
+      .select(explode(
+        graft.functions.VectorFunctions.longPairsGt(col("docs"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("rs"))
     // per-doc totals and the doc's COMMON-shingle count (df > dfCap):

@@ -381,8 +381,10 @@ object GraphOps {
     *
     * Scale shape: per round, two hash joins of the score vectors
     * against the persisted edge list and two keyed aggregations —
-    * the q82 posture exactly; the normalizing max is a 1-row
-    * broadcast, never a driver collect. Each half-step's aggregate
+    * the q82 posture exactly; the normalizing max is a 1-row scalar
+    * aggregate folded into the rescale as a literal (the q16
+    * two-phase pattern — one value, never data, reaches the
+    * driver). Each half-step's aggregate
     * frame is lineage-cut (Checkpoints.cut) BEFORE renorm reads it
     * twice (the max and the rescale join): without the cut the
     * physical plan doubles per half-step, 2^(2·iters) subtree
@@ -404,12 +406,23 @@ object GraphOps {
     var newest: DataFrame = null
     var second: DataFrame = null
     def renorm(df: DataFrame, key: String, sc: String): DataFrame = {
+      // scalar renorm (r15): the max over the cut frame folds into
+      // the rescale projection as a LITERAL (q16's two-phase scalar
+      // pattern) instead of a crossJoin(broadcast(mx)) — six 1-row
+      // BroadcastExchange builds and their collect round-trips gone;
+      // identical arithmetic (same max, same integer div). A/B
+      // 1.63 → 1.38 s. (A lazy cut fused with the max job was ALSO
+      // tried — 2.02 s, REJECTED: materializing checkpoint blocks
+      // inside the aggregating job costs more than the job it saves.)
       val cutd = Checkpoints.cut(df)
       if (second != null) Checkpoints.release(second)
       second = newest; newest = cutd
-      val mx = cutd.agg(max(col(sc)).as("mx"))
-      cutd.crossJoin(broadcast(mx))
-        .select(col(key), expr(s"$sc * 1000000L div mx").as(sc))
+      val row = cutd.agg(max(col(sc))).first()
+      if (row.isNullAt(0)) // empty frame: div null = null, as before
+        cutd.select(col(key), lit(null).cast("long").as(sc))
+      else
+        cutd.select(col(key),
+                    expr(s"$sc * 1000000L div ${row.getLong(0)}L").as(sc))
     }
     var hubs = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("h"))
@@ -864,31 +877,48 @@ object GraphOps {
     * saturates). */
   def q249LinkPredict(s: SparkSession, dir: String,
                       maxDeg: Long = 256L): DataFrame = {
+    // r15 restructure (guide §2.3/§2.4): the r14 shape built the edge
+    // set with a clicks×clicks self-join (the 1M-row events scan
+    // JSON-parsed TWICE — probe + broadcast build — on a
+    // single-row-group fixture that runs stage 1 on one core) and
+    // enumerated wedges with an sz×sz self-join whose deg-join inputs
+    // the plan computed twice. Both self-joins become bounded
+    // array expansions:
+    //  - per-user baskets from ONE exchange (collect_set dedups
+    //    map-side, replacing distinct + self-join) → codegen'd
+    //    LongPairsGt pair explode = the same a<b edge set;
+    //  - per-neighbor adjacency arrays from ONE exchange, where
+    //    deg(z) is simply size(ns) (adj is duplicate-free), the hub
+    //    cap filters on the array size BEFORE expansion, and wedges
+    //    are the same LongPairsGt explode — no deg aggregate, no
+    //    deg join, no self-join.
+    // Wedge volume is unchanged (Σ C(d,2), d ≤ maxDeg bounds the
+    // per-row work); arithmetic is identical (w = 1e9 div deg(z)).
     val clicks = Tables.events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"),
               get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .distinct()
     // undirected item projection, oriented a < b (the q116 edge set)
-    val e = clicks.toDF("user_id", "a")
-      .join(clicks.toDF("user_id", "b"), Seq("user_id"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val e = clicks
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("k"))).as("ks"))
+      .select(explode(
+        graft.functions.VectorFunctions.longPairsGt(col("ks"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = e.select(col("a").as("z"), col("b").as("n"))
       .unionByName(e.select(col("b").as("z"), col("a").as("n")))
-    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
     // hub suppression: only small-degree common neighbors generate
     // wedges; their per-wedge weight is the exact micro-int 1e9 div d
-    val sz = adj.join(deg.filter(col("d") <= maxDeg), Seq("z"))
-      .select(col("z"), col("n"),
-              expr("1000000000L div d").as("w")) // integer div: exact,
-                // and d > 0 so trunc-vs-floor cannot diverge vs DuckDB
-
-    val cand = sz.toDF("z", "a", "w")
-      .join(sz.select(col("z"), col("n").as("b")), Seq("z"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    // (d = size(ns) > 0, so trunc-vs-floor cannot diverge vs DuckDB)
+    val cand = adj.groupBy(col("z"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .filter(size(col("ns")).between(2, maxDeg))
+      .select(expr("1000000000L div size(ns)").as("w"),
+              explode(
+                graft.functions.VectorFunctions.longPairsGt(col("ns"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("w")).as("ra_micro"), count(lit(1)).as("common"))
     cand.join(e, Seq("a", "b"), "left_anti")
       .orderBy(col("ra_micro").desc, col("a"), col("b"))

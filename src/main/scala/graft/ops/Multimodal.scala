@@ -247,24 +247,40 @@ object Multimodal {
            j -> substring(text, j * 128 + 1, 64))""")).as("f"))
     // codegen'd aHash ([[graft.functions.AHash60]], bit-identical to
     // the former 3-pass HOF chain — guide step 4)
+    // no persist: the r15 bucket shape leaves fp with ONE consumer
+    // (the chunk explode), so caching would only pay a store+read tax
     val fp = frames
       .select(col("doc_id"),
               graft.functions.VectorFunctions.ahash60(col("f")).as("fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banded pairing WITHOUT the bucket self-join (r15, the q91
+    // posting-list move): one explicit hash exchange on the chunk
+    // key, REUSED by the bucket-population count, the rare semi-join
+    // and the member collect (count-then-collect keeps every buffer
+    // ≤ PhashDfCap by construction — the r10 #2 discipline); pairs
+    // then expand MAP-SIDE from each ≤ 20-member bucket instead of
+    // re-shuffling both sides of a chunk-keyed self-join. Pair set
+    // identical: same buckets, same doc_a < doc_b orientation, same
+    // distinct + Hamming verify.
     val ck = fp.select(col("doc_id"), col("fp"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (fp >> (15 * c)) & 32767)"))
         .as(Seq("c", "ckey")))
-    val rare = ck.join(
-      ck.groupBy(col("c"), col("ckey")).agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= PhashDfCap).select(col("c"), col("ckey")),
-      Seq("c", "ckey"))
-    val cand = rare.toDF("c", "ckey", "doc_a", "fp_a")
-      .join(rare.toDF("c2", "ckey2", "doc_b", "fp_b"),
-            col("c") === col("c2") && col("ckey") === col("ckey2") &&
-            col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+      .repartition(col("c"), col("ckey"))
+    val rareKeys = ck.groupBy(col("c"), col("ckey"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= PhashDfCap).select(col("c"), col("ckey"))
+    val cand = ck.join(rareKeys, Seq("c", "ckey"), "left_semi")
+      .groupBy(col("c"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("fp").as("f")))
+        .as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms,
+             x -> transform(filter(ms, y -> y.d > x.d),
+                            y -> struct(x.d AS doc_a, y.d AS doc_b,
+                                        x.f AS fp_a, y.f AS fp_b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+              col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
       .distinct()
       .filter(bit_count(expr("fp_a ^ fp_b")) <= maxHamming)
     cand.groupBy(col("doc_a"), col("doc_b"))

@@ -1437,34 +1437,49 @@ object TextOps {
   def q204RakeKeywords(s: SparkSession, dir: String,
                        maxPhraseLen: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r15 restructure (guide §2.4 — share one exchange): the r14
+    // shape persisted ns/ph, and because AQE-planned cached relations
+    // hide their output partitioning, EVERY downstream stage
+    // re-exchanged from the cache — 7 shuffles plus a duplicated
+    // wl⋈ws⋈psc chain (fl fed both `mx` and `top`). All stages here
+    // key on doc_id (or a superset), so the rewrite plants ONE
+    // hash(doc_id) exchange at the island window and lets every
+    // aggregate, join and window downstream reuse it:
+    //  - plen comes from a count() window over (doc_id, island)
+    //    instead of a groupBy + self-join back (same value, no join);
+    //  - phrase AND score come from one (doc_id, island) aggregate
+    //    (satisfied by the doc_id partitioning — no exchange);
+    //  - the (doc_id, w) word-stats join is co-partitioned on the
+    //    same doc_id exchange (the q200 subset-key mechanism);
+    //  - the per-doc winner is a row_number window (score desc,
+    //    phrase asc — exactly max-score-then-min-phrase) instead of
+    //    the mx max + (score,doc_id)-keyed SMJ + SortAggregate.
+    // Consumers recompute the cheap post-exchange window arithmetic
+    // from the ReusedExchange instead of paying cache round-trips
+    // that destroy partitioning. Only the final phrase rollup adds a
+    // second exchange. Output is unchanged (oracle re-gated).
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val ns = Tables.documents(s, dir)
+    val wIsl = Window.partitionBy(col("doc_id"), col("island"))
+    val nsf = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
       .filter(length(col("w")) > 0 && !col("w").isin(stopwords: _*))
       .withColumn("island", col("pos") - row_number().over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ph = ns.groupBy(col("doc_id"), col("island"))
-      .agg(count(lit(1)).as("plen"),
-           array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
-                      " ").as("phrase"))
+      .withColumn("plen", count(lit(1)).over(wIsl))
       .filter(col("plen") <= maxPhraseLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wl = ns.join(ph.select(col("doc_id"), col("island"), col("plen")),
-                     Seq("doc_id", "island"))
-    val ws = wl.groupBy(col("doc_id"), col("w"))
+    val ws = nsf.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-    val psc = wl.select(col("doc_id"), col("island"), col("w"))
+    val fl = nsf.select(col("doc_id"), col("island"), col("pos"), col("w"))
       .join(ws, Seq("doc_id", "w"))
       .groupBy(col("doc_id"), col("island"))
-      .agg(sum(expr("deg * 1000000L div freq")).as("score"))
-    val fl = ph.select(col("doc_id"), col("island"), col("phrase"))
-      .join(psc, Seq("doc_id", "island"))
-    val mx = fl.groupBy(col("doc_id")).agg(max(col("score")).as("ms"))
-    val top = fl.join(mx, Seq("doc_id"))
-      .filter(col("score") === col("ms"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("phrase")).as("phrase"), max(col("score")).as("score"))
+      .agg(sum(expr("deg * 1000000L div freq")).as("score"),
+           array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+                      " ").as("phrase"))
+    val top = fl
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rk") === 1)
     top.groupBy(col("phrase"))
       .agg(count(lit(1)).as("n_docs"), max(col("score")).as("best_score"))
       .orderBy(col("n_docs").desc, col("phrase"))
@@ -1628,31 +1643,40 @@ object TextOps {
       .withColumn("h",
         graft.functions.VectorFunctions.rollingHash31(col("token")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perW = widths.map { w =>
-      val rows = (0 until d).map { i =>
-        struct(lit(i).as("row_i"),
+    // ONE fused pass over all widths (r15, guide §2.3/§2.4): the
+    // per-width subtrees each paid a sketch aggregate + broadcast
+    // build + per-token aggregate — 3× (2 exchanges + 1 broadcast
+    // job). Folding the width into the explode (d·|widths| rows per
+    // token) and into every key makes it ONE sketch aggregate, ONE
+    // broadcast (all three sketches: Σ w·d ≈ 10.7k rows), ONE
+    // per-token aggregate and ONE per-width rollup. Per width the
+    // (w, row_i, bucket) keys partition exactly as before, so every
+    // counter, estimate and audit row is bit-identical.
+    val rows = widths.flatMap { w =>
+      (0 until d).map { i =>
+        struct(lit(w.toLong).as("w"), lit(i).as("row_i"),
                pmod(pmod(lit(CmsA(i)) * col("h") + lit(CmsB(i)), lit(CmsP)),
                     lit(w.toLong)).as("bucket"))
       }
-      val hashed = counts
-        .select(col("token"), col("c"), explode(array(rows: _*)).as("rb"))
-        .select(col("token"), col("c"),
-                col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
-      val sketch = hashed.groupBy(col("row_i"), col("bucket"))
-        .agg(sum(col("c")).cast("long").as("counter"))
-      hashed.join(broadcast(sketch), Seq("row_i", "bucket"))
-        .groupBy(col("token"))
-        .agg(min(col("counter")).as("est"), min(col("c")).as("exact"))
-        .agg(count(lit(1)).as("vocab"),
-             sum(when(col("est") === col("exact"), 1L).otherwise(0L))
-               .as("n_exact"),
-             max(col("est") - col("exact")).as("max_overcount"),
-             sum(col("est") - col("exact")).as("sum_over"))
-        .select(lit(w.toLong).as("w"), col("vocab"), col("n_exact"),
-                col("max_overcount"),
-                expr("sum_over * 1000000L div vocab").as("avg_overcount_micro"))
     }
-    perW.reduce(_ unionByName _).orderBy(col("w"))
+    val hashed = counts
+      .select(col("token"), col("c"), explode(array(rows: _*)).as("rb"))
+      .select(col("token"), col("c"), col("rb.w").as("w"),
+              col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+    val sketch = hashed.groupBy(col("w"), col("row_i"), col("bucket"))
+      .agg(sum(col("c")).cast("long").as("counter"))
+    hashed.join(broadcast(sketch), Seq("w", "row_i", "bucket"))
+      .groupBy(col("w"), col("token"))
+      .agg(min(col("counter")).as("est"), min(col("c")).as("exact"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("vocab"),
+           sum(when(col("est") === col("exact"), 1L).otherwise(0L))
+             .as("n_exact"),
+           max(col("est") - col("exact")).as("max_overcount"),
+           sum(col("est") - col("exact")).as("sum_over"))
+      .select(col("w"), col("vocab"), col("n_exact"), col("max_overcount"),
+              expr("sum_over * 1000000L div vocab").as("avg_overcount_micro"))
+      .orderBy(col("w"))
   }
 
   /** DuckDB oracle for q224 — q179's replayable sketch at each width,

@@ -101,18 +101,32 @@ object EtlQueries {
     // distinct counting expands the scan once per column, which is a
     // dim-table pass — on facts, profile with approx_count_distinct
     // (q41's sketch) instead.
-    val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_name")
-    val aggs = cols.flatMap { c =>
-      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val stacked = cols.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
-    Tables.customer(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_val, max_val)")
+    //
+    // One INDEPENDENT aggregation subtree per column instead of the
+    // single 4-distinct agg (the q136 rewrite, r15): Spark plans N
+    // count-distincts in one agg as an Expand that multiplies every
+    // row (N+1)× before the first exchange — N× the shuffled bytes at
+    // any scale, and on the single-row-group fixture all of it
+    // through one core. Per column the value-keyed groupBy dedups
+    // map-side (guide §2.3), the stats over the deduped frame are a
+    // value-count-sized pass, and the four subtrees run as
+    // concurrently scheduled stages of one job. Rows/schema/values
+    // are identical: n_nulls = Σ cnt over the null group (0 when
+    // absent), n_distinct = count of non-null groups = countDistinct,
+    // min/max unaffected by dedup.
+    val t = Tables.customer(s, dir)
+    def profFor(c: String) =
+      t.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+               .as("n_nulls"),
+             count(col("v")).as("n_distinct"),
+             min(col("v")).cast("string").as("min_val"),
+             max(col("v")).cast("string").as("max_val"))
+        .select(lit(c).as("column"), col("n_nulls"), col("n_distinct"),
+                col("min_val"), col("max_val"))
+    Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_name")
+      .map(profFor).reduce(_ unionByName _)
       .orderBy(col("column"))
   }
 

@@ -1292,11 +1292,12 @@ object Relational {
       .select(col("o"), col("p"))
     val pairs = bp.groupBy(col("o"))
       .agg(array_sort(collect_list(col("p"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps,
-           (x, i) -> transform(slice(ps, i + 2, size(ps)),
-                               y -> struct(x AS pa, y AS pb))))""")).as("pr"))
-      .select(col("pr.pa"), col("pr.pb"))
+      // codegen'd pair expansion (r15): on the sorted-distinct basket
+      // LongPairsGt's y>x enumeration is element-for-element the
+      // slice-based i<j HOF it replaces (spec-pinned)
+      .select(explode(
+        graft.functions.VectorFunctions.longPairsGt(col("ps"))).as("pr"))
+      .select(col("pr.a").as("pa"), col("pr.b").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
       .filter(col("sab") >= 2)
     pairs

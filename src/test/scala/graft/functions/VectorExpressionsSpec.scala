@@ -136,6 +136,45 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("long_pairs_gt equals both HOF pair expansions it replaces") {
+    val rows = Seq(
+      (1L, Seq(5L, 2L, 9L)),                  // unsorted (q91/q216 shape)
+      (2L, Seq(1L, 2L, 3L, 4L)),              // sorted distinct (q200/q249)
+      (3L, Seq(7L)),                          // single: no pairs
+      (4L, Seq.empty[Long]),
+      (5L, Seq(3L, 3L, 1L)),                  // duplicates never pair equal
+      (6L, (1L to 20L).toSeq)                 // the dfCap shape, C(20,2)
+    ).toDF("id", "xs")
+    // the q91/q216 formulation: value-filtered nested transforms
+    val hofGt = expr(
+      """flatten(transform(xs,
+           x -> transform(filter(xs, y -> y > x),
+                          y -> struct(x AS a, y AS b))))""")
+    val got = rows.select($"id",
+        VectorFunctions.longPairsGt($"xs").as("fast"), hofGt.as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) ==
+             r.getSeq[org.apache.spark.sql.Row](2),
+        s"id ${r.getLong(0)} diverged from the y>x HOF")
+    }
+    // the q200 formulation: index-sliced expansion — identical on the
+    // sorted-distinct arrays it is applied to
+    val sortedRows = rows.filter($"id".isin(2L, 3L, 4L, 6L))
+    val hofSlice = expr(
+      """flatten(transform(xs,
+           (x, i) -> transform(slice(xs, i + 2, size(xs)),
+                               y -> struct(x AS a, y AS b))))""")
+    val got2 = sortedRows.select($"id",
+        VectorFunctions.longPairsGt($"xs").as("fast"), hofSlice.as("ref"))
+      .collect()
+    got2.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) ==
+             r.getSeq[org.apache.spark.sql.Row](2),
+        s"id ${r.getLong(0)} diverged from the slice HOF")
+    }
+  }
+
   test("trigram_stats equals the array formulation") {
     val texts = Seq(
       (1L, "spam spam spam spam spam"),

@@ -391,14 +391,25 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q204 RAKE: every join keys on doc_id, caches feed their consumers") {
+  test("q204 RAKE: one doc_id exchange serves every stage (r15 shape)") {
     val p = plan("q204_rake_keywords")
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
-      s"ns and ph caches must serve their consumers:\n${p.take(1200)}")
     assert(p.contains("TakeOrderedAndProject"),
       "top-25 must plan as TakeOrderedAndProject")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "all RAKE joins are equi-joins on (doc_id, ...) keys")
+    // r15: every aggregate/join/window keys on doc_id (or a superset),
+    // so the executed plan shuffles exactly twice — the island
+    // window's hash(doc_id) (reused by every consumer) and the final
+    // phrase rollup. The r14 cache-based shape re-exchanged SEVEN
+    // times because cached relations hide their output partitioning.
+    // The INITIAL AQE plan printed here may carry one duplicate of
+    // the doc_id exchange on a join build side (AQE dedups identical
+    // shuffle stages at runtime), hence <= 3.
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"expected <= 3 shuffle exchanges (doc_id [x2 pre-AQE-reuse] + phrase rollup), found $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("InMemoryTableScan"),
+      "r15 shape shares the doc_id exchange instead of caching (caches hide partitioning)")
     spark.catalog.clearCache()
   }
 
@@ -437,12 +448,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly one doc-keyed join, found $joins:\n${p.take(1200)}")
   }
 
-  test("q208 phash: fingerprint cache feeds banding, only longs cross the shuffle") {
+  test("q208 phash: map-side banded pairing, only longs cross the shuffle") {
     val p = plan("q208_frame_phash")
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
-      s"bucket counts and both band-join sides must read the fp cache:\n${p.take(1200)}")
     assert(p.contains("TakeOrderedAndProject"),
       "top-30 video pairs must plan as TakeOrderedAndProject")
+    // r15: candidate pairs expand map-side from the ≤ dfCap bucket
+    // lists (the q91 posting-list shape) — the chunk-keyed self-join
+    // of the fingerprint frame is gone; the only join left is the
+    // rare-bucket LEFT SEMI riding the shared (c, ckey) exchange
+    assert(p.contains("LeftSemi"),
+      s"rare-bucket filter must be the count-then-collect semi join:\n${p.take(1200)}")
+    assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner""".r
+             .findFirstIn(p).isEmpty,
+      s"the banded self-join must be the map-side bucket expansion:\n${p.take(1200)}")
     // frame strings/bytes must never cross an exchange: every
     // Exchange's schema carries only ids/longs, not the frame column
     assert(!"Exchange[^\\n]*\\bf#".r.findFirstIn(p).isDefined,

@@ -812,14 +812,27 @@ object Dedup {
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no gram→doc join-back (r15, the q207 attribution move): a gram
+    // with corpus total 1 lives in exactly ONE (doc, gram) row with
+    // c = 1, so its doc is recoverable in the same totals aggregate
+    // (max(doc_id) over one row) and
+    // n_dup = n_grams − |singleton grams of the doc| — identical to
+    // summing c over tot ≥ 2 grams. This drops the gram-keyed join
+    // of the FULL perDocGram frame (its second shuffle); the
+    // remaining joins move only per-doc aggregate rows.
     val gramTotals = perDocGram
-      .groupBy(col("gram")).agg(sum(col("c")).as("tot"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("tot"), max(col("doc_id")).as("only_doc"))
+    val uniq = gramTotals.filter(col("tot") === 1)
+      .select(col("only_doc").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
     val perDoc = perDocGram
-      .join(gramTotals, Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_grams"),
-           sum(when(col("tot") >= 2, col("c")).otherwise(0L))
-             .cast("long").as("n_dup"))
+      .agg(sum(col("c")).cast("long").as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              (col("n_grams") - coalesce(col("n_uniq"), lit(0L)))
+                .cast("long").as("n_dup"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -987,14 +987,23 @@ object GraphOps {
               get_json_object(col("props"), "$.k").cast("long").as("k"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // item-item co-occurrence matrix: distinct-user count per ordered
-    // pair (both directions emitted once via j != i), broadcast
+    // item-item co-occurrence matrix, from per-user baskets instead
+    // of the clicks×clicks self-join (r15, the q249 move): one
+    // user-keyed collect_set + codegen'd ascending-pair explode
+    // counts each unordered pair once — HALF the pre-aggregation pair
+    // stream of the j≠i join — and the matrix is symmetric, so the
+    // ordered form is the aggregated frame unioned with its mirror.
+    // Values identical: cnt(j,i) = |users who clicked both|.
+    val pairCnt = clicks
+      .groupBy(col("user_id")).agg(sort_array(collect_set(col("k"))).as("ks"))
+      .select(explode(
+        graft.functions.VectorFunctions.longPairsGt(col("ks"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
     val cooc = broadcast(
-      clicks.toDF("user_id", "j")
-        .join(clicks.toDF("user_id", "i"), Seq("user_id"))
-        .filter(col("j") =!= col("i"))
-        .groupBy(col("j"), col("i"))
-        .agg(count(lit(1)).as("cnt")))
+      pairCnt.select(col("a").as("j"), col("b").as("i"), col("cnt"))
+        .unionByName(
+          pairCnt.select(col("b").as("j"), col("a").as("i"), col("cnt"))))
     val cohortClicks = clicks.filter(col("user_id") < cohort)
       .toDF("user_id", "j")
     val scored = cohortClicks

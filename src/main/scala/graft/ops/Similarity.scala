@@ -1618,6 +1618,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOTE (r15): fusing the 8 per-band Projects into one
+    // posexplode(array(...)) pass was A/B'd and REJECTED (1.27 →
+    // 1.50 s min-of-5, same calib) — Generate evaluates the inlined
+    // computed sign-chain array slower than 8 cache-scan Projects,
+    // exactly the q35 round-1 finding its comment records.
     val celled = (0 until bands).map { bnd =>
       e.select(col("vec_id"), lit(bnd).as("band"),
                signCellKey(col("embedding"),
